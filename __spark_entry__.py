@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query on sf0.001 (smoke check).
+``queries()``   — every implemented operator from SURVEY.md §2 as
+                  (spark, sf_dir) -> DataFrame callables.
+``oracle_sql()``— DuckDB-runnable ANSI SQL twin for each SQL-expressible
+                  query (same column aliases; driver hash-compares).
 """
 
 from __future__ import annotations
@@ -13,26 +13,48 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: lineitem pricing summary at sf0.001."""
+    from big_data_analytics_cse545_spark.operators import relational
+    from big_data_analytics_cse545_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    return relational.q01_pricing_summary(spark, SF0001)
+
+
+def _modules():
+    from big_data_analytics_cse545_spark.operators import relational
+
+    mods = [relational]
+    for name in ("text", "dedup", "similarity", "projection", "multimodal"):
+        try:
+            mod = __import__(
+                f"big_data_analytics_cse545_spark.operators.{name}", fromlist=[name]
+            )
+            mods.append(mod)
+        except ImportError:
+            pass
+    try:
+        from big_data_analytics_cse545_spark.streaming import ops as streaming_ops
+
+        mods.append(streaming_ops)
+    except ImportError:
+        pass
+    return mods
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLE", {}))
+    return out

@@ -1,0 +1,745 @@
+"""L1 relational core — scans, filters, joins, aggregates, windows, set ops.
+
+Maps SURVEY.md §2.2-2.3 / §2.5: every relational capability the reference
+implements by hand (hash partitioning ``a1p1_ahuja.py:53-67``, partial+final
+aggregation ``a1p1_ahuja.py:181-192``, anti-join-as-reduce
+``a1p1_ahuja.py:233-239``, broadcast semi-join ``a1p2b_ahuja.py:70,99``)
+re-expressed as declarative DataFrame plans so Catalyst supplies pushdown,
+pruning, partial aggregation, and AQE join selection.
+
+Every query here has a DuckDB oracle twin in ``ORACLE`` (same column
+aliases — the driver hash-compares after sorting columns by name).
+
+Float-parity policy (oracle hash must match bit-for-bit):
+  * per-row arithmetic (+,*,/ on doubles) is IEEE-deterministic — safe;
+  * SUM over doubles is order-dependent — never hash a raw double sum.
+    Money sums are computed exactly via DECIMAL(18,2|4) then cast to
+    double (identical in Spark and DuckDB);
+  * AVG error is ~n·eps — rounded to 4-6 digits, far above the noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_analytics_cse545_spark.sources import load_table
+
+
+def _dsum(col, scale: int = 2):
+    """Order-insensitive money sum: exact decimal accumulation, double out.
+
+    Safe only when ``col`` is exact at ``scale`` decimals (true for every
+    synthetic money column — verified 2dp): the double→decimal cast is then
+    unambiguous in both Spark and DuckDB. Never cast a computed double
+    product directly — Spark rounds the shortest-string repr (HALF_UP)
+    while DuckDB rounds the binary value, and 2dp×2dp products tie at the
+    cast boundary. Use ``_disc_price``/``_charge`` which stay in decimal.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dec(col, prec: int = 12, scale: int = 2):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _disc_price():
+    """l_extendedprice*(1-l_discount) in exact decimal (scale 4)."""
+    one = F.lit(1).cast("decimal(3,2)")
+    return _dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), 3, 2))
+
+
+def _charge():
+    """l_extendedprice*(1-l_discount)*(1+l_tax) in exact decimal (scale 6)."""
+    one = F.lit(1).cast("decimal(3,2)")
+    return _disc_price() * (one + _dec(F.col("l_tax"), 3, 2))
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: pricing summary (scan → filter → hash agg → sort)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Exercises the reference's core dataflow (map-side partial agg + final
+    agg, ``a1p1_ahuja.py:181-192``; ``a1p2a_ahuja.py:20``) as one
+    declarative plan: parquet scan with predicate pushdown on l_shipdate →
+    partial+final hash aggregation → sort. Catalyst does the in-mapper
+    combining the reference hand-codes.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "2000-01-01")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — star join: revenue per nation (broadcast dims)
+# ---------------------------------------------------------------------------
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join lineitem⋈orders⋈customer⋈nation⋈region.
+
+    The reference only ever broadcasts tiny dims by hand
+    (``a1p2b_ahuja.py:99``, ``a2_ahuja.py:255``); here small dims get an
+    explicit ``F.broadcast`` hint (nation/region are O(10) rows at any
+    scale) and the fact-fact joins shuffle on their keys with AQE free to
+    convert/skew-split — the plan that survives 100 TB.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q02_SQL = """
+SELECT
+  r_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — join + agg + global top-k (sort/limit)
+# ---------------------------------------------------------------------------
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by line revenue: join → agg → orderBy → limit.
+
+    The reference sorts only on the driver (``a1p1_ahuja.py:136``,
+    ``a2_ahuja.py:312-314``); Spark's TakeOrderedAndProject does the
+    distributed top-k without a full sort.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q03_SQL = """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — left-semi join (EXISTS)
+# ---------------------------------------------------------------------------
+
+def q04_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 high-value order — left-semi join.
+
+    Semi-join is the reference's broadcast-dictionary membership test
+    (``a1p2b_ahuja.py:70``) in relational form.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q04_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 100000
+)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — left-anti join (the reference's SetDifference, R − S)
+# ---------------------------------------------------------------------------
+
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT-priority order — left-anti join.
+
+    Exact semantics of the reference's hand-rolled SetDifference reduce
+    ('in R and not in S', ``a1p1_ahuja.py:233-239``; RDD pipeline
+    ``a1p2a_ahuja.py:34``): R = customer keys, S = urgent-order custkeys.
+    The reference shuffles every membership record; the anti join lets
+    AQE broadcast the smaller side instead.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_Q05_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — per-group top-k via window ranking
+# ---------------------------------------------------------------------------
+
+def q06_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price — Window + row_number.
+
+    The distributed form of the reference's driver-side per-query
+    candidate sort (``a2_ahuja.py:312-314``). Tie-broken on o_orderkey so
+    the ranking is deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+_Q06_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — analytic window functions (lag/lead/running sum, frame spec)
+# ---------------------------------------------------------------------------
+
+def q07_order_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: lag/lead/cumulative sum/rank.
+
+    No counterpart in the reference (SURVEY §2.5 'window functions:
+    absent') — provided as first-class engine capability.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice"),
+            F.lag("o_totalprice", 1).over(order_w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(order_w).alias("next_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(run_w)
+            .cast("double")
+            .alias("cum_spend"),
+            F.row_number().over(order_w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+_Q07_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_totalprice,
+  LAG(o_totalprice, 1) OVER w AS prev_price,
+  LEAD(o_totalprice, 1) OVER w AS next_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+  ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — rollup (hierarchical subtotals)
+# ---------------------------------------------------------------------------
+
+def q08_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) customer counts + balances.
+
+    Grouping sets are absent from the reference (SURVEY §2.5) — free in
+    Spark SQL. grouping() flags disambiguate NULL-as-subtotal.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_balance"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .orderBy("g_region", "g_nation", "r_name", "n_name")
+    )
+
+
+_Q08_SQL = """
+SELECT
+  r_name,
+  n_name,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+  CAST(GROUPING(r_name) AS INT) AS g_region,
+  CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY g_region, g_nation, r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — cube
+# ---------------------------------------------------------------------------
+
+def q09_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority) over orders — all 4 grouping sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_Q09_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — set operations (union / intersect / except)
+# ---------------------------------------------------------------------------
+
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT over customer-key sets.
+
+    R = customers with an open ('O') order, S = customers with a filled
+    ('F') order. Mirrors the reference's set-difference workload
+    (``a1p2a_ahuja.py:28-34``) plus the set ops it lacks, tagged per op.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    r = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    s = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return (
+        r.exceptAll(s).withColumn("op", F.lit("only_open"))
+        .unionAll(s.exceptAll(r).withColumn("op", F.lit("only_filled")))
+        .unionAll(r.intersect(s).withColumn("op", F.lit("both")))
+        .orderBy("op", "o_custkey")
+    )
+
+
+_Q10_SQL = """
+WITH r AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     s AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT o_custkey, 'only_open' AS op FROM (SELECT * FROM r EXCEPT SELECT * FROM s)
+UNION ALL
+SELECT o_custkey, 'only_filled' AS op FROM (SELECT * FROM s EXCEPT SELECT * FROM r)
+UNION ALL
+SELECT o_custkey, 'both' AS op FROM (SELECT * FROM r INTERSECT SELECT * FROM s)
+ORDER BY op, o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — distinct + conditional aggregation
+# ---------------------------------------------------------------------------
+
+def q11_distinct_and_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT), FILTER-style conditional aggs, min/max per flag.
+
+    Distinct-by-first-value is hand-rolled in the reference
+    (``a1p2b_ahuja.py:94``); here it's one exact distinct aggregate.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q11_SQL = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — IN-list + range predicates (scan pushdown)
+# ---------------------------------------------------------------------------
+
+def q12_inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN predicates on part — the reference's key-list
+    filter (``a2_ahuja.py:197,224,238``: ``x[0] in names``) as pushdown-
+    able scan predicates."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_type").isin("ECONOMY", "PROMO")
+            & F.col("p_size").between(10, 40)
+        )
+        .select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+_Q12_SQL = """
+SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+FROM part
+WHERE p_type IN ('ECONOMY', 'PROMO') AND p_size BETWEEN 10 AND 40
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — string functions
+# ---------------------------------------------------------------------------
+
+def q13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/lower/upper/substring/regexp/concat over part.
+
+    The reference's string surface (SURVEY §2.5 'string functions':
+    split ``a1p2a_ahuja.py:20``, lower ``a1p1_ahuja.py:184``, regex split
+    ``a1p2b_ahuja.py:68``, substring slicing ``a2_ahuja.py:129``) on
+    built-in JVM expressions.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lower(F.col("p_name")).alias("name_lower"),
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+            F.substring(F.col("p_type"), 1, 3).alias("type_prefix"),
+            F.regexp_extract(F.col("p_brand"), "#(\\d+)", 1).cast("int").alias("brand_num"),
+            F.concat_ws("|", F.col("p_type"), F.col("p_brand")).alias("type_brand"),
+            F.length(F.col("p_name")).alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_Q13_SQL = """
+SELECT
+  p_partkey,
+  LOWER(p_name) AS name_lower,
+  UPPER(p_brand) AS brand_upper,
+  string_split(p_name, ' ')[1] AS first_word,
+  SUBSTRING(p_type, 1, 3) AS type_prefix,
+  CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
+  CONCAT_WS('|', p_type, p_brand) AS type_brand,
+  LENGTH(p_name) AS name_len
+FROM part
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — date/time bucketing (the reference's year-month key, typed)
+# ---------------------------------------------------------------------------
+
+def q14_events_by_month_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts/values per (month, event_type).
+
+    The reference's string-surgery year-month key
+    (``a1p2b_ahuja.py:45-46``) as real timestamp ops: date_trunc on a
+    typed column, formatted only at the output edge.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+_Q14_SQL = """
+SELECT
+  strftime(date_trunc('month', ts), '%Y-%m') AS month,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(AVG(value), 4) AS avg_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY month, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse events.props JSON, bucket by extracted key.
+
+    Map/JSON functions are absent from the reference (SURVEY §2.5) —
+    engine-provided via get_json_object (JVM-side, no UDF).
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_id", "event_type", k.alias("k"))
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("bigint"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+        .orderBy("k_bucket")
+    )
+
+
+_Q15_SQL = """
+SELECT
+  CAST(FLOOR(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+  COUNT(*) AS n_events,
+  MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS min_k,
+  MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — correlated subquery shape (per-part average comparison)
+# ---------------------------------------------------------------------------
+
+def q16_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems priced above 1.5× their part's average — the TPC-H Q17
+    shape. Expressed as agg + self-join (Catalyst turns the correlated
+    form into the same plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price")
+    )
+    return (
+        l.join(part_avg, l.l_partkey == part_avg.pk)
+        .filter(F.col("l_extendedprice") > 1.5 * F.col("avg_price"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above"), _dsum(F.col("l_extendedprice")).alias("sum_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+_Q16_SQL = """
+WITH part_avg AS (
+  SELECT l_partkey AS pk, ROUND(AVG(l_extendedprice), 6) AS avg_price
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_above,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN part_avg ON l_partkey = pk
+WHERE l_extendedprice > 1.5 * avg_price
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — grouping sets (explicit)
+# ---------------------------------------------------------------------------
+
+def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (status), (priority), () — via Spark SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q17")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders_q17
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+_Q17_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_orders": q03_top_orders,
+    "q04_customers_with_orders": q04_customers_with_orders,
+    "q05_customers_without_orders": q05_customers_without_orders,
+    "q06_topk_orders_per_customer": q06_topk_orders_per_customer,
+    "q07_order_running_analytics": q07_order_running_analytics,
+    "q08_rollup_region_nation": q08_rollup_region_nation,
+    "q09_cube_status_priority": q09_cube_status_priority,
+    "q10_set_ops": q10_set_ops,
+    "q11_distinct_and_conditional_agg": q11_distinct_and_conditional_agg,
+    "q12_inlist_filter": q12_inlist_filter,
+    "q13_string_funcs": q13_string_funcs,
+    "q14_events_by_month_type": q14_events_by_month_type,
+    "q15_json_extract": q15_json_extract,
+    "q16_above_avg_lineitems": q16_above_avg_lineitems,
+    "q17_grouping_sets": q17_grouping_sets,
+}
+
+ORACLE = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_revenue_by_nation": _Q02_SQL,
+    "q03_top_orders": _Q03_SQL,
+    "q04_customers_with_orders": _Q04_SQL,
+    "q05_customers_without_orders": _Q05_SQL,
+    "q06_topk_orders_per_customer": _Q06_SQL,
+    "q07_order_running_analytics": _Q07_SQL,
+    "q08_rollup_region_nation": _Q08_SQL,
+    "q09_cube_status_priority": _Q09_SQL,
+    "q10_set_ops": _Q10_SQL,
+    "q11_distinct_and_conditional_agg": _Q11_SQL,
+    "q12_inlist_filter": _Q12_SQL,
+    "q13_string_funcs": _Q13_SQL,
+    "q14_events_by_month_type": _Q14_SQL,
+    "q15_json_extract": _Q15_SQL,
+    "q16_above_avg_lineitems": _Q16_SQL,
+    "q17_grouping_sets": _Q17_SQL,
+}

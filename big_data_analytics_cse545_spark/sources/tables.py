@@ -1,0 +1,62 @@
+"""Parquet table catalog for the synthetic star schema (TESTDATA.md).
+
+The reference's "sources" are driver-local ``os.listdir`` + per-file reads
+(``Assignment 1/a1p2b_ahuja.py:75-81``) and ``sc.binaryFiles``
+(``Assignment 2/a2_ahuja.py:416``) — both replaced here by Spark's native
+file sources so listing, partition pruning and predicate pushdown happen
+inside the scan, not on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan for one table.
+
+    Filters/projections applied by callers reach the scan via Catalyst
+    (PushedFilters / ReadSchema) — never pre-collect or pre-filter here.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+        # default. Read nanos as long, then floor-truncate to microseconds —
+        # the same ns→µs truncation DuckDB applies — so both engines see
+        # identical timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so spark.sql() queries work."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
