@@ -1,0 +1,376 @@
+"""L2 text analytics — the reference's a1/a1p2b semantics plus the text
+operators an LLM-data pipeline needs (language-ID, quality scoring, token
+counting, fingerprinting).
+
+Reference parity:
+  * WordCount with in-mapper combining (``Assignment 1/a1p1_ahuja.py:181-192``,
+    ``a1p2a_ahuja.py:20``) → t01: Catalyst's partial+final hash agg IS the
+    in-mapper combine.
+  * SetDifference R−S (``a1p1_ahuja.py:227-239``, ``a1p2a_ahuja.py:34``)
+    at word granularity → t02 left-anti join.
+  * Industry-mention counts via broadcast dictionary semi-join + composite
+    key counts + nested regroup (``Assignment 1/a1p2b_ahuja.py:65-82``)
+    → t03/t04. The reference's year-month axis (``a1p2b_ahuja.py:45-46``)
+    maps to the documents fixture's ``lang``/``source`` axes (FIXTURES.md B).
+
+Everything is built-in JVM expressions (split/filter/transform/aggregate)
+— zero Python UDFs in these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark.functions.text import (
+    STOPWORDS,
+    TOKEN_SPLIT_RE,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from big_data_analytics_cse545_spark.sources import load_table
+
+# DuckDB twin of functions.text.tokens()
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+# Small term dictionary for the a1p2b-style mention queries — plays the
+# role of the broadcast industry dict (``a1p2b_ahuja.py:95-100``).
+TERM_DICT = ("spark", "join", "filter", "window", "stream", "table")
+
+
+# ---------------------------------------------------------------------------
+# t01 — WordCount
+# ---------------------------------------------------------------------------
+
+def t01_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive word counts over documents, top-200 by frequency.
+
+    One declarative plan: scan(text) → explode(tokens) → partial+final
+    hash agg → distributed top-k. At 100 TB the explode fan-out stays
+    pipelined inside whole-stage codegen; no Python boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(200)
+    )
+
+
+_T01_SQL = f"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# t02 — word-level set difference (R − S)
+# ---------------------------------------------------------------------------
+
+def t02_word_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word bigrams in 'en' documents that never occur in 'de'.
+
+    Exact SetDifference semantics of ``a1p1_ahuja.py:233-239`` ('in R and
+    not in S') as a left-anti join between two exploded distinct sets —
+    the scalable form of the reference's shuffle-everything reduce.
+    Bigrams (not unigrams) so the sets genuinely differ on the shared-
+    vocabulary fixture; also exercises n-gram construction via
+    higher-order array functions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(ts) >= 2 THEN "
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> concat_ws('_', element_at(ts, i), element_at(ts, i + 1))) "
+        "ELSE array() END"
+    )
+    grams = (
+        d.select("lang", tokens(F.col("text")).alias("ts"))
+        .select("lang", F.explode(bigrams).alias("bigram"))
+    )
+    r = grams.filter(F.col("lang") == "en").select("bigram").distinct()
+    s = grams.filter(F.col("lang") == "de").select("bigram").distinct()
+    return r.join(s, "bigram", "left_anti").orderBy("bigram")
+
+
+_T02_SQL = f"""
+WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || '_' || ts[i + 1])) AS bigram
+  FROM (SELECT lang, {_SQL_TOKENS} AS ts FROM documents)
+),
+r AS (SELECT DISTINCT bigram FROM grams WHERE lang = 'en'),
+s AS (SELECT DISTINCT bigram FROM grams WHERE lang = 'de')
+SELECT bigram FROM r
+WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.bigram = r.bigram)
+ORDER BY bigram
+"""
+
+
+# ---------------------------------------------------------------------------
+# t03 — dictionary-mention counts (broadcast semi-join)
+# ---------------------------------------------------------------------------
+
+def t03_term_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mentions of dictionary terms per (term, lang) — a1p2b's industry
+    query (``a1p2b_ahuja.py:65-82``): tokenize at word boundaries, keep
+    only dictionary words via a broadcast join (the reference ships the
+    dict in a closure; a broadcast-hash join is the engine policy,
+    SURVEY §2.4 I26), count per composite key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dict_df = spark.createDataFrame([(t,) for t in TERM_DICT], ["word"])
+    words = d.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+    return (
+        words.join(F.broadcast(dict_df), "word")
+        .groupBy("word", "lang")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("word", "lang")
+    )
+
+
+_T03_SQL = f"""
+SELECT word, lang, COUNT(*) AS n_mentions
+FROM (SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents)
+WHERE word IN {TERM_DICT!r}
+GROUP BY word, lang
+ORDER BY word, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# t04 — nested re-aggregation (a1p2b output shape)
+# ---------------------------------------------------------------------------
+
+def t04_term_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation to the reference's nested output shape
+    ``(industry, ((ym, count), ...))`` (``a1p2b_ahuja.py:82``): counts per
+    (term, lang), re-grouped per term into a sorted, string-encoded list
+    (string-encoded so the DuckDB oracle hash is representation-stable).
+    """
+    per_lang = t03_term_mentions(spark, sf_dir)
+    return (
+        per_lang.groupBy("word")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", F.col("lang"), F.col("n_mentions")))
+                ),
+                ",",
+            ).alias("lang_counts"),
+            F.sum("n_mentions").alias("total_mentions"),
+        )
+        .orderBy("word")
+    )
+
+
+_T04_SQL = f"""
+WITH per_lang AS (
+  SELECT word, lang, COUNT(*) AS n_mentions
+  FROM (SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents)
+  WHERE word IN {TERM_DICT!r}
+  GROUP BY word, lang
+)
+SELECT word,
+       string_agg(lang || ':' || n_mentions, ',' ORDER BY lang || ':' || n_mentions) AS lang_counts,
+       CAST(SUM(n_mentions) AS BIGINT) AS total_mentions
+FROM per_lang
+GROUP BY word
+ORDER BY word
+"""
+
+
+# ---------------------------------------------------------------------------
+# t05 — language-ID heuristic (stopword-ratio n-gram-free variant)
+# ---------------------------------------------------------------------------
+
+def t05_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: English-stopword token share ≥ 5% → 'en_like'.
+
+    LLM-pipeline text-analysis operator (north star, BASELINE.json):
+    pure column expressions — filter over the token array, no UDF —
+    compared per labelled lang so the confusion table is the output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ratio = stopword_count(F.col("text")) / token_count(F.col("text"))
+    guess = F.when(ratio >= 0.05, F.lit("en_like")).otherwise(F.lit("other"))
+    return (
+        d.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "guess")
+    )
+
+
+_T05_SQL = f"""
+WITH toks AS (SELECT lang, {_SQL_TOKENS} AS ts FROM documents),
+scored AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(ts, t -> t IN {STOPWORDS!r}))
+                   / CAST(len(ts) AS DOUBLE) >= 0.05
+              THEN 'en_like' ELSE 'other' END AS guess
+  FROM toks
+)
+SELECT lang, guess, COUNT(*) AS n_docs
+FROM scored GROUP BY lang, guess ORDER BY lang, guess
+"""
+
+
+# ---------------------------------------------------------------------------
+# t06 — document quality scoring
+# ---------------------------------------------------------------------------
+
+def t06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics → bucketed histogram.
+
+    Length / mean-token-length / stopword-ratio features (the classic
+    pre-training quality filters) as pure expressions; the final
+    histogram keeps the output small and hash-stable at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / n_tok
+    stop_ratio = stopword_count(F.col("text")) / n_tok
+    # quality in [0,1]: long-enough docs with natural stopword share win
+    quality = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.3
+        + F.least(mean_len / F.lit(6.0), F.lit(1.0)) * 0.2
+    )
+    bucket = F.floor(quality * 10).cast("int")
+    return (
+        d.select(bucket.alias("q_bucket"))
+        .groupBy("q_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("q_bucket")
+    )
+
+
+_T06_SQL = f"""
+WITH toks AS (SELECT {_SQL_TOKENS} AS ts FROM documents),
+m AS (
+  SELECT
+    len(ts) AS n_tok,
+    list_sum(list_transform(ts, t -> length(t))) / CAST(len(ts) AS DOUBLE) AS mean_len,
+    len(list_filter(ts, t -> t IN {STOPWORDS!r})) / CAST(len(ts) AS DOUBLE) AS stop_ratio
+  FROM toks
+)
+SELECT CAST(FLOOR((
+         LEAST(n_tok / 100.0, 1.0) * 0.5
+       + LEAST(stop_ratio / 0.1, 1.0) * 0.3
+       + LEAST(mean_len / 6.0, 1.0) * 0.2) * 10) AS INT) AS q_bucket,
+       COUNT(*) AS n_docs
+FROM m GROUP BY 1 ORDER BY q_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# t07 — token counting (whitespace + BPE-ish subword estimate)
+# ---------------------------------------------------------------------------
+
+def t07_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token and BPE-ish subword counts per source.
+
+    Subword estimate: each word contributes ceil(len/4) tokens (the
+    ~4-chars-per-BPE-token rule of thumb), computed with higher-order
+    array functions — integer arithmetic only, so the oracle matches
+    exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: (F.length(t) + 3).cast("long") / F.lit(4)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x).cast("long"),
+    )
+    return (
+        d.select("source", F.size(toks).alias("n_ws"), bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_T07_SQL = f"""
+WITH toks AS (SELECT source, {_SQL_TOKENS} AS ts FROM documents)
+SELECT source,
+       CAST(SUM(len(ts)) AS BIGINT) AS ws_tokens,
+       CAST(SUM(list_sum(list_transform(ts, t -> (length(t) + 3) // 4))) AS BIGINT) AS bpe_tokens,
+       COUNT(*) AS n_docs
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# t08 — document fingerprinting
+# ---------------------------------------------------------------------------
+
+def t08_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5 + first-8-token prefix md5.
+
+    The dedup key primitive (rolling-hash analog of the reference's
+    md5 signatures, ``Assignment 2/a2_ahuja.py:99-120``). Output is the
+    fingerprint table head — doc_id ordered, 100 rows — so it stays
+    hash-stable while exercising the full scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.lower(F.col("text"))).alias("full_md5"),
+            F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("prefix_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+_T08_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {_SQL_TOKENS} AS ts FROM documents)
+SELECT doc_id,
+       md5(lower(text)) AS full_md5,
+       md5(array_to_string(list_slice(ts, 1, 8), ' ')) AS prefix_md5
+FROM toks ORDER BY doc_id LIMIT 100
+"""
+
+
+QUERIES = {
+    "t01_wordcount": t01_wordcount,
+    "t02_word_set_difference": t02_word_set_difference,
+    "t03_term_mentions": t03_term_mentions,
+    "t04_term_mentions_nested": t04_term_mentions_nested,
+    "t05_lang_guess": t05_lang_guess,
+    "t06_quality_score": t06_quality_score,
+    "t07_token_count": t07_token_count,
+    "t08_fingerprint": t08_fingerprint,
+}
+
+ORACLE = {
+    "t01_wordcount": _T01_SQL,
+    "t02_word_set_difference": _T02_SQL,
+    "t03_term_mentions": _T03_SQL,
+    "t04_term_mentions_nested": _T04_SQL,
+    "t05_lang_guess": _T05_SQL,
+    "t06_quality_score": _T06_SQL,
+    "t07_token_count": _T07_SQL,
+    "t08_fingerprint": _T08_SQL,
+}

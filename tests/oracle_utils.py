@@ -44,7 +44,10 @@ def _value_eq(a, b) -> tuple[bool, bool]:
     if a_null or b_null:
         return (bool(a_null) == bool(b_null),) * 2  # type: ignore[return-value]
     if isinstance(a, float) or isinstance(b, float):
-        exact = float(a) == float(b)
+        # int-vs-float kind mismatch would change the driver's value-hash
+        # even when numerically equal — count it as inexact.
+        same_kind = isinstance(a, float) == isinstance(b, float)
+        exact = same_kind and float(a) == float(b)
         close = math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
         return exact, close
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
