@@ -1,0 +1,230 @@
+"""L3 dimensionality reduction — the reference's Assignment-2 funnel on
+the embeddings table: distributed moments, sparse random projection,
+distributed Gram matrix, driver-side SVD, PCA-space distance ranking.
+
+Reference parity (SURVEY §2.4):
+  I15 ``findRandomProjectionMatrix`` (``a2_ahuja.py:207-213``, Li/Hastie/
+      Church KDD'06 construction) → p02, with md5-derived deterministic
+      entries so the DuckDB oracle can regenerate the same matrix.
+  I17/I19 distributed mean/variance (``a2_ahuja.py:260-268``) → p01.
+  I20 Gram via map(outer).reduce(add) (``a2_ahuja.py:271``) → p03's
+      per-partition partial Gram (mapInPandas) + driver sum — the
+      'covariance fits on driver' trick, Arrow-batched instead of
+      per-row pickle.
+  I21 driver SVD (``a2_ahuja.py:276-279``) → numpy on the 64×64 Gram.
+  I22/I23 PCA projection + euclidean ranking (``a2_ahuja.py:289-319``)
+      → p03 output: per-query top-3 in PCA space.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_analytics_cse545_spark.functions.vectors import dot
+from big_data_analytics_cse545_spark.sources import load_table
+
+DIM = 64
+RP_DIMS = 8       # target dims for random projection (⌊√64⌋ per I15)
+PCA_K = 3
+QUERY_MOD = 100
+
+
+# ---------------------------------------------------------------------------
+# p01 — distributed per-dimension moments (I17/I19)
+# ---------------------------------------------------------------------------
+
+def p01_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / population stddev / min / max.
+
+    The reference computes mean and variance with two reduceByKey passes
+    (``a2_ahuja.py:260-268``); here it is one posexplode + grouped
+    aggregate — partial+final agg, one shuffle of 64 keys.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "v"))
+        .select(F.col("pos").cast("bigint").alias("pos"), F.col("v").cast("double").alias("v"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_pop("v"), 6).alias("std_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy("pos")
+    )
+
+
+_P01_SQL = f"""
+SELECT i - 1 AS pos,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+       ROUND(stddev_pop(CAST(embedding[i] AS DOUBLE)), 6) AS std_v,
+       ROUND(MIN(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
+       ROUND(MAX(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
+FROM embeddings CROSS JOIN range(1, {DIM} + 1) t(i)
+GROUP BY i ORDER BY pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# p02 — sparse random projection (I15/I16)
+# ---------------------------------------------------------------------------
+
+def _rp_entry(p: int, d: int) -> float:
+    """Deterministic sparse RP entry (Li et al. KDD'06, a2_ahuja.py:207-213):
+    +1 / −1 each with probability 1/16 ≈ 1/(2√d), else 0 — decided by the
+    first md5 nibble of 'rp_{p}_{d}' so SQL md5() reproduces it."""
+    nib = int(hashlib.md5(f"rp_{p}_{d}".encode()).hexdigest()[0], 16)
+    return 1.0 if nib == 0 else (-1.0 if nib == 1 else 0.0)
+
+
+def p02_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project 64-dim embeddings to 8 dims with the sparse RP matrix;
+    report per-projected-dimension moments.
+
+    The projection itself is a literal-array dot product inside codegen
+    (the reference ships the matrix via broadcast + per-row numpy matmul,
+    ``a2_ahuja.py:254-257``; literals are the local-mode equivalent).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    proj_cols = []
+    for p in range(RP_DIMS):
+        signs = F.array(*[F.lit(_rp_entry(p, d)) for d in range(DIM)])
+        proj_cols.append(dot(signs, F.col("embedding")).alias(f"proj{p}"))
+    projected = e.select("vec_id", *proj_cols)
+    stacked = projected.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("proj_dim"), F.col(f"proj{p}").alias("v")
+                    )
+                    for p in range(RP_DIMS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.proj_dim", "s.v")
+    return (
+        stacked.groupBy("proj_dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_pop("v"), 6).alias("std_v"),
+        )
+        .orderBy("proj_dim")
+    )
+
+
+def _p02_sql() -> str:
+    branches = []
+    for p in range(RP_DIMS):
+        entries = ", ".join(str(_rp_entry(p, d)) for d in range(DIM))
+        branches.append(
+            f"SELECT {p} AS proj_dim, "
+            f"list_sum(list_transform(range(1, {DIM} + 1), "
+            f"i -> ([{entries}])[i] * CAST(embedding[i] AS DOUBLE))) AS v "
+            f"FROM embeddings"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH stacked AS ({union})
+SELECT proj_dim,
+       ROUND(AVG(v), 6) AS mean_v,
+       ROUND(stddev_pop(v), 6) AS std_v
+FROM stacked GROUP BY proj_dim ORDER BY proj_dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# p03 — PCA funnel with driver SVD (I20-I23) — rows-only (no SQL oracle)
+# ---------------------------------------------------------------------------
+
+def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PCA funnel: standardize → distributed Gram → driver SVD →
+    project → per-query euclidean top-3 in PCA space.
+
+    Gram accumulation is per-partition ``mapInPandas`` partial sums
+    (Arrow batches) — the scalable form of the reference's
+    ``map(outer).reduce(add)`` (``a2_ahuja.py:271``): driver receives one
+    64×64 matrix per partition, never the data. SVD on the driver is
+    legitimate (64×64), exactly as the reference argues
+    (``a2_ahuja.py:274-279``). Not SQL-expressible (SVD) → rows-only
+    driver check; invariants are pinned by unit tests instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = p01_dim_stats(spark, sf_dir).collect()
+    mean = np.array([r["mean_v"] for r in stats])
+    std = np.array([max(r["std_v"], 1e-9) for r in stats])
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((DIM, DIM))
+        for batch in batches:
+            x = np.stack(batch["embedding"].to_numpy())
+            x = (x - mean) / std
+            acc += x.T @ x
+        yield pd.DataFrame({"gram": [acc.ravel().tolist()]})
+
+    gram_parts = e.select("embedding").mapInPandas(
+        partial_gram, schema="gram array<double>"
+    )
+    gram = np.zeros((DIM, DIM))
+    for row in gram_parts.collect():
+        gram += np.array(row["gram"]).reshape(DIM, DIM)
+    # SVD of symmetric PSD Gram ≡ eigendecomposition (a2_ahuja.py:274-275)
+    u, _s, _vt = np.linalg.svd(gram)
+    comps = u[:, :PCA_K]  # 64×3
+
+    proj_cols = [
+        F.round(
+            sum(
+                (F.element_at("embedding", d + 1).cast("double") - float(mean[d]))
+                / float(std[d])
+                * float(comps[d, p])
+                for d in range(DIM)
+            ),
+            6,
+        ).alias(f"pc{p}")
+        for p in range(PCA_K)
+    ]
+    projected = e.select("vec_id", *proj_cols)
+    q = projected.select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"pc{p}").alias(f"qpc{p}") for p in range(PCA_K)],
+    ).filter(F.col("q_id") % QUERY_MOD == 0)
+    dist = F.round(
+        F.sqrt(
+            sum(
+                (F.col(f"qpc{p}") - F.col(f"pc{p}")) ** 2 for p in range(PCA_K)
+            )
+        ),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("vec_id"))
+    return (
+        q.join(projected, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "dist")
+        .orderBy("q_id", "rk")
+    )
+
+
+QUERIES = {
+    "p01_dim_stats": p01_dim_stats,
+    "p02_random_projection": p02_random_projection,
+    "p03_pca_topk": p03_pca_topk,
+}
+
+ORACLE = {
+    "p01_dim_stats": _P01_SQL,
+    "p02_random_projection": _p02_sql(),
+    # p03_pca_topk: intentionally no oracle (driver SVD is not
+    # SQL-expressible) — rows-only check, invariants in tests.
+}

@@ -272,7 +272,7 @@ def q06_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
         .orderBy("o_custkey", "rk")
@@ -317,7 +317,7 @@ def q07_order_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(run_w)
             .cast("double")
             .alias("cum_spend"),
-            F.row_number().over(order_w).alias("order_seq"),
+            F.row_number().over(order_w).cast("bigint").alias("order_seq"),
         )
         .orderBy("o_custkey", "order_seq")
     )
@@ -539,7 +539,7 @@ def q13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("p_type"), 1, 3).alias("type_prefix"),
             F.regexp_extract(F.col("p_brand"), "#(\\d+)", 1).cast("int").alias("brand_num"),
             F.concat_ws("|", F.col("p_type"), F.col("p_brand")).alias("type_brand"),
-            F.length(F.col("p_name")).alias("name_len"),
+            F.length(F.col("p_name")).cast("bigint").alias("name_len"),
         )
         .orderBy("p_partkey")
     )

@@ -1,0 +1,276 @@
+"""L3 similarity search — brute-force kNN baseline, hyperplane-LSH ANN,
+IVF coarse-quantized ANN.
+
+Generalizes the reference's candidate-generation + exact-distance-ranking
+funnel (``Assignment 2/a2_ahuja.py:164-170`` candidates;
+``a2_ahuja.py:296-319`` distance + per-query ascending sort) to an
+embedding table. Brute force (s01) is the correctness baseline; s02/s03
+are the scale paths that prune the candidate set before any exact math —
+at 100 TB the cross join in s01 must never run, which is exactly the
+reference's reason for LSH (A2 PDF p.3).
+
+Hashing for LSH planes is md5-parity based, so the DuckDB oracle can
+regenerate identical planes with SQL md5().
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_analytics_cse545_spark.functions.vectors import cosine, dot
+from big_data_analytics_cse545_spark.sources import load_table
+
+DIM = 64          # embedding dimensionality (TESTDATA.md)
+N_PLANES = 6      # hyperplane-LSH signature bits → 64 buckets
+TOP_K = 5
+QUERY_MOD = 100   # query set = vec_id % 100 == 0 (scale-proportional)
+
+
+def _queries_df(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force cosine top-k (correctness baseline)
+# ---------------------------------------------------------------------------
+
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector.
+
+    Query×corpus theta-join + per-query window top-k — the distributed
+    form of the reference's driver-side candidate ranking
+    (``a2_ahuja.py:296-319``). Ranking key is the *rounded* cosine with
+    vec_id tiebreak, so the ordering is engine-independent.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(e)
+    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        q.join(e, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "cos_sim")
+        .orderBy("q_id", "rk")
+    )
+
+
+_COS_SQL = """
+ROUND(
+  list_sum(list_transform(range(1, {dim} + 1),
+      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+  (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+   sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+""".format(dim=DIM)
+
+_S01_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_COS_SQL} AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id AS neighbor_id, rk, cos_sim
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# s02 — random-hyperplane LSH ANN
+# ---------------------------------------------------------------------------
+
+def _plane_sign(p: int, d: int) -> int:
+    """Deterministic ±1 from md5 parity — reproducible in SQL as
+    md5(p || '_' || d)."""
+    nib = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16)
+    return 1 if nib % 2 == 0 else -1
+
+
+def _bucket_expr():
+    """Signature bucket = Σ_p [dot(plane_p, emb) > 0]·2^p as one JVM
+    expression tree (plane entries are literals — no shuffle, no UDF)."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        signs = F.array(*[F.lit(float(_plane_sign(p, d))) for d in range(DIM)])
+        proj = dot(signs, F.col("embedding"))
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def s02_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: same-bucket candidates, then exact
+    cosine top-3 within the bucket.
+
+    The reference's banding funnel (``a2_ahuja.py:140-170``) with
+    hyperplane signatures instead of minhash bands: candidates share all
+    6 signature bits (one 64-bucket partition), so the exact scoring
+    touches ~1/64 of the corpus per query.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        q.join(
+            e,
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "cos_sim")
+        .orderBy("q_id", "rk")
+    )
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for p in range(N_PLANES):
+        signs = ", ".join(
+            str(float(_plane_sign(p, d))) for d in range(DIM)
+        )
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {DIM} + 1), "
+            f"i -> ([{signs}])[i] * CAST(embedding[i] AS DOUBLE))) > 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _s02_sql() -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+  FROM b WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_COS_SQL} AS cos_sim
+  FROM q JOIN b e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id AS neighbor_id, rk, cos_sim
+FROM ranked WHERE rk <= 3
+ORDER BY q_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# s03 — IVF (coarse quantization by label centroids)
+# ---------------------------------------------------------------------------
+
+def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 10 coarse cells (label centroids), probe the 2 nearest
+    cells per query, exact top-3 inside the probed cells.
+
+    Centroid components are rounded to 6 digits before any distance math
+    so both engines rank identically despite unordered float summation
+    in the centroid average.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # centroids in long form: (label, pos, c_val)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c_val"))
+    )
+    q = _queries_df(e).select(
+        "q_id", "q_emb", F.posexplode("q_emb").alias("pos", "q_val")
+    )
+    # query→cell scores (dot in long form; rounded before ranking)
+    cell = (
+        q.join(cent, "pos")
+        .groupBy("q_id", "label")
+        .agg(F.round(F.sum(F.col("q_val").cast("double") * F.col("c_val")), 6).alias("score"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("label"))
+    probed = cell.withColumn("crk", F.row_number().over(wc)).filter(F.col("crk") <= 2)
+    qe = _queries_df(e)
+    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        probed.select("q_id", "label")
+        .join(e, "label")
+        .join(qe, "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "cos_sim")
+        .orderBy("q_id", "rk")
+    )
+
+
+_S03_SQL = f"""
+WITH cent AS (
+  SELECT label, i AS pos, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c_val
+  FROM embeddings CROSS JOIN range(1, {DIM} + 1) t(i)
+  GROUP BY label, i
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+cell AS (
+  SELECT q.q_id, cent.label,
+         ROUND(SUM(CAST(q.q_emb[pos] AS DOUBLE) * c_val), 6) AS score
+  FROM q JOIN cent ON TRUE
+  GROUP BY q.q_id, cent.label
+),
+probed AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, label) AS crk
+    FROM cell
+  ) WHERE crk <= 2
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_COS_SQL} AS cos_sim
+  FROM probed p
+  JOIN embeddings e ON e.label = p.label
+  JOIN q ON q.q_id = p.q_id
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id AS neighbor_id, rk, cos_sim
+FROM ranked WHERE rk <= 3
+ORDER BY q_id, rk
+"""
+
+
+QUERIES = {
+    "s01_knn_bruteforce": s01_knn_bruteforce,
+    "s02_ann_hyperplane_lsh": s02_ann_hyperplane_lsh,
+    "s03_ann_ivf": s03_ann_ivf,
+}
+
+ORACLE = {
+    "s01_knn_bruteforce": _S01_SQL,
+    "s02_ann_hyperplane_lsh": _s02_sql(),
+    "s03_ann_ivf": _S03_SQL,
+}

@@ -1,0 +1,54 @@
+"""L3 dimensionality reduction: oracle parity + PCA funnel invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analytics_cse545_spark.operators import projection
+from tests.oracle_utils import assert_parity
+
+
+@pytest.mark.parametrize("name", ["p01_dim_stats", "p02_random_projection"])
+def test_projection_oracle_parity(spark, sf_correctness, name):
+    df = projection.QUERIES[name](spark, sf_correctness)
+    assert_parity(df, projection.ORACLE[name], sf_correctness, name)
+
+
+def test_pca_topk_invariants(spark, sf_correctness):
+    """PCA-space ranking invariants (mirrors the reference's golden-output
+    checks, a2_ahuja_output.txt:14-56): per-query ascending distances,
+    exactly 3 neighbors per query, no self-matches."""
+    rows = projection.p03_pca_topk(spark, sf_correctness).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        assert [r["rk"] for r in rs] == [1, 2, 3]
+        dists = [r["dist"] for r in rs]
+        assert dists == sorted(dists), f"distances not ascending for {q_id}"
+        assert all(r["neighbor_id"] != q_id for r in rs)
+
+
+def test_pca_projection_contracts_distances(spark, sf_correctness):
+    """Projection onto an orthonormal basis never expands euclidean
+    distance: ‖P(x−y)‖ ≤ ‖x−y‖ in standardized space — the invariant
+    behind the reference's pre- vs post-PCA distance comparison
+    (a2_ahuja.py:296-319)."""
+    import numpy as np
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    rows = load_table(spark, sf_correctness, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    x = np.stack(list(vecs.values()))
+    mean, std = x.mean(axis=0), np.maximum(x.std(axis=0), 1e-9)
+    std_vecs = {k: (v - mean) / std for k, v in vecs.items()}
+
+    ranked = projection.p03_pca_topk(spark, sf_correctness).collect()
+    assert ranked
+    for r in ranked:
+        full = float(np.linalg.norm(std_vecs[r["q_id"]] - std_vecs[r["neighbor_id"]]))
+        assert r["dist"] <= full + 1e-3, (
+            f"projected dist {r['dist']} exceeds full-space dist {full}"
+        )
