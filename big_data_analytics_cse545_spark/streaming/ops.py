@@ -1,0 +1,216 @@
+"""Structured Streaming extension — tumbling/sliding/session windows,
+watermarks, streaming dedup over the events table.
+
+No reference counterpart (SURVEY §2.5 'streaming: absent' — the reference
+is batch-only); this is the north-star extension (BASELINE.json). Each
+query runs a real Structured Streaming job (``readStream`` → windowed
+aggregation → ``Trigger.AvailableNow`` → memory sink) and returns the
+materialized result as a batch DataFrame, so the driver's oracle compare
+exercises genuine streaming execution with batch-equivalent semantics
+(events.parquet is a single file → one micro-batch → watermarking drops
+nothing, making results deterministic and SQL-checkable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GAP_SECONDS = 600  # session gap (10 minutes)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of events with the same ns→µs truncation as the
+    batch loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts is LongType under nanosAsLong
+    # File-stream sources need a directory basePath; select the single
+    # events file out of the sf dir with a glob filter.
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_table(stream_df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+    """Execute with Trigger.AvailableNow into a memory sink; return the
+    materialized table."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# st01 — tumbling window aggregation + watermark
+# ---------------------------------------------------------------------------
+
+def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = _run_to_table(agg, spark, "st01_mem")
+    return (
+        out.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_ST01_SQL = """
+SELECT
+  strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)), '%Y-%m-%d %H:%M') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# st02 — sliding window aggregation
+# ---------------------------------------------------------------------------
+
+def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_table(agg, spark, "st02_mem")
+    return (
+        out.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+_ST02_SQL = """
+WITH starts AS (
+  SELECT unnest([
+    CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800,
+    CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+  ]) AS s
+  FROM events
+)
+SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M') AS window_start,
+       COUNT(*) AS n_events
+FROM starts GROUP BY s ORDER BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# st03 — session windows (gap-merged)
+# ---------------------------------------------------------------------------
+
+def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute gap; output = session
+    count + size histogram per user bucket (kept small and hash-stable).
+
+    Oracle: the classic gaps-and-islands rewrite — lag > gap starts a new
+    island; Spark's session_window merges identically.
+    """
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{GAP_SECONDS} seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_table(agg, spark, "st03_mem")
+    return (
+        out.groupBy(F.col("n_events").alias("session_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("session_size")
+    )
+
+
+_ST03_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {GAP_SECONDS}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, sid, COUNT(*) AS session_size FROM sessions GROUP BY user_id, sid
+)
+SELECT session_size,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM per_session GROUP BY session_size ORDER BY session_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# st04 — streaming dedup (dropDuplicates within the stream)
+# ---------------------------------------------------------------------------
+
+def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): the memory-sink
+    count per event_type equals the batch COUNT(DISTINCT user_id)."""
+    e = _events_stream(spark, sf_dir)
+    dedup = (
+        e.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+    out = _run_to_table(dedup, spark, "st04_mem")
+    return out.orderBy("event_type")
+
+
+_ST04_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "st01_tumbling_window": st01_tumbling_window,
+    "st02_sliding_window": st02_sliding_window,
+    "st03_session_window": st03_session_window,
+    "st04_streaming_dedup": st04_streaming_dedup,
+}
+
+ORACLE = {
+    "st01_tumbling_window": _ST01_SQL,
+    "st02_sliding_window": _ST02_SQL,
+    "st03_session_window": _ST03_SQL,
+    "st04_streaming_dedup": _ST04_SQL,
+}
