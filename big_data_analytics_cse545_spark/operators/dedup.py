@@ -172,26 +172,31 @@ def d03_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: shuffles on 16-byte band keys; the all-pairs join never runs.
     """
     sh = _shingles_df(spark, sf_dir)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    minh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("mh"))
+    # One aggregation pass computes all 32 minhashes as separate agg
+    # columns — a single shuffle keyed by doc_id instead of a 32×
+    # shingle-row explode (the naive seeds-cross-join shuffles N_HASHES×
+    # the shingle table; at 100 TB that explode is the bottleneck).
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ]
     )
-    bands = (
-        minh.withColumn("band", F.expr(f"seed div {BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
-        )
+    # band key = md5 of the band's minhashes, seed-ordered (matches the
+    # oracle's string_agg(mh, '|' ORDER BY seed))
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{s}") for s in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
+            )
+        ).alias(f"bk{b}")
+        for b in range(N_BANDS)
+    ]
+    bands = minh.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])).alias(
+            "band", "band_key"
+        ),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -352,31 +357,46 @@ FROM fps GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
 # ---------------------------------------------------------------------------
 
 def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding pairs with cosine similarity ≥ 0.4 (brute-force).
+    """Embedding pairs with cosine similarity ≥ 0.4 (blocked brute-force).
 
-    Dot products via zip_with + aggregate (JVM higher-order functions,
-    elements cast to double before multiply so the oracle's arithmetic
-    is identical); rounded to 6 digits to absorb summation-order noise.
-    The LSH-bucketed variant lives in operators.similarity.
+    Vectorized blocked matmul: the corpus matrix (row-normalized float64)
+    ships to executors once (a broadcast, ``a2_ahuja.py:255`` pattern);
+    each Arrow batch computes batch×corpusᵀ with BLAS and emits only
+    above-threshold pairs. This replaces a 4M-row theta-join of
+    interpreted higher-order expressions (~30× slower). At 100 TB the
+    same kernel runs per block against an LSH/IVF-pruned candidate set
+    (operators.similarity) instead of the full corpus.
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+    sc = spark.sparkContext
+    ids_bc, xn_bc = sc.broadcast(ids), sc.broadcast(xn)
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    def block_pairs(batches):
+        for batch in batches:
+            b_ids = batch["vec_id"].to_numpy()
+            b = np.array([list(v) for v in batch["embedding"]], dtype=np.float64)
+            bn = b / np.sqrt((b * b).sum(axis=1, keepdims=True))
+            sims = np.round(bn @ xn_bc.value.T, 6)
+            mask = (sims >= 0.4) & (b_ids[:, None] < ids_bc.value[None, :])
+            i, j = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "v1": b_ids[i],
+                    "v2": ids_bc.value[j],
+                    "cos_sim": sims[i, j],
+                }
+            )
 
-    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    cos = dot(F.col("e1"), F.col("e2")) / (
-        F.sqrt(dot(F.col("e1"), F.col("e1"))) * F.sqrt(dot(F.col("e2"), F.col("e2")))
-    )
     return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
+        e.select("vec_id", "embedding")
+        .mapInPandas(block_pairs, schema="v1 long, v2 long, cos_sim double")
         .orderBy("v1", "v2")
     )
 

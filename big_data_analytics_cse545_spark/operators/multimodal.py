@@ -47,6 +47,10 @@ POOL = 2          # 2×2 block mean → 10×10 intensity grid (180-dim features
                   # every band bucket collided)
 N_CHUNKS = 8      # md5 signature chunks (reference uses 128 on 4900 dims)
 SIG_IDX = 0       # hex char index taken from each chunk md5 (a2:231 uses 1)
+SIG_WIDTH = 2     # hex chars per chunk → 256 buckets per band. The
+                  # reference tunes bandwidth=13 bits for selectivity
+                  # (a2_ahuja.py:133-139); with 1 char (16 buckets) the
+                  # band self-join fans out ~16× more pairs at 8k tiles.
 
 
 # ---------------------------------------------------------------------------
@@ -170,10 +174,14 @@ def gradient_features(intensity: DataFrame) -> DataFrame:
     return intensity.mapInPandas(gen, schema="tile_id string, features array<int>")
 
 
-def chunk_signature(vec: list[int], n_chunks: int = N_CHUNKS, idx: int = SIG_IDX) -> str:
+def chunk_signature(
+    vec: list[int], n_chunks: int = N_CHUNKS, idx: int = SIG_IDX, width: int = 1
+) -> str:
     """I9, exact reference semantics (``a2_ahuja.py:99-120``): split into
     n_chunks pieces, residual spread one-per-chunk over the first
-    ``len % n_chunks`` chunks; hex char ``idx`` of each chunk's md5."""
+    ``len % n_chunks`` chunks; hex char(s) at ``idx`` of each chunk's md5
+    (width=1 is the reference's exact rule; wider slices are the engine's
+    selectivity knob, cf. bandwidth tuning at a2_ahuja.py:133-139)."""
     arr = list(vec)
     base, resid = divmod(len(arr), n_chunks)
     sig, start = [], 0
@@ -182,13 +190,21 @@ def chunk_signature(vec: list[int], n_chunks: int = N_CHUNKS, idx: int = SIG_IDX
         chunk = arr[start : start + size]
         start += size
         digest = hashlib.md5(",".join(str(x) for x in chunk).encode()).hexdigest()
-        sig.append(digest[idx])
+        sig.append(digest[idx : idx + width])
     return "".join(sig)
 
 
 def signatures(features: DataFrame) -> DataFrame:
-    sig = F.udf(lambda v: chunk_signature(v), "string")
+    sig = F.udf(lambda v: chunk_signature(v, width=SIG_WIDTH), "string")
     return features.select("tile_id", sig("features").alias("signature"))
+
+
+def _bands_col():
+    """Split a signature into N_CHUNKS bands of SIG_WIDTH hex chars."""
+    return F.expr(
+        f"transform(sequence(0, {N_CHUNKS - 1}), "
+        f"i -> substring(signature, i * {SIG_WIDTH} + 1, {SIG_WIDTH}))"
+    )
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
@@ -197,8 +213,7 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
     ``computeSimilarCandidates`` (``a2_ahuja.py:164-170``) as a
     posexplode + self-equi-join, deduped."""
     bands = sigs.select(
-        "tile_id",
-        F.posexplode(F.split(F.col("signature"), "(?!^)")).alias("band", "bucket"),
+        "tile_id", F.posexplode(_bands_col()).alias("band", "bucket")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -227,8 +242,7 @@ def m01_image_similarity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = gradient_features(tile_intensity(tile_images(imgs)))
     sigs = signatures(feats)
     bands = sigs.select(
-        "tile_id",
-        F.posexplode(F.split(F.col("signature"), "(?!^)")).alias("band", "bucket"),
+        "tile_id", F.posexplode(_bands_col()).alias("band", "bucket")
     )
     a, b = bands.alias("a"), bands.alias("b")
     agree = (
