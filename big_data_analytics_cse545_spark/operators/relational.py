@@ -704,6 +704,160 @@ ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# q18 — as-of join (engine extension; SURVEY §2.5 'as-of: absent')
+# ---------------------------------------------------------------------------
+
+def q18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it.
+
+    Scalable one-pass form: union both event streams, order within user
+    by (ts, kind) and carry the last click forward with last(ignorenulls)
+    — a single sort-merge pass instead of a range self-join that
+    re-scans clicks per purchase. Clicks are deduped per (user, ts)
+    keeping the max event_id so tie semantics are engine-independent.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    unioned = clicks.select(
+        "user_id", "ts", F.lit(0).alias("is_purchase"), "click_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionAll(
+        purchases.select(
+            "user_id", "ts", F.lit(1).alias("is_purchase"),
+            F.lit(None).cast("long").alias("click_id"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "asof_click", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "asof_click_ts",
+        F.last(
+            F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("purchase_id"),
+            "user_id",
+            F.col("asof_click").alias("click_id"),
+            (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+_Q18_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — range (interval) join (engine extension)
+# ---------------------------------------------------------------------------
+
+def q19_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 24h after the same user's signup.
+
+    Equi-join on user_id plus a range predicate — Catalyst plans the
+    equi part as a hash/sort-merge join and applies the range as a
+    post-filter, so the shuffle stays keyed (no cross product). Output
+    aggregated per user so the result is small at every scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS")),
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("min_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q19_SQL = """
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, ts AS s_ts
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       COUNT(*) AS n_pairs,
+       MIN(epoch_us(p_ts) - epoch_us(s_ts)) AS min_gap_us
+FROM s JOIN p
+  ON user_id = p_user
+ AND p_ts > s_ts
+ AND p_ts <= s_ts + INTERVAL 24 HOURS
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — approximate distinct (HLL sketch) — rows-only (sketches differ
+# between engines by design; accuracy pinned in tests/test_plans.py)
+# ---------------------------------------------------------------------------
+
+def q20_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count per
+    event_type — the sketch the reference's md5-signature funnel
+    approximates by hand (SURVEY §2.5 'approx/sketch ops')."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -722,6 +876,9 @@ QUERIES = {
     "q15_json_extract": q15_json_extract,
     "q16_above_avg_lineitems": q16_above_avg_lineitems,
     "q17_grouping_sets": q17_grouping_sets,
+    "q18_asof_join": q18_asof_join,
+    "q19_range_join": q19_range_join,
+    "q20_approx_distinct": q20_approx_distinct,
 }
 
 ORACLE = {
@@ -742,4 +899,6 @@ ORACLE = {
     "q15_json_extract": _Q15_SQL,
     "q16_above_avg_lineitems": _Q16_SQL,
     "q17_grouping_sets": _Q17_SQL,
+    "q18_asof_join": _Q18_SQL,
+    "q19_range_join": _Q19_SQL,
 }

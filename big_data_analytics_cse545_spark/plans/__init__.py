@@ -1,0 +1,15 @@
+from big_data_analytics_cse545_spark.plans.explain import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+    wholestage_codegen_spans,
+)
+
+__all__ = [
+    "explain_str",
+    "has_broadcast_join",
+    "pushed_filters",
+    "scan_read_schema",
+    "wholestage_codegen_spans",
+]

@@ -1,0 +1,58 @@
+"""Plan-quality gates — the 100 TB readiness checks (SURVEY §4.2).
+
+Correctness tests prove the engine computes the right answer; these prove
+Catalyst produces the plan that survives a 1000-executor, 100 TB run:
+filters reach the parquet scan, unused columns are never read, small dims
+broadcast, hot paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from big_data_analytics_cse545_spark.operators import relational
+from big_data_analytics_cse545_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+    wholestage_codegen_spans,
+)
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_correctness):
+    df = relational.q01_pricing_summary(spark, sf_correctness)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, f"shipdate filter not pushed: {filters}"
+
+
+def test_q01_column_pruning(spark, sf_correctness):
+    df = relational.q01_pricing_summary(spark, sf_correctness)
+    schemas = scan_read_schema(df)
+    assert schemas, "no scan found"
+    # 11-column lineitem: the scan must read only the 7 referenced columns
+    assert all("l_orderkey" not in s and "l_partkey" not in s for s in schemas), (
+        f"unreferenced columns read: {schemas}"
+    )
+
+
+def test_q02_small_dims_broadcast(spark, sf_correctness):
+    df = relational.q02_revenue_by_nation(spark, sf_correctness)
+    assert has_broadcast_join(df), "nation/region should broadcast, not shuffle"
+
+
+def test_q12_inlist_pushdown(spark, sf_correctness):
+    df = relational.q12_inlist_filter(spark, sf_correctness)
+    filters = " ".join(pushed_filters(df))
+    assert "p_type" in filters and "p_size" in filters
+
+
+def test_q01_wholestage_codegen(spark, sf_correctness):
+    df = relational.q01_pricing_summary(spark, sf_correctness)
+    assert wholestage_codegen_spans(df) >= 1, "hot path left codegen"
+
+
+def test_q20_approx_distinct_accuracy(spark, sf_correctness):
+    """HLL++ at rsd=2% must land within 5% of exact."""
+    rows = relational.q20_approx_distinct(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert err <= 0.05, f"{r['event_type']}: approx off by {err:.1%}"

@@ -11,6 +11,9 @@ from tests.oracle_utils import assert_parity
 @pytest.mark.parametrize("name", sorted(relational.QUERIES))
 def test_relational_oracle_parity(spark, sf_correctness, name):
     df = relational.QUERIES[name](spark, sf_correctness)
+    if name not in relational.ORACLE:  # rows-only queries (e.g. sketches)
+        assert df.count() > 0
+        return
     assert_parity(df, relational.ORACLE[name], sf_correctness, name)
 
 
