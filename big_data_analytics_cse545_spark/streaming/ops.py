@@ -201,11 +201,73 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# st05 — custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def st05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event counts
+    kept in GroupState (applyInPandasWithState), reduced to a session-
+    size histogram.
+
+    This is the engine's escape hatch for stateful semantics Spark's
+    built-in windows can't express (SURVEY §7 'streaming extension');
+    with AvailableNow over one file the final state equals the batch
+    group-count, giving an exact oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    e = _events_stream(spark, sf_dir)
+
+    def count_events(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counts = e.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        "user_id long, n_events long",
+        "n_events long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        counts.writeStream.format("memory")
+        .queryName("st05_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    # update-mode memory sink appends one row per state update; the last
+    # update per user is the final count — take max (counts only grow).
+    return (
+        spark.table("st05_mem")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("n_events")
+    )
+
+
+_ST05_SQL = """
+SELECT n_events, COUNT(*) AS n_users
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+GROUP BY n_events ORDER BY n_events
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
     "st03_session_window": st03_session_window,
     "st04_streaming_dedup": st04_streaming_dedup,
+    "st05_stateful_user_counts": st05_stateful_user_counts,
 }
 
 ORACLE = {
@@ -213,4 +275,5 @@ ORACLE = {
     "st02_sliding_window": _ST02_SQL,
     "st03_session_window": _ST03_SQL,
     "st04_streaming_dedup": _ST04_SQL,
+    "st05_stateful_user_counts": _ST05_SQL,
 }

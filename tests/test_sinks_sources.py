@@ -1,0 +1,66 @@
+"""Sources/sinks round-trips — the reference only prints to the driver
+(SURVEY §2.5 'sinks: print-only'); the engine writes real columnar/text
+outputs and reads every format Spark supports natively."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark.operators import relational
+from big_data_analytics_cse545_spark.sources import load_table
+
+
+def test_parquet_sink_roundtrip(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "q01_out")
+    df = relational.q01_pricing_summary(spark, sf_smoke)
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_partitioned_parquet_sink(spark, sf_smoke, tmp_path):
+    """partitionBy writes the layout a 100 TB table needs — partition
+    pruning then skips directories entirely."""
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, sf_smoke, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    assert sorted(p for p in os.listdir(out) if p.startswith("o_orderstatus=")) == [
+        "o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P",
+    ]
+    pruned = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    exact = o.filter(F.col("o_orderstatus") == "O").count()
+    assert pruned.count() == exact
+
+
+def test_csv_and_json_roundtrip(spark, sf_smoke, tmp_path):
+    df = load_table(spark, sf_smoke, "nation")
+    csv_out = str(tmp_path / "nation_csv")
+    json_out = str(tmp_path / "nation_json")
+    df.write.mode("overwrite").option("header", True).csv(csv_out)
+    df.write.mode("overwrite").json(json_out)
+    csv_back = (
+        spark.read.option("header", True).option("inferSchema", True).csv(csv_out)
+    )
+    json_back = spark.read.json(json_out)
+    assert csv_back.count() == df.count() == json_back.count()
+    assert {r["n_name"] for r in csv_back.collect()} == {
+        r["n_name"] for r in df.collect()
+    }
+
+
+def test_text_wholetext_and_binary_sources(spark, tmp_path):
+    """R8/R9/I1 source family: text, wholetext, binaryFile."""
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("hello world\nsecond line")
+    (p / "b.txt").write_text("third line")
+    lines = spark.read.text(str(p))
+    assert lines.count() == 3
+    whole = spark.read.text(str(p), wholetext=True)
+    assert whole.count() == 2
+    binary = spark.read.format("binaryFile").load(str(p))
+    rows = {os.path.basename(r["path"]): r["content"] for r in binary.collect()}
+    assert rows["a.txt"] == b"hello world\nsecond line"
+    assert rows["b.txt"] == b"third line"
