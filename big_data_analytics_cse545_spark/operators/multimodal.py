@@ -259,8 +259,86 @@ def m01_image_similarity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agree.orderBy("t1", "t2")
 
 
+# ---------------------------------------------------------------------------
+# frame sampling (video-shaped payloads)
+# ---------------------------------------------------------------------------
+
+def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
+    """Sample every k-th frame from a video-shaped binary payload
+    (n_frames × H × W × C uint8): 1→⌈n/k⌉ row fan-out with typed frame
+    metadata. The decode is the same stubbed reshape as images
+    (real containers would demux with pyav/ffmpeg — not in this
+    container); partitioning, batch shape and fan-out are real.
+
+    Input schema: (video_id string, content binary, n_frames int,
+    width int, height int, channels int).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            vids, frames, payloads = [], [], []
+            for _, row in batch.iterrows():
+                frame_sz = row["width"] * row["height"] * row["channels"]
+                arr = np.frombuffer(row["content"], dtype=np.uint8)
+                if arr.size != frame_sz * row["n_frames"]:
+                    raise ValueError("payload/metadata mismatch")
+                for f in range(0, int(row["n_frames"]), every_k):
+                    vids.append(row["video_id"])
+                    frames.append(f)
+                    payloads.append(arr[f * frame_sz : (f + 1) * frame_sz].tobytes())
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_no": frames, "frame": payloads}
+            )
+
+    return videos.mapInPandas(
+        gen, schema="video_id string, frame_no int, frame binary"
+    )
+
+
+def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize 8-frame videos (one per 50 embeddings ids), sample every
+    4th frame, fingerprint each sampled frame — the video-modality
+    plumbing demo (rows-only)."""
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").cast("long").alias("base_id"))
+    )
+    n_frames = 8
+
+    def make_videos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for base_id in batch["base_id"]:
+                rng = np.random.default_rng(int(base_id) + 5_000_000)
+                vid = rng.integers(
+                    0, 256, size=(n_frames, H, W, CHANNELS), dtype=np.uint8
+                )
+                out.append(vid.tobytes())
+            yield pd.DataFrame(
+                {
+                    "video_id": "vid" + batch["base_id"].astype(str),
+                    "content": out,
+                    "n_frames": n_frames,
+                    "width": W,
+                    "height": H,
+                    "channels": CHANNELS,
+                }
+            )
+
+    videos = ids.mapInPandas(
+        make_videos,
+        schema="video_id string, content binary, n_frames int, width int, height int, channels int",
+    )
+    frames = frame_sample(videos, every_k=4)
+    return frames.select(
+        "video_id", "frame_no", F.md5(F.col("frame")).alias("frame_md5")
+    ).orderBy("video_id", "frame_no")
+
+
 QUERIES = {
     "m01_image_similarity_funnel": m01_image_similarity_funnel,
+    "m02_video_frame_sample": m02_video_frame_sample,
 }
 
 # No SQL oracle: binary tensors + md5-of-int-list are not expressible in

@@ -78,3 +78,20 @@ def test_intensity_matches_numpy_reference(spark, sf_smoke):
         inten = t[:, :, :3].mean(axis=2) * (t[:, :, 3].astype(np.float64) / 100.0)
         pooled = inten.reshape(n, mm.POOL, n, mm.POOL).mean(axis=(1, 3))
         assert np.allclose(got[tile_id], pooled.ravel())
+
+
+def test_video_frame_sampling(spark, sf_smoke):
+    """m02: 8-frame videos sampled every 4th frame → frames 0 and 4 per
+    video, deterministic fingerprints."""
+    rows = mm.m02_video_frame_sample(spark, sf_smoke).collect()
+    by_vid: dict[str, list] = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r["frame_no"])
+    assert by_vid, "no videos sampled"
+    for vid, frames in by_vid.items():
+        assert sorted(frames) == [0, 4], f"{vid}: {frames}"
+    again = {
+        (r["video_id"], r["frame_no"]): r["frame_md5"]
+        for r in mm.m02_video_frame_sample(spark, sf_smoke).collect()
+    }
+    assert all(again[(r["video_id"], r["frame_no"])] == r["frame_md5"] for r in rows)
