@@ -216,10 +216,59 @@ def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# p04 — MLlib PCA (the idiomatic alternative to p03's hand funnel)
+# ---------------------------------------------------------------------------
+
+def p04_pca_mllib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same funnel as p03 on pyspark.ml: StandardScaler → PCA(k=3) →
+    per-query euclidean top-3 (SURVEY §7 step 4: 'next to pyspark.ml.PCA
+    as the idiomatic alternative'). The PCA basis is sign/rotation-
+    ambiguous, but distances in the subspace are not — p03 and p04 must
+    rank identically (pinned in tests)."""
+    from pyspark.ml.feature import PCA, StandardScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    scaler = StandardScaler(
+        inputCol="v", outputCol="scaled", withMean=True, withStd=True
+    ).fit(e)
+    scaled = scaler.transform(e)
+    pca = PCA(k=PCA_K, inputCol="scaled", outputCol="pcs").fit(scaled)
+    projected = pca.transform(scaled).select(
+        "vec_id", vector_to_array("pcs").alias("pcs")
+    ).select(
+        "vec_id",
+        *[F.round(F.element_at("pcs", p + 1), 6).alias(f"pc{p}") for p in range(PCA_K)],
+    )
+    q = projected.select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"pc{p}").alias(f"qpc{p}") for p in range(PCA_K)],
+    ).filter(F.col("q_id") % QUERY_MOD == 0)
+    dist = F.round(
+        F.sqrt(
+            sum((F.col(f"qpc{p}") - F.col(f"pc{p}")) ** 2 for p in range(PCA_K))
+        ),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist"), F.col("vec_id"))
+    return (
+        q.join(projected, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "dist")
+        .orderBy("q_id", "rk")
+    )
+
+
 QUERIES = {
     "p01_dim_stats": p01_dim_stats,
     "p02_random_projection": p02_random_projection,
     "p03_pca_topk": p03_pca_topk,
+    "p04_pca_mllib_topk": p04_pca_mllib_topk,
 }
 
 ORACLE = {

@@ -52,3 +52,23 @@ def test_pca_projection_contracts_distances(spark, sf_correctness):
         assert r["dist"] <= full + 1e-3, (
             f"projected dist {r['dist']} exceeds full-space dist {full}"
         )
+
+
+def test_mllib_pca_ranks_like_hand_funnel(spark, sf_correctness):
+    """p03 (hand funnel: partial Gram + driver SVD) and p04 (pyspark.ml
+    StandardScaler+PCA) must produce the same neighbor rankings — the PCA
+    subspace is unique when eigenvalues are distinct, so subspace
+    distances agree even though the basis is sign/rotation-ambiguous."""
+    hand = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in projection.p03_pca_topk(spark, sf_correctness).collect()
+    }
+    ml = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in projection.QUERIES["p04_pca_mllib_topk"](
+            spark, sf_correctness
+        ).collect()
+    }
+    assert hand.keys() == ml.keys()
+    agree = sum(1 for k in hand if hand[k] == ml[k])
+    assert agree / len(hand) >= 0.8, f"rank agreement {agree}/{len(hand)}"
