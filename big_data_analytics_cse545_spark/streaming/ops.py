@@ -218,6 +218,11 @@ def st05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Each state partition costs a state-store instance + a Python worker
+    # round; with O(1k) users a handful of partitions beats the session
+    # default. (Runtime conf; restored after the run.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     e = _events_stream(spark, sf_dir)
 
     def count_events(key, pdfs, state: GroupState):
@@ -243,6 +248,7 @@ def st05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination(120)
     query.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update-mode memory sink appends one row per state update; the last
     # update per user is the final count — take max (counts only grow).
     return (
