@@ -858,6 +858,70 @@ def q20_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q21 — NULL semantics (aggs skip nulls, null group keys, null-safe join)
+# ---------------------------------------------------------------------------
+
+def q21_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL edge semantics pinned against the oracle: aggregates skip
+    nulls, COUNT(*) does not, null grouping keys form their own group,
+    and the null-safe equality join (<=>) matches null to null.
+
+    Nulls are synthesized (the fixture has none): c_acctbal is nulled for
+    every third customer, the nation key for every fifth.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    with_nulls = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("c_custkey") % 5 != 0, F.col("c_nationkey")).alias("nkey"),
+        "c_mktsegment",
+    )
+    nkey_totals = (
+        with_nulls.groupBy(F.col("nkey").alias("t_nkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("bal").alias("n_bal"),
+            _dsum(F.col("bal")).alias("sum_bal"),
+        )
+    )
+    # null-safe self-join: every row pairs with its own nkey group total,
+    # including the NULL group (plain equality would drop those rows)
+    return (
+        with_nulls.join(nkey_totals, F.col("nkey").eqNullSafe(F.col("t_nkey")))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.countDistinct("t_nkey").alias("n_keys_nonnull"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q21_SQL = """
+WITH with_nulls AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal END AS bal,
+         CASE WHEN c_custkey % 5 <> 0 THEN c_nationkey END AS nkey,
+         c_mktsegment
+  FROM customer
+),
+nkey_totals AS (
+  SELECT nkey,
+         COUNT(*) AS n_rows,
+         COUNT(bal) AS n_bal,
+         CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+  FROM with_nulls GROUP BY nkey
+)
+SELECT w.c_mktsegment,
+       COUNT(*) AS n_matched,
+       COUNT(DISTINCT t.nkey) AS n_keys_nonnull
+FROM with_nulls w JOIN nkey_totals t ON w.nkey IS NOT DISTINCT FROM t.nkey
+GROUP BY w.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -879,6 +943,7 @@ QUERIES = {
     "q18_asof_join": q18_asof_join,
     "q19_range_join": q19_range_join,
     "q20_approx_distinct": q20_approx_distinct,
+    "q21_null_semantics": q21_null_semantics,
 }
 
 ORACLE = {
@@ -901,4 +966,5 @@ ORACLE = {
     "q17_grouping_sets": _Q17_SQL,
     "q18_asof_join": _Q18_SQL,
     "q19_range_join": _Q19_SQL,
+    "q21_null_semantics": _Q21_SQL,
 }

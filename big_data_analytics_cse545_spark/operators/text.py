@@ -358,6 +358,90 @@ FROM toks ORDER BY doc_id LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# t09 — pseudo-XML record extraction (R10/R11, the a1p2b parser)
+# ---------------------------------------------------------------------------
+
+def t09_pseudo_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant pseudo-XML record extraction — the a1p2b blog parser
+    (``a1p2b_ahuja.py:20-61``: hand-rolled scanner pairing each <date>
+    with the following <post>) as JVM expressions.
+
+    The corpus is synthesized in-query (documents have no XML): each doc
+    becomes '<date>DD,Month,YYYY</date><post>text…</post>' blocks with a
+    deterministic date derived from doc_id. Extraction is
+    regexp_extract_all × 2 + arrays_zip + explode (UDTF-shape fan-out,
+    no Python), then the reference's date normalization
+    (``a1p2b_ahuja.py:45-46``) with real date types, and posts-per-month
+    counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # deterministic synthetic date: month/day from doc_id
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<date>"),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            F.lit(",January,2024</date><post>"),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("</post><date>"),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            F.lit(",February,2024</date><post>"),
+            F.substring(F.col("text"), 41, 40),
+            F.lit("</post>"),
+        ).alias("raw_xml"),
+    )
+    extracted = raw.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr(r"regexp_extract_all(raw_xml, '<date>([^<]*)</date>', 1)").alias("d"),
+                F.expr(r"regexp_extract_all(raw_xml, '<post>([^<]*)</post>', 1)").alias("p"),
+            )
+        ).alias("rec"),
+    ).select(
+        "doc_id",
+        F.col("rec.d").alias("date_str"),
+        F.col("rec.p").alias("post"),
+    )
+    ym = F.date_format(F.to_date(F.col("date_str"), "dd,MMMM,yyyy"), "yyyy-MM")
+    return (
+        extracted.filter(F.length("post") > 0)
+        .select(ym.alias("year_month"), "post")
+        .groupBy("year_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_posts"),
+            F.sum(F.length("post")).alias("total_chars"),
+        )
+        .orderBy("year_month")
+    )
+
+
+_T09_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         '<date>' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+         || ',January,2024</date><post>' || substring(text, 1, 40)
+         || '</post><date>' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+         || ',February,2024</date><post>' || substring(text, 41, 40)
+         || '</post>' AS raw_xml
+  FROM documents
+),
+recs AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(raw_xml, '<date>([^<]*)</date>', 1)) AS date_str,
+         unnest(regexp_extract_all(raw_xml, '<post>([^<]*)</post>', 1)) AS post
+  FROM raw
+)
+SELECT strftime(strptime(date_str, '%d,%B,%Y'), '%Y-%m') AS year_month,
+       COUNT(*) AS n_posts,
+       CAST(SUM(length(post)) AS BIGINT) AS total_chars
+FROM recs
+WHERE length(post) > 0
+GROUP BY 1 ORDER BY year_month
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -367,6 +451,7 @@ QUERIES = {
     "t06_quality_score": t06_quality_score,
     "t07_token_count": t07_token_count,
     "t08_fingerprint": t08_fingerprint,
+    "t09_pseudo_xml_extract": t09_pseudo_xml_extract,
 }
 
 ORACLE = {
@@ -378,4 +463,5 @@ ORACLE = {
     "t06_quality_score": _T06_SQL,
     "t07_token_count": _T07_SQL,
     "t08_fingerprint": _T08_SQL,
+    "t09_pseudo_xml_extract": _T09_SQL,
 }
