@@ -922,6 +922,142 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# q22 — retention cohorts (event analytics over the star's time axis)
+# ---------------------------------------------------------------------------
+
+def q22_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily signup cohorts × activity-day offsets: for each signup-day
+    cohort, how many of its users were active N days later.
+
+    One self-join keyed on user_id (AQE picks broadcast for the small
+    cohort side) + date arithmetic; the classic retention matrix.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohorts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("act_day")).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .withColumn("day_offset", F.datediff("act_day", "cohort_day"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
+_Q22_SQL = """
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(act_day - cohort_day AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM cohorts c JOIN activity a USING (user_id)
+WHERE act_day - cohort_day BETWEEN 0 AND 7
+GROUP BY 1, 2
+ORDER BY cohort, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — ordered funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+def q23_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users whose first view precedes their first
+    click precedes their first purchase. One pass: conditional min-ts
+    aggregation per user (no self-joins), then ordering predicates —
+    the shape that stays a single shuffle at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_buy")),
+            "full_funnel",
+        )
+        .when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_view") < F.col("t_click")),
+            "view_click",
+        )
+        .when(F.col("t_view").isNotNull(), "view_only")
+        .otherwise("no_view")
+    )
+    return (
+        firsts.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+_Q23_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CASE
+         WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+              AND t_view < t_click AND t_click < t_buy THEN 'full_funnel'
+         WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_view < t_click THEN 'view_click'
+         WHEN t_view IS NOT NULL THEN 'view_only'
+         ELSE 'no_view'
+       END AS funnel_stage,
+       COUNT(*) AS n_users
+FROM firsts GROUP BY 1 ORDER BY funnel_stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24 — exact percentiles (sort-based, deterministic)
+# ---------------------------------------------------------------------------
+
+def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order totals per status — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition, so values match to rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_Q24_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -944,6 +1080,9 @@ QUERIES = {
     "q19_range_join": q19_range_join,
     "q20_approx_distinct": q20_approx_distinct,
     "q21_null_semantics": q21_null_semantics,
+    "q22_retention_cohorts": q22_retention_cohorts,
+    "q23_event_funnel": q23_event_funnel,
+    "q24_percentiles": q24_percentiles,
 }
 
 ORACLE = {
@@ -967,4 +1106,7 @@ ORACLE = {
     "q18_asof_join": _Q18_SQL,
     "q19_range_join": _Q19_SQL,
     "q21_null_semantics": _Q21_SQL,
+    "q22_retention_cohorts": _Q22_SQL,
+    "q23_event_funnel": _Q23_SQL,
+    "q24_percentiles": _Q24_SQL,
 }
