@@ -1058,6 +1058,56 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# q25 — RANGE window frames (interval-based moving aggregates)
+# ---------------------------------------------------------------------------
+
+def q25_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day trailing spend per customer order — a RANGE frame over the
+    date axis (vs q07's ROWS frame): every order aggregates all orders of
+    the same customer within the preceding 30 days, regardless of how
+    many rows that is. Expressed in SQL (range frames with intervals are
+    SQL-only surface in Spark).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q25")
+    return spark.sql(
+        """
+        SELECT
+          o_custkey,
+          o_orderkey,
+          date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+          ) AS DOUBLE) AS spend_30d,
+          COUNT(*) OVER (
+            PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+          ) AS n_orders_30d
+        FROM orders_q25
+        ORDER BY o_custkey, order_date, o_orderkey
+        """
+    )
+
+
+_Q25_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS spend_30d,
+  COUNT(*) OVER (
+    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+  ) AS n_orders_30d
+FROM orders
+ORDER BY o_custkey, order_date, o_orderkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1083,6 +1133,7 @@ QUERIES = {
     "q22_retention_cohorts": q22_retention_cohorts,
     "q23_event_funnel": q23_event_funnel,
     "q24_percentiles": q24_percentiles,
+    "q25_range_frame": q25_range_frame,
 }
 
 ORACLE = {
@@ -1109,4 +1160,5 @@ ORACLE = {
     "q22_retention_cohorts": _Q22_SQL,
     "q23_event_funnel": _Q23_SQL,
     "q24_percentiles": _Q24_SQL,
+    "q25_range_frame": _Q25_SQL,
 }

@@ -263,10 +263,48 @@ ORDER BY q_id, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# s04 — MLlib BucketedRandomProjectionLSH (idiomatic alternative to s02)
+# ---------------------------------------------------------------------------
+
+def s04_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via pyspark.ml BucketedRandomProjectionLSH approxSimilarityJoin
+    — the library spelling of the s02 funnel (SURVEY §2.5 'approx/sketch
+    ops': MinHashLSH / BucketedRandomProjectionLSH). Euclidean-distance
+    pairs under a threshold for the query set; seeded, but the hash
+    family is JVM-random per seed, so the driver check is rows-only —
+    recall vs the exact baseline is pinned in tests.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=6, seed=42
+    ).fit(e)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    # threshold ≈ the lower tail of the pairwise-distance distribution
+    # (embedding norms are ~1, random pairs sit near √2·norm) so the join
+    # returns genuine near neighbors, not the whole corpus
+    joined = lsh.approxSimilarityJoin(q, e, threshold=1.3, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy("q_id", "dist", "neighbor_id")
+    )
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_hyperplane_lsh": s02_ann_hyperplane_lsh,
     "s03_ann_ivf": s03_ann_ivf,
+    "s04_brp_lsh_mllib": s04_brp_lsh_mllib,
 }
 
 ORACLE = {

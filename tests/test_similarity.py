@@ -11,6 +11,9 @@ from tests.oracle_utils import assert_parity
 @pytest.mark.parametrize("name", sorted(similarity.QUERIES))
 def test_similarity_oracle_parity(spark, sf_correctness, name):
     df = similarity.QUERIES[name](spark, sf_correctness)
+    if name not in similarity.ORACLE:  # rows-only (e.g. MLlib LSH)
+        assert df.count() > 0
+        return
     assert_parity(df, similarity.ORACLE[name], sf_correctness, name)
 
 
@@ -33,3 +36,24 @@ def test_ivf_finds_exact_top1_mostly(spark, sf_correctness):
     assert hits / len(exact) >= 0.5, (
         f"IVF recall@1 too low: {hits}/{len(exact)}"
     )
+
+
+def test_brp_lsh_recalls_exact_euclidean_top1(spark, sf_correctness):
+    """MLlib BucketedRandomProjectionLSH candidates must contain the exact
+    euclidean nearest neighbor for most queries."""
+    import numpy as np
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    rows = load_table(spark, sf_correctness, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    ids = sorted(vecs)
+    exact_top1 = {}
+    for q in (i for i in ids if i % similarity.QUERY_MOD == 0):
+        dists = [(np.linalg.norm(vecs[q] - vecs[j]), j) for j in ids if j != q]
+        exact_top1[q] = min(dists)[1]
+    cands: dict[int, set] = {}
+    for r in similarity.QUERIES["s04_brp_lsh_mllib"](spark, sf_correctness).collect():
+        cands.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in exact_top1.items() if n in cands.get(q, set()))
+    assert hits / len(exact_top1) >= 0.6, f"recall {hits}/{len(exact_top1)}"

@@ -1,0 +1,64 @@
+"""Streaming file sink + foreachBatch — the durable-output half of the
+streaming story (memory sinks in streaming/ops.py are for the oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark.streaming.ops import _events_stream
+
+
+def test_streaming_parquet_sink_with_checkpoint(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    e = _events_stream(spark, sf_smoke)
+    q = (
+        e.select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == 1000  # sf0.001 events rows
+    # restart with the same checkpoint: no new data → no duplicates
+    q2 = (
+        e.select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    assert spark.read.parquet(out).count() == 1000, "checkpoint replayed data"
+
+
+def test_foreach_batch_sink(spark, sf_smoke, tmp_path):
+    """foreachBatch: arbitrary batch-side sink logic per micro-batch."""
+    out = str(tmp_path / "fb_out")
+    e = _events_stream(spark, sf_smoke)
+    agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    result = spark.read.parquet(out)
+    assert result.count() == 5  # five event types
+    assert sum(r["n"] for r in result.collect()) == 1000
