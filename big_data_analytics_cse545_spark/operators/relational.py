@@ -1108,6 +1108,103 @@ ORDER BY o_custkey, order_date, o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q26 — pivot (wide event-type counts per day)
+# ---------------------------------------------------------------------------
+
+def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type — the
+    DataFrame ``pivot`` with an explicit value list (explicit lists keep
+    the plan one-pass; an unlisted pivot needs an extra distinct scan)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+_Q26_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY 1 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — time-series gap fill with carry-forward (resample semantics)
+# ---------------------------------------------------------------------------
+
+def q27_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's daily purchase total onto a dense daily
+    grid, carrying the last observation forward — the hypertable-
+    resample shape: sequence() generates the grid (no driver loop),
+    last(ignorenulls) over an ordered window fills gaps.
+
+    Kept to user_id < 10 so the output stays result-sized at any SF.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 10))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("spend"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+            F.last("spend", ignorenulls=True).over(w).alias("spend_ffill"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_Q27_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS spend
+  FROM events
+  WHERE event_type = 'purchase' AND user_id < 10
+  GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT g.user_id,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       COALESCE(d.spend, 0.0) AS spend,
+       last_value(d.spend IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_ffill
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+ORDER BY g.user_id, day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1134,6 +1231,8 @@ QUERIES = {
     "q23_event_funnel": q23_event_funnel,
     "q24_percentiles": q24_percentiles,
     "q25_range_frame": q25_range_frame,
+    "q26_pivot": q26_pivot,
+    "q27_gap_fill": q27_gap_fill,
 }
 
 ORACLE = {
@@ -1161,4 +1260,6 @@ ORACLE = {
     "q23_event_funnel": _Q23_SQL,
     "q24_percentiles": _Q24_SQL,
     "q25_range_frame": _Q25_SQL,
+    "q26_pivot": _Q26_SQL,
+    "q27_gap_fill": _Q27_SQL,
 }
