@@ -375,21 +375,23 @@ def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-    sc = spark.sparkContext
-    ids_bc, xn_bc = sc.broadcast(ids), sc.broadcast(xn)
+    # The corpus matrix ships inside the UDF closure (1 MB at sf0.1) —
+    # works on classic and Connect sessions alike; on a real cluster with
+    # a large corpus, switch to sc.broadcast (same kernel, explicit
+    # broadcast handle) or pre-prune candidates with s02/s03 first.
 
     def block_pairs(batches):
         for batch in batches:
             b_ids = batch["vec_id"].to_numpy()
             b = np.array([list(v) for v in batch["embedding"]], dtype=np.float64)
             bn = b / np.sqrt((b * b).sum(axis=1, keepdims=True))
-            sims = np.round(bn @ xn_bc.value.T, 6)
-            mask = (sims >= 0.4) & (b_ids[:, None] < ids_bc.value[None, :])
+            sims = np.round(bn @ xn.T, 6)
+            mask = (sims >= 0.4) & (b_ids[:, None] < ids[None, :])
             i, j = np.nonzero(mask)
             yield pd.DataFrame(
                 {
                     "v1": b_ids[i],
-                    "v2": ids_bc.value[j],
+                    "v2": ids[j],
                     "cos_sim": sims[i, j],
                 }
             )
