@@ -1,0 +1,243 @@
+"""Public operator API — the engine's reusable surface over arbitrary
+DataFrames.
+
+The ``operators.*`` modules bind each capability to the synthetic fixture
+tables for the correctness driver; this module is the same machinery
+parameterized by (df, column) so a user can point it at their own data —
+the 'switch from the reference and run every query' contract
+(SURVEY §2.5: ``minhash_dedup(df, text_col)``, ``ann_join(df, emb_col, k)``).
+
+All functions return DataFrames (lazy, composable) and never collect
+except where the algorithm itself is driver-scale (documented per
+function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_analytics_cse545_spark.functions.text import TOKEN_SPLIT_RE
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
+    """Lowercase word tokens (the reference's tokenizer semantics,
+    a1p1_ahuja.py:184 / a1p2b_ahuja.py:68, normalized to one regex)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+    return df.withColumn(out_col, toks)
+
+
+def quality_score(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
+    """[0,1] quality from length / stopword share / mean token length
+    (operators.text.t06 semantics, reusable)."""
+    from big_data_analytics_cse545_spark.functions.text import (
+        stopword_count,
+        token_count,
+    )
+
+    toks = token_count(F.col(text_col))
+    mean_len = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")) / toks
+    stop_ratio = stopword_count(F.col(text_col)) / toks
+    q = (
+        F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.3
+        + F.least(mean_len / F.lit(6.0), F.lit(1.0)) * 0.2
+    )
+    return df.withColumn(out_col, q)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct (lowercased) text — survivor = min id.
+    One shuffle on a 16-byte md5 key; never shuffles the text itself."""
+    h = F.md5(F.lower(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 32,
+    band_rows: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate id pairs (id1 < id2, jaccard) via MinHash+LSH with
+    exact verification on candidates — operators.dedup.d03 generalized.
+    Returns columns (id1, id2, jaccard)."""
+    n_bands = n_hashes // band_rows
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+    shingles = F.expr(
+        f"CASE WHEN size(_ts) >= {shingle_size} THEN array_distinct(transform("
+        f"sequence(1, size(_ts) - {shingle_size - 1}), "
+        f"i -> concat_ws('_', {', '.join(f'element_at(_ts, i + {k})' for k in range(shingle_size))})"
+        ")) ELSE array() END"
+    )
+    sh = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_ts"))
+        .select("_id", F.explode(shingles).alias("_sh"))
+    )
+    minh = sh.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("_sh")))).alias(f"_mh{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"_mh{s}") for s in range(b * band_rows, (b + 1) * band_rows)]
+            )
+        ).alias(f"_bk{b}")
+        for b in range(n_bands)
+    ]
+    bands = minh.select("_id", *band_cols).select(
+        "_id",
+        F.posexplode(F.array(*[F.col(f"_bk{b}") for b in range(n_bands)])).alias(
+            "_band", "_key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    cnt = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    s1 = sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("_s1"))
+    s2 = sh.select(F.col("_id").alias("_bid2"), F.col("_sh").alias("_s2"))
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, (F.col("id2") == F.col("_bid2")) & (F.col("_s1") == F.col("_s2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    c1 = cnt.select(F.col("_id").alias("id1"), F.col("_n").alias("_n1"))
+    c2 = cnt.select(F.col("_id").alias("id2"), F.col("_n").alias("_n2"))
+    jac = F.col("_inter") / (F.col("_n1") + F.col("_n2") - F.col("_inter"))
+    return (
+        inter.join(c1, "id1")
+        .join(c2, "id2")
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, **kwargs
+) -> DataFrame:
+    """Survivor rows after near-dup removal: from each duplicate pair the
+    higher id is dropped (transitively, via the pair list)."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash fingerprint column (md5-nibble bits, no UDF)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+    # per-token 64-bit value from md5 hex prefix (16 nibbles)
+    bit_votes = []
+    for j in range(64):
+        nib, shift = j // 4 + 1, 3 - (j % 4)
+        bit = (
+            f"CAST(floor((locate(substr(md5(t), {nib}, 1), '0123456789abcdef') - 1) "
+            f"/ {2 ** shift}) AS INT) % 2"
+        )
+        bit_votes.append(f"aggregate(_ts, 0L, (acc, t) -> acc + 2 * ({bit}) - 1) > 0")
+    # bitwise OR of shifted bits — a literal 2^63 would overflow the
+    # signed long, shiftleft wraps to the sign bit correctly
+    sim = " | ".join(
+        f"IF({v}, shiftleft(1L, {j}), 0L)" for j, v in enumerate(bit_votes)
+    )
+    return df.withColumn("_ts", toks).withColumn(
+        out_col, F.expr(sim).cast("long")
+    ).drop("_ts")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    method: str = "bruteforce",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors from ``corpus`` for every row of
+    ``queries`` → (q_id, neighbor_id, rk, cos_sim).
+
+    method='bruteforce' scores everything (exact; small corpora or
+    pre-pruned candidates); method='lsh' prunes to a shared
+    random-hyperplane bucket first (operators.similarity.s02 machinery).
+    """
+    from big_data_analytics_cse545_spark.functions.vectors import cosine, dot
+    import hashlib
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("_q_emb")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb"))
+    if method == "lsh":
+        def plane_sign(p: int, d: int) -> float:
+            nib = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16)
+            return 1.0 if nib % 2 == 0 else -1.0
+
+        dim = len(corpus.select(emb_col).first()[0])
+
+        def bucket(col):
+            b = F.lit(0)
+            for p in range(n_planes):
+                signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dim)])
+                b = b + F.when(dot(signs, col) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+            return b
+
+        q = q.withColumn("_qb", bucket(F.col("_q_emb")))
+        c = c.withColumn("_cb", bucket(F.col("_c_emb")))
+        joined = q.join(
+            c,
+            (F.col("_qb") == F.col("_cb")) & (F.col("q_id") != F.col("neighbor_id")),
+        )
+    else:
+        joined = q.join(c, F.col("q_id") != F.col("neighbor_id"))
+    cos = F.round(cosine(F.col("_q_emb"), F.col("_c_emb")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("q_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1,0 +1,78 @@
+"""Public API layer: same machinery as the fixture-bound queries, on
+arbitrary (df, column) inputs — cross-checked against the operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark import api
+from big_data_analytics_cse545_spark.operators import dedup, similarity
+from big_data_analytics_cse545_spark.sources import load_table
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "other text")],
+        ["id", "text"],
+    )
+    out = api.exact_dedup(df, "text", "id").collect()
+    assert {r["id"] for r in out} == {1, 3}
+
+
+def test_minhash_dedup_pairs_matches_operator(spark, sf_correctness):
+    """api.minhash_dedup_pairs with d03's parameters must find the same
+    pairs as the fixture-bound operator."""
+    d = load_table(spark, sf_correctness, "documents")
+    got = {
+        (r["id1"], r["id2"])
+        for r in api.minhash_dedup_pairs(
+            d, "text", "doc_id", n_hashes=32, band_rows=4, threshold=0.7
+        ).collect()
+    }
+    exp = {
+        (r["d1"], r["d2"])
+        for r in dedup.d03_minhash_lsh_dedup(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_minhash_dedup_drops_losers(spark, sf_correctness):
+    d = load_table(spark, sf_correctness, "documents")
+    pairs = api.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.7).collect()
+    survivors = api.minhash_dedup(d, "text", "doc_id", threshold=0.7)
+    surviving_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert len(surviving_ids) == d.count() - len({p["id2"] for p in pairs})
+    assert all(p["id2"] not in surviving_ids for p in pairs)
+
+
+def test_simhash64_deterministic_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [(1, "spark join filter window stream"), (2, "spark join filter window stream"),
+         (3, "completely different content here now")],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r["simhash"] for r in api.simhash64(df, "text").collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_ann_join_matches_operator(spark, sf_correctness):
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    got = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in api.ann_join(q, e, "embedding", "vec_id", k=5).collect()
+    }
+    exp = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in similarity.s01_knn_bruteforce(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_ann_join_lsh_mode_runs(spark, sf_correctness):
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    rows = api.ann_join(q, e, "embedding", "vec_id", k=3, method="lsh").collect()
+    assert rows
+    assert all(r["rk"] <= 3 for r in rows)
