@@ -264,11 +264,87 @@ def p04_pca_mllib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# p05 — iterative algorithm: seeded Lloyd k-means (rows-only)
+# ---------------------------------------------------------------------------
+
+def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 5 iterations) as an iterative
+    DataFrame computation — the engine's pattern for iteration at scale:
+    per-iteration work is one assignment pass (broadcast centroids inside
+    a vectorized kernel) + one centroid aggregation; lineage is cut by
+    collecting the k×d centroid matrix to the driver each round (k·d
+    doubles — driver-scale by construction, like the reference's PCA loop,
+    ``a2_ahuja.py:254-280``), so no localCheckpoint is needed.
+
+    Init = the first k vectors by vec_id (seeded, reproducible). Output:
+    per-cluster size and within-cluster mean distance, rounded — stable
+    under partitioning because assignment ties break by lowest centroid
+    index deterministically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    k, iters = 8, 5
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        e.orderBy("vec_id").limit(k).collect()
+    )
+    centroids = np.array([r["embedding"] for r in init], dtype=np.float64)
+
+    def make_assign(cents: np.ndarray):
+        def assign(batches):
+            for batch in batches:
+                x = np.array([list(v) for v in batch["embedding"]], dtype=np.float64)
+                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": batch["vec_id"],
+                        "cluster": d2.argmin(axis=1).astype("int64"),
+                        "dist": np.sqrt(d2.min(axis=1)),
+                    }
+                )
+        return assign
+
+    assigned = None
+    for _ in range(iters):
+        assigned = e.mapInPandas(
+            make_assign(centroids), schema="vec_id long, cluster long, dist double"
+        )
+        # new centroids: per-cluster per-dim mean (driver-scale k×d result)
+        sums = (
+            assigned.join(e, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], np.zeros(DIM))[r["pos"]] = r["s"]
+            cnt[r["cluster"]] = r["n"]
+        for c, vec in acc.items():
+            new_c[c] = vec / cnt[c]
+        centroids = new_c
+
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist"), 4).alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "p01_dim_stats": p01_dim_stats,
     "p02_random_projection": p02_random_projection,
     "p03_pca_topk": p03_pca_topk,
     "p04_pca_mllib_topk": p04_pca_mllib_topk,
+    "p05_kmeans_iterative": p05_kmeans_iterative,
 }
 
 ORACLE = {

