@@ -241,3 +241,28 @@ def ann_join(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped-map (applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+def grouped_zscore(
+    df: DataFrame, key_col: str, value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """Per-group z-score via applyInPandas (grouped-map pandas UDF) — the
+    UDF shape for whole-group transforms that window functions can't
+    express cheaply (each group arrives as one pandas DataFrame; at scale
+    the shuffle is keyed on key_col, so group size must fit an executor —
+    pre-aggregate or sample hot keys first)."""
+    import pandas as pd
+
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema)}, {out_col} double"
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=0)
+        pdf[out_col] = (pdf[value_col] - pdf[value_col].mean()) / (std or 1.0)
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(zscore, schema=schema)

@@ -195,7 +195,14 @@ def chunk_signature(
 
 
 def signatures(features: DataFrame) -> DataFrame:
-    sig = F.udf(lambda v: chunk_signature(v, width=SIG_WIDTH), "string")
+    """I9 as a scalar pandas UDF — Arrow-batched (one Python call per
+    ~10k rows) instead of a row-at-a-time F.udf pickle round-trip."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def sig(vecs: pd.Series) -> pd.Series:
+        return vecs.map(lambda v: chunk_signature(list(v), width=SIG_WIDTH))
+
     return features.select("tile_id", sig("features").alias("signature"))
 
 

@@ -611,11 +611,26 @@ def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # full map surface too: parse to map<string,bigint>, inspect keys,
+    # point-look-up a value (SURVEY §2.5 'map/json functions')
+    m = F.from_json(F.col("props"), "map<string,bigint>")
     return (
-        e.select("event_id", "event_type", k.alias("k"))
+        e.select(
+            "event_id",
+            "event_type",
+            k.alias("k"),
+            F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+            (F.element_at(m, "k") == k).cast("int").alias("map_matches"),
+        )
         .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("bigint"))
         .groupBy("k_bucket")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.max("n_keys").alias("max_json_keys"),
+            F.sum("map_matches").cast("bigint").alias("n_map_match"),
+        )
         .orderBy("k_bucket")
     )
 
@@ -625,7 +640,11 @@ SELECT
   CAST(FLOOR(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) / 10) AS BIGINT) AS k_bucket,
   COUNT(*) AS n_events,
   MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS min_k,
-  MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+  MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
+  CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_json_keys,
+  CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                     = CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_map_match
 FROM events
 GROUP BY 1
 ORDER BY k_bucket

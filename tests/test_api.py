@@ -76,3 +76,26 @@ def test_ann_join_lsh_mode_runs(spark, sf_correctness):
     rows = api.ann_join(q, e, "embedding", "vec_id", k=3, method="lsh").collect()
     assert rows
     assert all(r["rk"] <= 3 for r in rows)
+
+
+def test_grouped_zscore_matches_window_expr(spark, sf_correctness):
+    """applyInPandas z-score must equal the pure window-function version."""
+    import math
+
+    e = load_table(spark, sf_correctness, "events").select("event_id", "event_type", "value")
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in api.grouped_zscore(e, "event_type", "value").collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type")
+    exp = {
+        r["event_id"]: r["z"]
+        for r in e.withColumn(
+            "z",
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w),
+        ).collect()
+    }
+    assert got.keys() == exp.keys()
+    assert all(math.isclose(got[k], exp[k], rel_tol=1e-9) for k in got)
