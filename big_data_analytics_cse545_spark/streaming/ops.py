@@ -14,11 +14,33 @@ nothing, making results deterministic and SQL-checkable).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 GAP_SECONDS = 600  # session gap (10 minutes)
+
+# Streaming state-store partitions: each shuffle partition of a stateful
+# streaming agg materializes its own state-store instance + Python worker
+# round-trip; with O(1k) keys a handful of partitions beats both the
+# engine default (32) and a vanilla session's 200. On a real cluster this
+# would be sized to executor count via SPARK_GRAFT_SHUFFLE_PARTITIONS.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession):
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming run,
+    always restoring the caller's value — even when the query throws
+    (otherwise every later batch query in the shared driver session would
+    silently run with the streaming setting)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,18 +59,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_table(stream_df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+def _run_to_table(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Execute with Trigger.AvailableNow into a memory sink; return the
-    materialized table."""
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
-    query.stop()
+    materialized table. Runs under the streaming shuffle-partition pin
+    (try/finally — the caller's conf always comes back)."""
+    with _stream_shuffle_partitions(spark):
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = query.awaitTermination(300)
+            if not finished:
+                raise TimeoutError(f"streaming query {name} did not finish in 300s")
+        finally:
+            query.stop()
     return spark.table(name)
 
 
@@ -78,9 +111,12 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle formats window starts via make_timestamp(µs) — a NAIVE TIMESTAMP —
+# not to_timestamp(), whose TIMESTAMPTZ rendering depends on the DuckDB
+# session TimeZone (host-local by default, while Spark is pinned UTC).
 _ST01_SQL = """
 SELECT
-  strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)), '%Y-%m-%d %H:%M') AS window_start,
+  strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000), '%Y-%m-%d %H:%M') AS window_start,
   event_type,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
@@ -119,7 +155,7 @@ WITH starts AS (
   ]) AS s
   FROM events
 )
-SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M') AS window_start,
+SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M') AS window_start,
        COUNT(*) AS n_events
 FROM starts GROUP BY s ORDER BY window_start
 """
@@ -133,8 +169,11 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 10-minute gap; output = session
     count + size histogram per user bucket (kept small and hash-stable).
 
-    Oracle: the classic gaps-and-islands rewrite — lag > gap starts a new
-    island; Spark's session_window merges identically.
+    Oracle: the classic gaps-and-islands rewrite. Boundary semantics,
+    pinned by tests/test_streaming.py::test_session_window_exact_gap_boundary:
+    Spark MERGES events exactly gap seconds apart (a session [t, t+gap]
+    absorbs an event at t+gap) and starts a new session only when
+    diff > gap — so the oracle's island predicate is strictly >.
     """
     e = _events_stream(spark, sf_dir)
     agg = (
@@ -218,11 +257,6 @@ def st05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    # Each state partition costs a state-store instance + a Python worker
-    # round; with O(1k) users a handful of partitions beats the session
-    # default. (Runtime conf; restored after the run.)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     e = _events_stream(spark, sf_dir)
 
     def count_events(key, pdfs, state: GroupState):
@@ -239,20 +273,11 @@ def st05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    query = (
-        counts.writeStream.format("memory")
-        .queryName("st05_mem")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
-    query.stop()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = _run_to_table(counts, spark, "st05_mem", output_mode="update")
     # update-mode memory sink appends one row per state update; the last
     # update per user is the final count — take max (counts only grow).
     return (
-        spark.table("st05_mem")
+        out
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
         .groupBy("n_events")

@@ -40,3 +40,44 @@ def test_batch_stream_parity_tumbling(spark, sf_correctness):
     assert [r.asDict() for r in batch.collect()] == [
         r.asDict() for r in streamed.collect()
     ]
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin Spark's exact-boundary semantics (verified empirically): an
+    event exactly GAP seconds after the previous one MERGES into the same
+    session; only diff > gap starts a new one. The st03 oracle's island
+    predicate must therefore be strictly >."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),   # session A
+        (1, "2024-01-01 00:10:00"),   # exactly GAP (600s) later -> merges
+        (2, "2024-01-01 00:00:00"),   # session B
+        (2, "2024-01-01 00:10:01"),   # GAP+1s later -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", f"{st.GAP_SECONDS} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "session_window.start")
+        .collect()
+    )
+    assert [(r["user_id"], r["n"]) for r in out] == [(1, 2), (2, 1), (2, 1)]
+
+
+def test_stream_shuffle_partitions_restored_on_error(spark):
+    """The streaming shuffle-partition pin must restore the caller's conf
+    even when the streaming query throws (ADVICE round 1)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with st._stream_shuffle_partitions(spark):
+            assert (
+                spark.conf.get("spark.sql.shuffle.partitions")
+                == st.STREAM_SHUFFLE_PARTITIONS
+            )
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
