@@ -269,74 +269,120 @@ ORDER BY d1, d2
 
 
 # ---------------------------------------------------------------------------
-# d04 — SimHash clustering (16-bit, md5-nibble bits)
+# d04 — 64-bit SimHash + hamming-banded near-dup pairs
 # ---------------------------------------------------------------------------
 
-def _simhash_bits_spark():
-    """16 per-token bit expressions from the first 4 md5 hex nibbles."""
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4          # 4 bands × 16 bits, banding per computeBuckets2
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 3            # exact verification threshold on candidates
+
+
+def _simhash_bit_exprs(n_bits: int, locate_fn: str) -> list[str]:
+    """Per-token bit expressions from md5 hex nibbles (bit j = nibble
+    j//4, shift 3-j%4). ``locate_fn`` abstracts Spark ``locate(sub, s)``
+    vs DuckDB ``strpos(s, sub)`` argument order."""
     exprs = []
-    for j in range(16):
-        nib = j // 4 + 1  # hex char position 1..4
+    for j in range(n_bits):
+        nib = j // 4 + 1  # hex char position 1..16
         shift = 3 - (j % 4)
-        exprs.append(
-            f"CAST(floor((locate(substr(md5(tok), {nib}, 1), '0123456789abcdef') - 1) "
-            f"/ {2 ** shift}) AS INT) % 2"
-        )
+        if locate_fn == "locate":  # Spark
+            pos = f"locate(substr(md5(tok), {nib}, 1), '0123456789abcdef')"
+        else:  # DuckDB
+            pos = f"strpos('0123456789abcdef', substr(md5(tok), {nib}, 1))"
+        exprs.append(f"CAST(floor(({pos} - 1) / {2 ** shift}) AS INT) % 2")
     return exprs
 
 
-def _simhash_bits_duck():
-    exprs = []
-    for j in range(16):
-        nib = j // 4 + 1
-        shift = 3 - (j % 4)
-        exprs.append(
-            f"CAST(floor((strpos('0123456789abcdef', substr(md5(tok), {nib}, 1)) - 1) "
-            f"/ {2 ** shift}) AS INT) % 2"
-        )
-    return exprs
+def _band_value_sql(b: int) -> str:
+    """Band b (0..3) as a 16-bit integer from the vote columns — built
+    from votes, not from the signed fingerprint, so neither engine has to
+    bit-slice a negative BIGINT."""
+    return " + ".join(
+        f"CASE WHEN v{SIMHASH_BAND_BITS * b + i} > 0 THEN {2 ** i} ELSE 0 END"
+        for i in range(SIMHASH_BAND_BITS)
+    )
+
+
+def _simhash_value_sql() -> str:
+    """Signed 64-bit fingerprint from vote columns; bit 63 is the sign
+    bit, added as min-long to avoid literal overflow."""
+    low = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(63)
+    )
+    return f"({low}) + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
 
 
 def d04_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16) near-dup clusters: groups of documents sharing a
-    fingerprint.
+    """64-bit SimHash near-dup pairs via hamming-banded LSH.
 
-    Per token, 16 bits from the md5 hex prefix; per document, each bit
-    is the sign of Σ(±1) over tokens; identical fingerprints cluster.
-    All JVM-side expressions — the classic simhash without a single UDF.
+    Round 1 shipped a 16-bit fingerprint with exact-equality clustering —
+    fine on the fixture, garbage at 100 TB (2^16 buckets, billions of
+    docs). This is the scale form: 64-bit fingerprint (md5-nibble bits,
+    all JVM-side expressions), banded 4×16 (any equal band → candidate,
+    the ``computeBuckets2`` pattern, ``a2_ahuja.py:140-149``), then exact
+    hamming ≤ 3 verification via ``bit_count(xor)`` on candidates only.
+    By pigeonhole, hamming ≤ 3 over 4 bands guarantees ≥ 1 identical
+    band, so banding loses nothing at this threshold (recall = 1).
+    Shuffles carry (doc_id, 16-bit band key) — never the text.
     """
     d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d)
+
+
+def simhash_near_dup_pairs(d: DataFrame, ham_k: int = HAMMING_MAX) -> DataFrame:
+    """The d04 pipeline over any (doc_id, text) DataFrame → (d1, d2,
+    hamming) pairs with hamming ≤ ham_k. Hamming-banded: candidates from
+    any equal 16-bit band, exact bit_count(xor) verify on candidates."""
     toks = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
-    bit_exprs = _simhash_bits_spark()
+    bit_exprs = _simhash_bit_exprs(SIMHASH_BITS, "locate")
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(F.expr(f"2 * ({e}) - 1")).alias(f"v{j}")
             for j, e in enumerate(bit_exprs)
         ]
     )
-    simhash = sum(
-        (F.when(F.col(f"v{j}") > 0, 2 ** j).otherwise(0) for j in range(16)),
-        F.lit(0),
+    fps = votes.select(
+        "doc_id",
+        F.expr(_simhash_value_sql()).cast("bigint").alias("simhash"),
+        F.array(
+            *[F.expr(_band_value_sql(b)).cast("int") for b in range(SIMHASH_BANDS)]
+        ).alias("bands"),
     )
-    fps = votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
-    return (
-        fps.groupBy("simhash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
+    bands = fps.select("doc_id", "simhash", F.posexplode("bands").alias("band", "bval"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("n_docs") > 1)
-        .orderBy("simhash")
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.select("d1", "d2", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= ham_k)
+        .orderBy("d1", "d2")
     )
 
 
 def _d04_sql() -> str:
-    bit_exprs = _simhash_bits_duck()
+    bit_exprs = _simhash_bit_exprs(SIMHASH_BITS, "strpos")
     votes = ",\n    ".join(
         f"SUM(2 * ({e}) - 1) AS v{j}" for j, e in enumerate(bit_exprs)
     )
-    bits = " + ".join(f"CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16))
+    band_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, band{b} AS bval FROM fps"
+        for b in range(SIMHASH_BANDS)
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
@@ -346,9 +392,23 @@ votes AS (
     {votes}
   FROM toks GROUP BY doc_id
 ),
-fps AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)
-SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-FROM fps GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
+fps AS (
+  SELECT doc_id, CAST({_simhash_value_sql()} AS BIGINT) AS simhash,
+         {", ".join(f"CAST({_band_value_sql(b)} AS INT) AS band{b}" for b in range(SIMHASH_BANDS))}
+  FROM votes
+),
+bands AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
+ORDER BY d1, d2
 """
 
 
@@ -356,51 +416,143 @@ FROM fps GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
 # d05 — embedding-cosine near-dup pairs
 # ---------------------------------------------------------------------------
 
-def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding pairs with cosine similarity ≥ 0.4 (blocked brute-force).
+N_SIM_BLOCKS = 8          # block-pair grid for the distributed exact path
+CLOSURE_MAX_ROWS = 65_536  # hard guard for the closure-matrix kernel
 
-    Vectorized blocked matmul: the corpus matrix (row-normalized float64)
-    ships to executors once (a broadcast, ``a2_ahuja.py:255`` pattern);
-    each Arrow batch computes batch×corpusᵀ with BLAS and emits only
-    above-threshold pairs. This replaces a 4M-row theta-join of
-    interpreted higher-order expressions (~30× slower). At 100 TB the
-    same kernel runs per block against an LSH/IVF-pruned candidate set
-    (operators.similarity) instead of the full corpus.
+
+def blocked_cosine_pairs(
+    e: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = N_SIM_BLOCKS,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a DISTRIBUTED block-pair
+    cogroup — no driver collect, no closure-captured corpus (I26 policy).
+
+    Rows are hashed into ``n_blocks`` blocks; the B·(B+1)/2 unordered
+    block pairs form the join keys. Each (block_i, block_j) task receives
+    the two blocks as pandas frames (cogroup → applyInPandas) and runs
+    one BLAS matmul between them, emitting only above-threshold (v1 < v2)
+    pairs. Work is O(N²/B) per task and driver memory is O(1); data
+    replication is (B+1)/2× — the classic exact-all-pairs shard (the
+    reference instead prunes candidates before exact math,
+    ``a2_ahuja.py:233-241``; the LSH-pruned analog here is s02/s03 +
+    exact rescoring via api.ann_join).
     """
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    spark = e.sparkSession
+
+    def side(prefix: str, key: str) -> DataFrame:
+        # Fully independent lineage per side (fresh grid DF + aliased
+        # columns), or cogroup trips Spark's ambiguous-self-join check.
+        grid = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "ba int, bb int",
+        )
+        b = e.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(emb_col).alias(f"{prefix}_emb"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias(f"{prefix}_blk"),
+        )
+        return b.join(F.broadcast(grid), F.col(f"{prefix}_blk") == F.col(key)).select(
+            F.col("ba").alias(f"{prefix}_ba"),
+            F.col("bb").alias(f"{prefix}_bb"),
+            f"{prefix}_id",
+            f"{prefix}_emb",
+        )
+
+    left = side("l", "ba")
+    right = side("r", "bb")
+
+    def pair_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"v1": [], "v2": [], "cos_sim": []}).astype(
+                {"v1": "int64", "v2": "int64", "cos_sim": "float64"}
+            )
+        l_ids = lpdf["l_id"].to_numpy()
+        r_ids = rpdf["r_id"].to_numpy()
+        lx = np.array([list(v) for v in lpdf["l_emb"]], dtype=np.float64)
+        rx = np.array([list(v) for v in rpdf["r_emb"]], dtype=np.float64)
+        ln = lx / np.sqrt((lx * lx).sum(axis=1, keepdims=True))
+        rn = rx / np.sqrt((rx * rx).sum(axis=1, keepdims=True))
+        sims = np.round(ln @ rn.T, 6)
+        mask = sims >= threshold
+        if lpdf["l_ba"].iat[0] == lpdf["l_bb"].iat[0]:
+            # diagonal block: both sides hold the same rows — keep one
+            # orientation to dedupe the doubled pairs
+            mask &= l_ids[:, None] < r_ids[None, :]
+        else:
+            mask &= l_ids[:, None] != r_ids[None, :]
+        i, j = np.nonzero(mask)
+        v1 = np.minimum(l_ids[i], r_ids[j])
+        v2 = np.maximum(l_ids[i], r_ids[j])
+        return pd.DataFrame({"v1": v1, "v2": v2, "cos_sim": sims[i, j]})
+
+    return (
+        left.groupBy("l_ba", "l_bb")
+        .cogroup(right.groupBy("r_ba", "r_bb"))
+        .applyInPandas(pair_block, schema="v1 long, v2 long, cos_sim double")
+    )
+
+
+def closure_cosine_pairs(
+    e: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.4,
+    max_rows: int = CLOSURE_MAX_ROWS,
+) -> DataFrame:
+    """Small-corpus variant: corpus matrix collected once and shipped in
+    the UDF closure (one pass, no shuffle). GUARDED — refuses corpora
+    larger than ``max_rows`` because the closure matrix is O(N·d) driver
+    and executor memory; use :func:`blocked_cosine_pairs` beyond that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"closure_cosine_pairs: corpus has {n} rows > guard {max_rows}; "
+            "use blocked_cosine_pairs (distributed) instead"
+        )
+    rows = e.select(id_col, emb_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    x = np.array([r[emb_col] for r in rows], dtype=np.float64)
     xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-    # The corpus matrix ships inside the UDF closure (1 MB at sf0.1) —
-    # works on classic and Connect sessions alike; on a real cluster with
-    # a large corpus, switch to sc.broadcast (same kernel, explicit
-    # broadcast handle) or pre-prune candidates with s02/s03 first.
 
     def block_pairs(batches):
         for batch in batches:
-            b_ids = batch["vec_id"].to_numpy()
-            b = np.array([list(v) for v in batch["embedding"]], dtype=np.float64)
+            b_ids = batch[id_col].to_numpy()
+            b = np.array([list(v) for v in batch[emb_col]], dtype=np.float64)
             bn = b / np.sqrt((b * b).sum(axis=1, keepdims=True))
             sims = np.round(bn @ xn.T, 6)
-            mask = (sims >= 0.4) & (b_ids[:, None] < ids[None, :])
+            mask = (sims >= threshold) & (b_ids[:, None] < ids[None, :])
             i, j = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "v1": b_ids[i],
-                    "v2": ids[j],
-                    "cos_sim": sims[i, j],
-                }
-            )
+            yield pd.DataFrame({"v1": b_ids[i], "v2": ids[j], "cos_sim": sims[i, j]})
 
-    return (
-        e.select("vec_id", "embedding")
-        .mapInPandas(block_pairs, schema="v1 long, v2 long, cos_sim double")
-        .orderBy("v1", "v2")
+    return e.select(id_col, emb_col).mapInPandas(
+        block_pairs, schema="v1 long, v2 long, cos_sim double"
     )
+
+
+def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pairs with cosine similarity ≥ 0.4 — exact, via the
+    distributed block-pair cogroup (:func:`blocked_cosine_pairs`).
+
+    Round-1 note: this entry formerly collected the corpus to the driver
+    and closure-captured the matrix (the I26 anti-pattern); that kernel
+    survives only as the guarded :func:`closure_cosine_pairs`. The
+    default plan here shuffles each row (B+1)/2 times and never
+    materializes anything driver-side.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(e, threshold=0.4).orderBy("v1", "v2")
 
 
 _D05_SQL = """

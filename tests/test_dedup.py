@@ -29,3 +29,88 @@ def test_lsh_recalls_planted_duplicates(spark, sf_correctness):
     assert exact, "fixture should contain planted near-duplicates"
     missed = exact - lsh
     assert not missed, f"LSH missed planted near-dup pairs: {sorted(missed)}"
+
+
+def test_d05_blocked_is_lazy_and_matches_closure(spark, sf_correctness):
+    """The default near-dup path must not run any driver-side action at
+    plan-construction time, and the distributed block-pair result must
+    equal the guarded closure kernel bit-for-bit."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    blocked = dedup.blocked_cosine_pairs(e, threshold=0.4)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction triggered a Spark job"
+    got = {
+        (r["v1"], r["v2"], r["cos_sim"]) for r in blocked.collect()
+    }
+    ref = {
+        (r["v1"], r["v2"], r["cos_sim"])
+        for r in dedup.closure_cosine_pairs(e, threshold=0.4).collect()
+    }
+    assert got == ref
+
+
+def test_simhash64_planted_near_dups(spark):
+    """Planted collision test: a doc differing by one token in fifty must
+    land within hamming ≤ 3 of its original (and be caught through the
+    4×16 banding); an unrelated doc must not pair with either."""
+    base = " ".join(f"token{i}" for i in range(100))
+    near = " ".join(f"token{i}" if i != 0 else "changed0" for i in range(100))
+    other = " ".join(f"unrelated{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(df).collect()
+    }
+    assert (1, 2) in pairs, "near-duplicate not recalled by hamming banding"
+    assert all(3 not in k for k in pairs), f"false positive with unrelated doc: {pairs}"
+
+
+def test_simhash64_pigeonhole_recall(spark, sf_correctness):
+    """Banding must lose nothing at hamming ≤ 3 (pigeonhole over 4 bands):
+    every fingerprint pair within the threshold — computed exactly,
+    without banding — must appear in d04's banded output."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    toks = d.select("doc_id", F.explode(dedup._tokens_col()).alias("tok"))
+    bit_exprs = dedup._simhash_bit_exprs(dedup.SIMHASH_BITS, "locate")
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(F.expr(f"2 * ({e}) - 1")).alias(f"v{j}") for j, e in enumerate(bit_exprs)]
+    )
+    fps = votes.select(
+        "doc_id", F.expr(dedup._simhash_value_sql()).cast("bigint").alias("simhash")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    exact = {
+        (r["d1"], r["d2"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= dedup.HAMMING_MAX)
+        .collect()
+    }
+    banded = {
+        (r["d1"], r["d2"])
+        for r in dedup.d04_simhash_clusters(spark, sf_correctness).collect()
+    }
+    assert exact == banded
+
+
+def test_closure_kernel_guard_refuses_large_corpus(spark, sf_correctness):
+    """closure_cosine_pairs must refuse corpora above the size guard
+    instead of collecting them to the driver (I26 policy)."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    with pytest.raises(ValueError, match="guard"):
+        dedup.closure_cosine_pairs(e, threshold=0.4, max_rows=10)
