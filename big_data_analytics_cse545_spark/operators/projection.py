@@ -286,56 +286,74 @@ def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     k, iters = 8, 5
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init = (
-        e.orderBy("vec_id").limit(k).collect()
-    )
+    # Persist: the loop scans the table once per iteration (the reference
+    # itself persists its RDD for the same reason, a2_ahuja.py:431);
+    # without this each pass re-reads parquet.
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    init = e.orderBy("vec_id").limit(k).collect()
     centroids = np.array([r["embedding"] for r in init], dtype=np.float64)
 
-    def make_assign(cents: np.ndarray):
-        def assign(batches):
+    def make_partials(cents: np.ndarray):
+        """Fused assignment + per-cluster partial sums in ONE pass: each
+        partition emits at most k rows (cluster, Σx, n, Σdist) — the
+        map-side combine the round-1 posexplode+join lacked. Shuffle
+        volume per iteration: partitions × k rows, independent of N."""
+
+        def partials(batches):
+            from pyspark import TaskContext
+
+            sums = np.zeros((k, DIM))
+            cnts = np.zeros(k, dtype=np.int64)
+            dsum = np.zeros(k)
             for batch in batches:
                 x = np.array([list(v) for v in batch["embedding"]], dtype=np.float64)
                 d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": batch["vec_id"],
-                        "cluster": d2.argmin(axis=1).astype("int64"),
-                        "dist": np.sqrt(d2.min(axis=1)),
-                    }
-                )
-        return assign
+                a = d2.argmin(axis=1)
+                dist = np.sqrt(d2[np.arange(len(a)), a])
+                cnts += np.bincount(a, minlength=k)
+                dsum += np.bincount(a, weights=dist, minlength=k)
+                np.add.at(sums, a, x)
+            nz = np.nonzero(cnts)[0]
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {
+                    "pid": np.full(len(nz), pid, dtype=np.int32),
+                    "cluster": nz.astype(np.int64),
+                    "psum": [sums[c].tolist() for c in nz],
+                    "n": cnts[nz],
+                    "dsum": dsum[nz],
+                }
+            )
 
-    assigned = None
-    for _ in range(iters):
-        assigned = e.mapInPandas(
-            make_assign(centroids), schema="vec_id long, cluster long, dist double"
-        )
-        # new centroids: per-cluster per-dim mean (driver-scale k×d result)
-        sums = (
-            assigned.join(e, "vec_id")
-            .select("cluster", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new_c = centroids.copy()
-        acc: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r["cluster"], np.zeros(DIM))[r["pos"]] = r["s"]
-            cnt[r["cluster"]] = r["n"]
-        for c, vec in acc.items():
-            new_c[c] = vec / cnt[c]
-        centroids = new_c
+        return partials
 
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg("dist"), 4).alias("mean_dist"),
-        )
-        .orderBy("cluster")
+    schema = "pid int, cluster long, psum array<double>, n long, dsum double"
+    final_cnt: np.ndarray = np.zeros(k, dtype=np.int64)
+    final_dsum: np.ndarray = np.zeros(k)
+    for it in range(iters):
+        parts = e.mapInPandas(make_partials(centroids), schema=schema).collect()
+        # deterministic accumulation order — collect() row order is not
+        parts.sort(key=lambda r: (r["cluster"], r["pid"]))
+        sums = np.zeros((k, DIM))
+        cnts = np.zeros(k, dtype=np.int64)
+        dsum = np.zeros(k)
+        for r in parts:
+            sums[r["cluster"]] += np.array(r["psum"])
+            cnts[r["cluster"]] += r["n"]
+            dsum[r["cluster"]] += r["dsum"]
+        if it < iters - 1:
+            for c in np.nonzero(cnts)[0]:
+                centroids[c] = sums[c] / cnts[c]
+        else:
+            final_cnt, final_dsum = cnts, dsum
+    e.unpersist()
+
+    out = [
+        (int(c), int(final_cnt[c]), float(round(final_dsum[c] / final_cnt[c], 4)))
+        for c in np.nonzero(final_cnt)[0]
+    ]
+    return spark.createDataFrame(
+        out, "cluster long, n_members long, mean_dist double"
     )
 
 
