@@ -52,10 +52,35 @@ SIG_WIDTH = 2     # hex chars per chunk → 256 buckets per band. The
                   # (a2_ahuja.py:133-139); with 1 char (16 buckets) the
                   # band self-join fans out ~16× more pairs at 8k tiles.
 
+# Reference-exact banding (``computeBuckets2``, a2_ahuja.py:140-149):
+# 128 chunks × 1 hex char (md5 index 1, a2_ahuja.py:231) → 128-char hex
+# signature → 512-bit string → ⌊512/13⌋ = 39 bands of 13 bits (the last
+# 512 − 39·13 = 5 bits are dropped, as in the reference).
+REF_N_CHUNKS = 128
+REF_SIG_IDX = 1
+REF_BANDWIDTH = 13
+REF_SIG_BITS = REF_N_CHUNKS * 4
+REF_N_BANDS = REF_SIG_BITS // REF_BANDWIDTH
+
 
 # ---------------------------------------------------------------------------
 # synthetic binary source (stands in for sc.binaryFiles / binaryFile source)
 # ---------------------------------------------------------------------------
+
+def _image_bytes(base_id: int) -> bytes:
+    """Deterministic synthetic image payload for ``base_id``; ids ≡ 9
+    (mod 10) are planted near-duplicates (noisy copy) of id−1. Shared by
+    the in-plan synthetic source and the on-disk binaryFile fixture so
+    both paths see identical pixels."""
+    rng_id = base_id - 1 if base_id % 10 == 9 else base_id
+    rng = np.random.default_rng(int(rng_id))
+    img = rng.integers(0, 256, size=(H, W, CHANNELS), dtype=np.uint8)
+    if base_id % 10 == 9:
+        noise_rng = np.random.default_rng(int(base_id) + 10_000_000)
+        noise = noise_rng.integers(0, 2, size=img.shape, dtype=np.uint8)
+        img = (img.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
+    return img.tobytes()
+
 
 def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id string, content binary, width, height, channels) — opaque
@@ -66,16 +91,7 @@ def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def make_bytes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for base_id in batch["base_id"]:
-                rng_id = base_id - 1 if base_id % 10 == 9 else base_id
-                rng = np.random.default_rng(int(rng_id))
-                img = rng.integers(0, 256, size=(H, W, CHANNELS), dtype=np.uint8)
-                if base_id % 10 == 9:  # planted near-duplicate of id-1
-                    noise_rng = np.random.default_rng(int(base_id) + 10_000_000)
-                    noise = noise_rng.integers(0, 2, size=img.shape, dtype=np.uint8)
-                    img = (img.astype(np.int16) + noise).clip(0, 255).astype(np.uint8)
-                out.append(img.tobytes())
+            out = [_image_bytes(int(b)) for b in batch["base_id"]]
             yield pd.DataFrame(
                 {
                     "img_id": "img" + batch["base_id"].astype(str),
@@ -132,10 +148,10 @@ def tile_images(images: DataFrame) -> DataFrame:
     return images.mapInPandas(gen, schema="tile_id string, content binary")
 
 
-def tile_intensity(tiles: DataFrame) -> DataFrame:
-    """I5+I6: per-pixel intensity mean(RGB)·(IR/100), then POOL×POOL
+def tile_intensity(tiles: DataFrame, pool: int = POOL) -> DataFrame:
+    """I5+I6: per-pixel intensity mean(RGB)·(IR/100), then pool×pool
     block-mean downsample (``a2_ahuja.py:47-61``)."""
-    n = TILE // POOL
+    n = TILE // pool
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -143,17 +159,17 @@ def tile_intensity(tiles: DataFrame) -> DataFrame:
             for content in batch["content"]:
                 t = np.frombuffer(content, dtype=np.uint8).reshape(TILE, TILE, CHANNELS)
                 inten = t[:, :, :3].mean(axis=2) * (t[:, :, 3].astype(np.float64) / 100.0)
-                pooled = inten.reshape(n, POOL, n, POOL).mean(axis=(1, 3))
+                pooled = inten.reshape(n, pool, n, pool).mean(axis=(1, 3))
                 out.append(pooled.ravel().tolist())
             yield pd.DataFrame({"tile_id": batch["tile_id"], "intensity": out})
 
     return tiles.mapInPandas(gen, schema="tile_id string, intensity array<double>")
 
 
-def gradient_features(intensity: DataFrame) -> DataFrame:
+def gradient_features(intensity: DataFrame, pool: int = POOL) -> DataFrame:
     """I8: row/col np.diff, quantize at ±1 to {-1,0,1}, flatten+concat —
     2·n·(n−1) dims (``a2_ahuja.py:77-87``)."""
-    n = TILE // POOL
+    n = TILE // pool
 
     def quantize(d: np.ndarray) -> np.ndarray:
         q = np.zeros_like(d, dtype=np.int32)
@@ -236,6 +252,92 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# reference-exact bit-level banding (I10, ``computeBuckets2``)
+# ---------------------------------------------------------------------------
+
+_BIT_NIBBLES = ", ".join(f"'{i:04b}'" for i in range(16))
+
+
+def bit_bands_col(
+    sig_col: str = "signature",
+    bandwidth: int = REF_BANDWIDTH,
+    n_bits: int = REF_SIG_BITS,
+):
+    """Array of ⌊n_bits/bandwidth⌋ integer band values from a hex
+    signature, computed bit-exactly like ``computeBuckets2``
+    (``a2_ahuja.py:140-149``): hex → concatenated 4-bit strings → cut
+    into ``bandwidth``-bit slices → integer value per slice (trailing
+    remainder bits dropped). All JVM-side (transform/elt/conv) so band
+    keys never cross into Python."""
+    n_bands = n_bits // bandwidth
+    bits = (
+        f"concat_ws('', transform("
+        f"filter(split({sig_col}, ''), c -> c <> ''), "
+        f"c -> elt(locate(c, '0123456789abcdef'), {_BIT_NIBBLES})))"
+    )
+    return F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> cast(conv(substr({bits}, b * {bandwidth} + 1, {bandwidth}), 2, 10) AS INT))"
+    )
+
+
+def ref_bands_py(sig: str, bandwidth: int = REF_BANDWIDTH) -> list[int]:
+    """Python twin of :func:`bit_bands_col` (same computeBuckets2
+    arithmetic); used inside the Arrow batch that already computes the
+    signature so the 512-bit expansion runs once per tile. Equality with
+    the JVM expression is pinned by tests/test_multimodal.py."""
+    bits = "".join(f"{int(c, 16):04b}" for c in sig)
+    n_bands = len(bits) // bandwidth
+    return [int(bits[b * bandwidth : (b + 1) * bandwidth], 2) for b in range(n_bands)]
+
+
+def ref_signatures(features: DataFrame) -> DataFrame:
+    """I9 with the reference's exact parameters: 128 chunks, hex char
+    index 1, width 1 → 128-char signature (``a2_ahuja.py:99-120,231``),
+    plus the 39 bit-band values per tile."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sigs = [
+                chunk_signature(list(v), n_chunks=REF_N_CHUNKS, idx=REF_SIG_IDX, width=1)
+                for v in batch["features"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "tile_id": batch["tile_id"],
+                    "signature": sigs,
+                    "bands": [ref_bands_py(s) for s in sigs],
+                }
+            )
+
+    return features.mapInPandas(
+        gen, schema="tile_id string, signature string, bands array<int>"
+    )
+
+
+def ref_band_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs sharing any (band position, 13-bit value) — the
+    reference's same-position bucket equality over the 39 bit-bands.
+    The exploded band table is persisted: it is tiny (n_tiles × 39
+    short rows) and both sides of the self-join read it, which would
+    otherwise run the whole Python funnel twice."""
+    bands = sigs.select(
+        "tile_id", F.posexplode("bands").alias("band", "bval")
+    ).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.tile_id") < F.col("b.tile_id")),
+        )
+        .select(F.col("a.tile_id").alias("t1"), F.col("b.tile_id").alias("t2"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # m01 — end-to-end funnel query (rows-only: tensors aren't SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -264,6 +366,60 @@ def m01_image_similarity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bands") >= N_CHUNKS * 3 // 4)
     )
     return agree.orderBy("t1", "t2")
+
+
+# ---------------------------------------------------------------------------
+# m03 — real binaryFile source + reference-exact banding (I1/R9 + I10)
+# ---------------------------------------------------------------------------
+
+N_BINARY_FILES = 64
+
+
+def m03_binaryfile_ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The a2 funnel from REAL files: 64 deterministic image payloads
+    written to a temp directory once, scanned with Spark's native
+    ``binaryFile`` source (``sc.binaryFiles`` parity, ``a2_ahuja.py:416``),
+    img_id recovered from the file path (I2 ``getFileName``), then
+    decode→tile→intensity→gradient→signature with the REFERENCE-EXACT
+    banding: 128-chunk signature, 512 bits, 39 bands × 13 bits
+    (``computeBuckets2``, ``a2_ahuja.py:140-149``). Output = candidate
+    pairs. Fixture size is fixed (64 images / 256 tiles) regardless of
+    sf — the source is the point here, scale comes from m01.
+
+    Rows-only driver check (binary tensors aren't SQL-expressible);
+    recall + selectivity are pinned in tests/test_multimodal.py.
+    """
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_binimgs_v1")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        for i in range(N_BINARY_FILES):
+            with open(os.path.join(d, f"img{i:05d}.bin"), "wb") as f:
+                f.write(_image_bytes(i))
+        open(marker, "w").close()
+
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+    imgs = raw.select(
+        F.concat(
+            F.lit("img"),
+            F.regexp_extract(F.col("path"), r"img(\d+)\.bin$", 1).cast("long"),
+        ).alias("img_id"),
+        "content",
+        F.lit(W).alias("width"),
+        F.lit(H).alias("height"),
+        F.lit(CHANNELS).alias("channels"),
+    )
+    # pool=1: 20×20 intensity grid → 2·20·19 = 760 feature dims → ~6
+    # elements per 128-chunk. The reference's 4900-dim features give ~38
+    # per chunk; at our tiny tile size the default 2×2 pooling leaves
+    # only 1-2 elements per chunk, a degenerate md5 alphabet whose
+    # signature bits collide in nearly every 13-bit band.
+    feats = gradient_features(tile_intensity(tile_images(imgs), pool=1), pool=1)
+    cand = ref_band_candidates(ref_signatures(feats))
+    return cand.orderBy("t1", "t2")
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +502,7 @@ def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "m01_image_similarity_funnel": m01_image_similarity_funnel,
     "m02_video_frame_sample": m02_video_frame_sample,
+    "m03_binaryfile_ref_funnel": m03_binaryfile_ref_funnel,
 }
 
 # No SQL oracle: binary tensors + md5-of-int-list are not expressible in

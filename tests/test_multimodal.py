@@ -95,3 +95,77 @@ def test_video_frame_sampling(spark, sf_smoke):
         for r in mm.m02_video_frame_sample(spark, sf_smoke).collect()
     }
     assert all(again[(r["video_id"], r["frame_no"])] == r["frame_md5"] for r in rows)
+
+
+def test_bit_bands_match_hand_computation(spark):
+    """Reference-exact banding arithmetic (computeBuckets2,
+    a2_ahuja.py:140-149): 128 hex chars -> 512-bit string -> 39 bands of
+    13 bits, trailing 5 bits dropped — verified against a hand-computed
+    slicing of a fixed signature."""
+    sig = "deadbeef" * 16
+    bits = "".join(f"{int(c, 16):04b}" for c in sig)
+    assert len(bits) == mm.REF_SIG_BITS == 512
+    expect = [
+        int(bits[b * mm.REF_BANDWIDTH : (b + 1) * mm.REF_BANDWIDTH], 2)
+        for b in range(mm.REF_N_BANDS)
+    ]
+    assert mm.REF_N_BANDS == 39
+    got = (
+        spark.createDataFrame([(sig,)], "signature string")
+        .select(mm.bit_bands_col().alias("b"))
+        .first()["b"]
+    )
+    assert got == expect
+    # the Python twin used inside the Arrow funnel must agree with the
+    # JVM expression exactly
+    assert mm.ref_bands_py(sig) == expect
+
+
+def test_ref_signature_parameters():
+    """The m03 signature uses the reference's exact chunking: 128 chunks,
+    md5 hex index 1, width 1 (a2_ahuja.py:99-120,231). Residual rule:
+    first len%128 chunks get the extra element."""
+    vec = list(range(760))
+    sig = mm.chunk_signature(
+        vec, n_chunks=mm.REF_N_CHUNKS, idx=mm.REF_SIG_IDX, width=1
+    )
+    assert len(sig) == 128
+    # hand-check chunk 0: 760 = 5*128 + 120 -> first 120 chunks are 6 long
+    import hashlib
+
+    first = hashlib.md5(",".join(str(x) for x in vec[:6]).encode()).hexdigest()[1]
+    assert sig[0] == first
+
+
+def test_binaryfile_funnel_recall_and_selectivity(spark, sf_smoke):
+    """m03 (real binaryFile source, reference-exact banding): every
+    planted near-duplicate tile pair must be a candidate, and the
+    banding must stay selective — the A2 acceptance property (PDF p.3,
+    ~10-30 candidates per query at reference scale; here the corpus is
+    256 tiles so the bound is expressed as a per-tile ceiling and a
+    global fraction)."""
+    pairs = {
+        (r["t1"], r["t2"])
+        for r in mm.m03_binaryfile_ref_funnel(spark, sf_smoke).collect()
+    }
+    planted = [
+        (f"img{i-1}-{k}", f"img{i}-{k}")
+        for i in range(9, mm.N_BINARY_FILES, 10)
+        for k in range(4)
+    ]
+    missed = [p for p in planted if p not in pairs]
+    assert not missed, f"planted near-dup tiles not recalled: {missed}"
+    n_tiles = mm.N_BINARY_FILES * 4
+    all_pairs = n_tiles * (n_tiles - 1) // 2
+    assert len(pairs) <= 0.05 * all_pairs, (
+        f"banding not selective: {len(pairs)}/{all_pairs} pairs are candidates"
+    )
+    from collections import Counter
+
+    per_tile = Counter()
+    for a, b in pairs:
+        per_tile[a] += 1
+        per_tile[b] += 1
+    assert max(per_tile.values()) <= 30, (
+        f"a tile has {max(per_tile.values())} candidates (> A2 ceiling 30)"
+    )
