@@ -188,6 +188,19 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
 # ---------------------------------------------------------------------------
 
 
+def _plane_sign_expr(p: int, col: str) -> str:
+    """±1 hyperplane sign vector for plane ``p``, sized to each row's
+    vector via size() — sign(p, d) = parity of the first md5 nibble of
+    'p_d', identical to operators.similarity.s02's driver-side
+    ``plane_sign`` but computed entirely JVM-side so no driver action
+    (and no ``dim`` probe) is needed at plan-construction time."""
+    return (
+        f"transform(sequence(0, size({col}) - 1), "
+        f"d -> CASE WHEN (locate(substr(md5(concat('{p}', '_', cast(d AS STRING))), 1, 1), "
+        f"'0123456789abcdef') - 1) % 2 = 0 THEN 1.0D ELSE -1.0D END)"
+    )
+
+
 def ann_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -197,49 +210,90 @@ def ann_join(
     k: int = 5,
     method: str = "bruteforce",
     n_planes: int = 6,
+    dim: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors from ``corpus`` for every row of
     ``queries`` → (q_id, neighbor_id, rk, cos_sim).
 
-    method='bruteforce' scores everything (exact; small corpora or
-    pre-pruned candidates); method='lsh' prunes to a shared
-    random-hyperplane bucket first (operators.similarity.s02 machinery).
+    method='bruteforce' scores everything — EXACT but O(|Q|·|C|); right
+    for small corpora (≲10⁵ rows) or pre-pruned candidate sets, never
+    for a full production corpus. method='lsh' prunes to a shared
+    random-hyperplane bucket first (operators.similarity.s02 machinery)
+    — ~1/2^n_planes of the corpus per query, approximate recall; the
+    scale path.
+
+    ``dim``: optional embedding dimensionality. When given, plane signs
+    are embedded as literal arrays (cheapest codegen); when None they
+    are computed per-row from size() — still JVM-only, no driver
+    round-trip in either case.
+
+    ``exclude_self``: drop neighbor_id == q_id matches. Set False when
+    ``queries`` and ``corpus`` are unrelated tables whose ids may
+    coincide — otherwise a corpus row with a query's id is silently
+    excluded from that query's top-k.
     """
-    from big_data_analytics_cse545_spark.functions.vectors import cosine, dot
     import hashlib
+
+    from big_data_analytics_cse545_spark.functions.vectors import cosine, dot
 
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("_q_emb")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb"))
+    not_self = (
+        (F.col("q_id") != F.col("neighbor_id")) if exclude_self else F.lit(True)
+    )
     if method == "lsh":
+
         def plane_sign(p: int, d: int) -> float:
             nib = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16)
             return 1.0 if nib % 2 == 0 else -1.0
 
-        dim = len(corpus.select(emb_col).first()[0])
-
-        def bucket(col):
+        def bucket(col_name: str):
             b = F.lit(0)
             for p in range(n_planes):
-                signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dim)])
-                b = b + F.when(dot(signs, col) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+                if dim is not None:
+                    signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dim)])
+                    dotv = dot(signs, F.col(col_name))
+                else:
+                    signs_sql = _plane_sign_expr(p, col_name)
+                    dotv = F.expr(
+                        f"aggregate(zip_with(cast({col_name} AS array<double>), "
+                        f"{signs_sql}, (x, s) -> x * s), 0.0D, (acc, v) -> acc + v)"
+                    )
+                b = b + F.when(dotv > 0, F.lit(2 ** p)).otherwise(F.lit(0))
             return b
 
-        q = q.withColumn("_qb", bucket(F.col("_q_emb")))
-        c = c.withColumn("_cb", bucket(F.col("_c_emb")))
-        joined = q.join(
-            c,
-            (F.col("_qb") == F.col("_cb")) & (F.col("q_id") != F.col("neighbor_id")),
-        )
+        q = q.withColumn("_qb", bucket("_q_emb"))
+        c = c.withColumn("_cb", bucket("_c_emb"))
+        joined = q.join(c, (F.col("_qb") == F.col("_cb")) & not_self)
     else:
-        joined = q.join(c, F.col("q_id") != F.col("neighbor_id"))
+        joined = q.join(c, not_self)
     cos = F.round(cosine(F.col("_q_emb"), F.col("_c_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         joined.select("q_id", "neighbor_id", cos.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, distributed (block-pair
+    cogroup, O(1) driver memory) — operators.dedup.blocked_cosine_pairs
+    parameterized for arbitrary tables. Returns (v1, v2, cos_sim)."""
+    from big_data_analytics_cse545_spark.operators.dedup import blocked_cosine_pairs
+
+    return blocked_cosine_pairs(
+        df, id_col=id_col, emb_col=emb_col, threshold=threshold, n_blocks=n_blocks
     )
 
 

@@ -570,12 +570,50 @@ ORDER BY v1, v2
 """
 
 
+# ---------------------------------------------------------------------------
+# d06 — MLlib MinHashLSH (library spelling of d03, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def d06_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via pyspark.ml MinHashLSH — the library
+    spelling next to the hand-rolled d03 (as s04 is to s02): shingle
+    sets → binary CountVectorizer features → MinHashLSH(8 tables) →
+    approxSimilarityJoin at Jaccard distance ≤ 0.3, exact distance
+    reported by the join itself.
+
+    Rows-only driver check (MLlib's hash family isn't SQL-reproducible);
+    recall vs the exact d02 pairs is gated in tests/test_dedup.py.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = _shingles_df(spark, sf_dir)
+    docs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True
+    ).fit(docs)
+    v = cv.transform(docs).select("doc_id", "features")
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(v)
+    pairs = mh.approxSimilarityJoin(v, v, 0.3, distCol="jd")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round(1 - F.col("jd"), 6).alias("jaccard"),
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .orderBy("d1", "d2")
+    )
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
     "d03_minhash_lsh_dedup": d03_minhash_lsh_dedup,
     "d04_simhash_clusters": d04_simhash_clusters,
     "d05_embedding_near_dup": d05_embedding_near_dup,
+    "d06_minhash_mllib": d06_minhash_mllib,
 }
 
 ORACLE = {

@@ -78,6 +78,63 @@ def test_ann_join_lsh_mode_runs(spark, sf_correctness):
     assert all(r["rk"] <= 3 for r in rows)
 
 
+def test_ann_join_lsh_dynamic_signs_match_literal_dim(spark, sf_correctness):
+    """The per-row size()-based plane signs (dim=None, no driver action)
+    must bucket identically to the literal-array form (dim given)."""
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    dyn = {
+        (r["q_id"], r["rk"], r["neighbor_id"])
+        for r in api.ann_join(q, e, "embedding", "vec_id", k=3, method="lsh").collect()
+    }
+    lit = {
+        (r["q_id"], r["rk"], r["neighbor_id"])
+        for r in api.ann_join(
+            q, e, "embedding", "vec_id", k=3, method="lsh", dim=64
+        ).collect()
+    }
+    assert dyn == lit
+
+
+def test_ann_join_lsh_is_lazy(spark, sf_correctness):
+    """Plan construction must not trigger a driver action (the round-1
+    version probed dimensionality with .first())."""
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    api.ann_join(q, e, "embedding", "vec_id", k=3, method="lsh")
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before)
+
+
+def test_ann_join_exclude_self_flag(spark):
+    """exclude_self=False keeps a corpus row whose id equals the query
+    id (unrelated tables whose ids coincide)."""
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "id long, emb array<double>")
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "id long, emb array<double>"
+    )
+    with_self = api.ann_join(q, c, "emb", "id", k=2, exclude_self=False).collect()
+    without = api.ann_join(q, c, "emb", "id", k=2).collect()
+    assert {r["neighbor_id"] for r in with_self} == {1, 2}
+    assert {r["neighbor_id"] for r in without} == {2}
+
+
+def test_embedding_near_dup_pairs_matches_operator(spark, sf_correctness):
+    e = load_table(spark, sf_correctness, "embeddings")
+    got = {
+        (r["v1"], r["v2"], r["cos_sim"])
+        for r in api.embedding_near_dup_pairs(
+            e, "embedding", "vec_id", threshold=0.4
+        ).collect()
+    }
+    exp = {
+        (r["v1"], r["v2"], r["cos_sim"])
+        for r in dedup.d05_embedding_near_dup(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
 def test_grouped_zscore_matches_window_expr(spark, sf_correctness):
     """applyInPandas z-score must equal the pure window-function version."""
     import math

@@ -8,10 +8,31 @@ from big_data_analytics_cse545_spark.operators import dedup
 from tests.oracle_utils import assert_parity
 
 
-@pytest.mark.parametrize("name", sorted(dedup.QUERIES))
+@pytest.mark.parametrize("name", sorted(dedup.ORACLE))
 def test_dedup_oracle_parity(spark, sf_correctness, name):
     df = dedup.QUERIES[name](spark, sf_correctness)
     assert_parity(df, dedup.ORACLE[name], sf_correctness, name)
+
+
+def test_mllib_minhash_recalls_exact_pairs(spark, sf_correctness):
+    """d06 (MLlib MinHashLSH) must recall most exact jaccard≥0.8 pairs
+    (probabilistic hash family → gated at 0.6 like s04) and report a
+    jaccard consistent with the exact computation where recalled."""
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.d02_ngram_jaccard_pairs(spark, sf_correctness).collect()
+    }
+    lib = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.d06_minhash_mllib(spark, sf_correctness).collect()
+    }
+    assert exact
+    recalled = [p for p in exact if p in lib]
+    assert len(recalled) / len(exact) >= 0.6, (
+        f"MLlib MinHashLSH recalled {len(recalled)}/{len(exact)}"
+    )
+    for p in recalled:
+        assert abs(lib[p] - exact[p]) < 1e-6, (p, lib[p], exact[p])
 
 
 def test_lsh_recalls_planted_duplicates(spark, sf_correctness):
