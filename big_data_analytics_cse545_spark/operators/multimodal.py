@@ -401,7 +401,16 @@ def m03_binaryfile_ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(_image_bytes(i))
         open(marker, "w").close()
 
-    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+    # coalesce: 64 tiny files spread over 32 scan partitions × 5 chained
+    # Python runners would spawn ~160 workers (each cold-importing
+    # pandas) for 256 rows — a 20-90s worker-spawn storm. 8 partitions
+    # bound the chain at 40 workers while keeping the funnel parallel.
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+        .coalesce(8)
+    )
     imgs = raw.select(
         F.concat(
             F.lit("img"),
