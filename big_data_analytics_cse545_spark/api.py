@@ -279,6 +279,96 @@ def ann_join(
     )
 
 
+def ivf_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    max_iter: int = 5,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN with LEARNED coarse centroids → (q_id, neighbor_id, rk,
+    cos_sim).
+
+    operators.similarity.s03 demonstrates the IVF shape on pre-existing
+    cell labels; this is the production form: pyspark.ml KMeans learns
+    ``n_cells`` centroids from the corpus (driver holds only k×d), each
+    corpus row is assigned its nearest cell, and each query probes its
+    ``n_probe`` nearest cells before exact cosine scoring inside them.
+    Per query the scored set is ~n_probe/n_cells of the corpus.
+    ``n_probe == n_cells`` degenerates to exact brute force (test-pinned).
+
+    At 100 TB: raise n_cells ~ √N so cells stay partition-sized; the
+    centroid array (n_cells × d literals) stays a broadcast-scale
+    constant in the plan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from big_data_analytics_cse545_spark.functions.vectors import cosine
+
+    # Spherical IVF: cluster and probe on L2-NORMALIZED vectors so
+    # euclidean cell geometry matches the cosine scoring metric —
+    # unnormalized cells mostly partition by magnitude, which is
+    # uninformative for cosine neighbors.
+    def l2norm(col):
+        nrm = F.sqrt(
+            F.aggregate(
+                col.cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+        return F.transform(col.cast("array<double>"), lambda x: x / nrm)
+
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("_c_emb"),
+        array_to_vector(l2norm(F.col(emb_col))).alias("_v"),
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_v", predictionCol="_cell"
+    ).fit(c_vec)
+    centers = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    c = km.transform(c_vec).select("neighbor_id", "_c_emb", "_cell")
+
+    # per-query distances to the k learned centroids as literal-array
+    # expressions; keep the n_probe nearest cells (array_sort on struct)
+    def d2(center: list[float]):
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(l2norm(F.col("_q_emb")), arr, lambda x, ctr: (x - ctr) * (x - ctr)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cells = F.array(
+        *[
+            F.struct(d2(center).alias("d"), F.lit(i).alias("cell"))
+            for i, center in enumerate(centers)
+        ]
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("_q_emb"))
+        .withColumn("_probe", F.slice(F.array_sort(cells), 1, n_probe))
+        .select("q_id", "_q_emb", F.explode("_probe.cell").alias("_cell"))
+    )
+    not_self = (
+        (F.col("q_id") != F.col("neighbor_id")) if exclude_self else F.lit(True)
+    )
+    joined = q.join(c, "_cell").filter(not_self)
+    cos = F.round(cosine(F.col("_q_emb"), F.col("_c_emb")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("q_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     emb_col: str,

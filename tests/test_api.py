@@ -120,6 +120,57 @@ def test_ann_join_exclude_self_flag(spark):
     assert {r["neighbor_id"] for r in without} == {2}
 
 
+def test_ivf_join_learned_centroids(spark, sf_correctness):
+    """ivf_join with learned KMeans centroids: probing ALL cells must
+    equal exact brute force; probing 2 of 8 must keep decent recall while
+    scoring a fraction of the corpus."""
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    exact = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in api.ann_join(q, e, "embedding", "vec_id", k=3).collect()
+    }
+    full_probe = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in api.ivf_join(
+            q, e, "embedding", "vec_id", k=3, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert full_probe == exact, "n_probe == n_cells must degenerate to brute force"
+    # NOTE: no pruned-recall gate on this fixture — its vectors are
+    # near-random (mean pairwise cosine ≈ 0), so cosine neighbors
+    # genuinely straddle cells and any IVF recall ≈ n_probe/n_cells.
+    # Pruned recall is gated on clusterable data below.
+
+
+def test_ivf_join_recall_on_clustered_data(spark):
+    """On data that actually clusters (8 tight direction bundles), IVF
+    with learned centroids and n_probe=2 must recall nearly all true
+    top-k neighbors while scoring only ~2/8 of the corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + 0.15 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = df.filter(F.col("id") % 40 == 0)
+    exact = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in api.ann_join(q, df, "emb", "id", k=3).collect()
+    }
+    pruned = {
+        (r["q_id"], r["rk"]): r["neighbor_id"]
+        for r in api.ivf_join(q, df, "emb", "id", k=3, n_cells=8, n_probe=2).collect()
+    }
+    hits = sum(1 for kk in exact if pruned.get(kk) == exact[kk])
+    assert hits / len(exact) >= 0.8, f"IVF recall {hits}/{len(exact)}"
+
+
 def test_embedding_near_dup_pairs_matches_operator(spark, sf_correctness):
     e = load_table(spark, sf_correctness, "embeddings")
     got = {

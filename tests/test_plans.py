@@ -49,6 +49,32 @@ def test_q01_wholestage_codegen(spark, sf_correctness):
     assert wholestage_codegen_spans(df) >= 1, "hot path left codegen"
 
 
+def test_d05_plan_is_distributed_block_cogroup(spark, sf_correctness):
+    """d05's physical plan must be the distributed shape: the block-pair
+    grid broadcast to both sides, pairs scored in a cogrouped Arrow
+    kernel — and NO driver-side collect anywhere in plan construction."""
+    from big_data_analytics_cse545_spark.operators import dedup
+    from big_data_analytics_cse545_spark.plans import explain_str
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    plan = explain_str(dedup.blocked_cosine_pairs(e, threshold=0.4), "simple")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, "grid should broadcast to both sides"
+
+
+def test_d04_plan_stays_jvm_side(spark, sf_correctness):
+    """The 64-bit SimHash fingerprint/banding pipeline must contain zero
+    Python operators — fingerprints, bands and hamming verification are
+    all JVM expressions (codegen-eligible at 100 TB)."""
+    from big_data_analytics_cse545_spark.operators import dedup
+    from big_data_analytics_cse545_spark.plans import explain_str
+
+    plan = explain_str(dedup.d04_simhash_clusters(spark, sf_correctness), "simple")
+    for py_op in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in plan, f"{py_op} in d04 plan"
+
+
 def test_q20_approx_distinct_accuracy(spark, sf_correctness):
     """HLL++ at rsd=2% must land within 5% of exact."""
     rows = relational.q20_approx_distinct(spark, sf_correctness).collect()
