@@ -442,6 +442,102 @@ GROUP BY 1 ORDER BY year_month
 """
 
 
+# ---------------------------------------------------------------------------
+# t10 — whole-file read of real pseudo-XML files (R9, a1p2b_ahuja.py:8-17)
+# ---------------------------------------------------------------------------
+
+N_WHOLETEXT_FILES = 8
+
+
+def _wholetext_dir() -> str:
+    """Deterministic fixture: 8 small pseudo-XML blog files in a temp
+    dir, written once at first use (and at module import so the DuckDB
+    oracle's read_text() path exists before either side runs)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_wholetext_v1")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        for i in range(N_WHOLETEXT_FILES):
+            blocks = []
+            for j in range(1 + i % 3):
+                day = (i * 7 + j) % 28 + 1
+                blocks.append(
+                    f"<date>{day:02d},March,2024</date>"
+                    f"<post>{'file%d post%d ' % (i, j) * (j + 1)}</post>"
+                )
+            with open(os.path.join(d, f"blog{i:02d}.xml"), "w") as f:
+                f.write("\n".join(blocks))
+        open(marker, "w").close()
+    return d
+
+
+def t10_wholetext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file lenient read of REAL pseudo-XML files — the reference
+    reads each blog file as one string and scans it by hand
+    (``a1p2b_ahuja.py:8-17``); here ``spark.read.text(wholetext=true)``
+    yields one row per file (Spark parallelizes listing + reads), the
+    file name comes from ``input_file_name()`` (I2), and extraction is
+    the same regexp/arrays_zip fan-out as t09. Fixture size is fixed —
+    the source path is the point; the oracle reads the same files with
+    DuckDB's read_text().
+    """
+    d = _wholetext_dir()
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.xml")
+        .load(d)
+        .select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)\.xml", 1).alias("file"),
+            F.col("value").alias("raw_xml"),
+        )
+    )
+    recs = raw.select(
+        "file",
+        F.explode(
+            F.arrays_zip(
+                F.expr(r"regexp_extract_all(raw_xml, '<date>([^<]*)</date>', 1)").alias("d"),
+                F.expr(r"regexp_extract_all(raw_xml, '<post>([^<]*)</post>', 1)").alias("p"),
+            )
+        ).alias("rec"),
+    ).select("file", F.col("rec.d").alias("date_str"), F.col("rec.p").alias("post"))
+    return (
+        recs.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_posts"),
+            F.date_format(
+                F.min(F.to_date("date_str", "dd,MMMM,yyyy")), "yyyy-MM-dd"
+            ).alias("first_date"),
+            F.sum(F.length("post")).alias("total_chars"),
+        )
+        .orderBy("file")
+    )
+
+
+def _t10_sql() -> str:
+    d = _wholetext_dir()  # import-time write keeps the oracle path valid
+    return f"""
+WITH raw AS (
+  SELECT regexp_extract(filename, '([^/]+)\\.xml', 1) AS file, content AS raw_xml
+  FROM read_text('{d}/*.xml')
+),
+recs AS (
+  SELECT file,
+         unnest(regexp_extract_all(raw_xml, '<date>([^<]*)</date>', 1)) AS date_str,
+         unnest(regexp_extract_all(raw_xml, '<post>([^<]*)</post>', 1)) AS post
+  FROM raw
+)
+SELECT file,
+       COUNT(*) AS n_posts,
+       strftime(MIN(strptime(date_str, '%d,%B,%Y')), '%Y-%m-%d') AS first_date,
+       CAST(SUM(length(post)) AS BIGINT) AS total_chars
+FROM recs GROUP BY file ORDER BY file
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -452,6 +548,7 @@ QUERIES = {
     "t07_token_count": t07_token_count,
     "t08_fingerprint": t08_fingerprint,
     "t09_pseudo_xml_extract": t09_pseudo_xml_extract,
+    "t10_wholetext_extract": t10_wholetext_extract,
 }
 
 ORACLE = {
@@ -464,4 +561,5 @@ ORACLE = {
     "t07_token_count": _T07_SQL,
     "t08_fingerprint": _T08_SQL,
     "t09_pseudo_xml_extract": _T09_SQL,
+    "t10_wholetext_extract": _t10_sql(),
 }
