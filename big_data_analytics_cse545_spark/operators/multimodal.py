@@ -432,6 +432,83 @@ def m03_binaryfile_ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# audio features (PCM-shaped payloads)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 1024   # samples per analysis window
+AUDIO_HOP = 512      # hop between windows
+
+
+def audio_features(audios: DataFrame) -> DataFrame:
+    """Windowed audio feature extraction over opaque PCM payloads:
+    (audio_id, content binary int16-PCM, sample_rate, n_samples) →
+    one row per analysis window with RMS energy and zero-crossing rate.
+
+    Same multimodal contract as images/video: the 'decode' is an int16
+    reinterpret (real codecs — mp3/flac — would slot into the same spot;
+    not in this container), the windowing/feature math is numpy inside
+    an Arrow batch, the fan-out is 1→⌈(n−frame)/hop⌉+1 rows. At scale
+    each task holds one batch of clips — constant memory, linear CPU.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, frames, rms_out, zcr_out = [], [], [], []
+            for _, row in batch.iterrows():
+                pcm = np.frombuffer(row["content"], dtype=np.int16)
+                if pcm.size != row["n_samples"]:
+                    raise ValueError("payload/metadata mismatch")
+                x = pcm.astype(np.float64) / 32768.0
+                n = 0
+                for start in range(0, max(x.size - AUDIO_FRAME, 0) + 1, AUDIO_HOP):
+                    w = x[start : start + AUDIO_FRAME]
+                    ids.append(row["audio_id"])
+                    frames.append(n)
+                    rms_out.append(float(np.sqrt((w * w).mean())))
+                    zcr_out.append(float((np.diff(np.sign(w)) != 0).mean()))
+                    n += 1
+            yield pd.DataFrame(
+                {"audio_id": ids, "frame_no": frames, "rms": rms_out, "zcr": zcr_out}
+            )
+
+    return audios.mapInPandas(
+        gen, schema="audio_id string, frame_no int, rms double, zcr double"
+    )
+
+
+def audios_df(spark: SparkSession, sf_dir: str, n_clips: int = 16) -> DataFrame:
+    """Deterministic synthetic PCM source (sine + seeded noise per clip)
+    with the engine's typed-metadata contract — test fixture standing in
+    for a real audio file scan (binaryFile over .wav/.flac)."""
+    n_samples = 8192
+    rate = 16000
+    ids = spark.range(n_clips).select(F.col("id").cast("long").alias("base_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for base_id in batch["base_id"]:
+                rng = np.random.default_rng(int(base_id) + 7_000_000)
+                t = np.arange(n_samples) / rate
+                wave = 0.5 * np.sin(2 * np.pi * (100 + 50 * int(base_id)) * t)
+                wave += 0.05 * rng.standard_normal(n_samples)
+                out.append((np.clip(wave, -1, 1) * 32767).astype(np.int16).tobytes())
+            yield pd.DataFrame(
+                {
+                    "audio_id": "aud" + batch["base_id"].astype(str),
+                    "content": out,
+                    "sample_rate": rate,
+                    "n_samples": n_samples,
+                }
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema="audio_id string, content binary, sample_rate int, n_samples int",
+    )
+
+
+# ---------------------------------------------------------------------------
 # frame sampling (video-shaped payloads)
 # ---------------------------------------------------------------------------
 

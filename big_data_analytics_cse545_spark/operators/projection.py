@@ -48,6 +48,10 @@ def p01_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — partial+final agg, one shuffle of 64 keys.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    return _dim_stats_df(e)
+
+
+def _dim_stats_df(e: DataFrame) -> DataFrame:
     return (
         e.select(F.posexplode("embedding").alias("pos", "v"))
         .select(F.col("pos").cast("bigint").alias("pos"), F.col("v").cast("double").alias("v"))
@@ -157,8 +161,11 @@ def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``a2_ahuja.py:274-279``). Not SQL-expressible (SVD) → rows-only
     driver check; invariants are pinned by unit tests instead.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    stats = p01_dim_stats(spark, sf_dir).collect()
+    # Three passes over embeddings (moments → Gram → projection+rank);
+    # persist once, release at the end (the reference persists its RDD
+    # for the same loop, a2_ahuja.py:431).
+    e = load_table(spark, sf_dir, "embeddings").persist()
+    stats = _dim_stats_df(e).collect()
     mean = np.array([r["mean_v"] for r in stats])
     std = np.array([max(r["std_v"], 1e-9) for r in stats])
 
@@ -176,6 +183,10 @@ def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = np.zeros((DIM, DIM))
     for row in gram_parts.collect():
         gram += np.array(row["gram"]).reshape(DIM, DIM)
+    # stats + Gram passes are done; the final projection pass below runs
+    # at the caller's action — release the cache now (one parquet re-scan
+    # there instead of a leaked cache entry per invocation)
+    e.unpersist()
     # SVD of symmetric PSD Gram ≡ eigendecomposition (a2_ahuja.py:274-275)
     u, _s, _vt = np.linalg.svd(gram)
     comps = u[:, :PCA_K]  # 64×3

@@ -169,3 +169,27 @@ def test_binaryfile_funnel_recall_and_selectivity(spark, sf_smoke):
     assert max(per_tile.values()) <= 30, (
         f"a tile has {max(per_tile.values())} candidates (> A2 ceiling 30)"
     )
+
+
+def test_audio_feature_extraction(spark, sf_smoke):
+    """Audio modality plumbing: int16-PCM payloads -> windowed RMS/ZCR
+    rows with the expected fan-out, values matching straight numpy."""
+    import numpy as np
+
+    clips = mm.audios_df(spark, sf_smoke, n_clips=4)
+    feats = mm.audio_features(clips).collect()
+    n_windows = (8192 - mm.AUDIO_FRAME) // mm.AUDIO_HOP + 1
+    by_clip: dict[str, list] = {}
+    for r in feats:
+        by_clip.setdefault(r["audio_id"], []).append(r)
+    assert set(by_clip) == {f"aud{i}" for i in range(4)}
+    for rows in by_clip.values():
+        assert len(rows) == n_windows
+        assert all(0 <= r["rms"] <= 1 and 0 <= r["zcr"] <= 1 for r in rows)
+    # value check vs numpy on one clip
+    payload = {r["audio_id"]: r["content"] for r in clips.collect()}
+    x = np.frombuffer(payload["aud0"], dtype=np.int16).astype(np.float64) / 32768.0
+    w = x[: mm.AUDIO_FRAME]
+    r0 = sorted(by_clip["aud0"], key=lambda r: r["frame_no"])[0]
+    assert abs(r0["rms"] - float(np.sqrt((w * w).mean()))) < 1e-12
+    assert abs(r0["zcr"] - float((np.diff(np.sign(w)) != 0).mean())) < 1e-12
