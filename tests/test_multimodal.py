@@ -61,6 +61,18 @@ def test_funnel_recalls_planted_duplicates(spark, sf_smoke):
         and abs(int(t1.split("-")[0][3:]) - int(t2.split("-")[0][3:])) == 1
     )
     assert planted_hits >= 10, f"too few planted pairs recalled: {planted_hits}"
+    # selectivity (A2 PDF p.3 acceptance: candidates stay rare — the
+    # reference tunes bandwidth for 10-30 per query): per-tile candidate
+    # count bounded, total a vanishing fraction of all pairs
+    from collections import Counter
+
+    per_tile = Counter()
+    for t1, t2 in pairs:
+        per_tile[t1] += 1
+        per_tile[t2] += 1
+    n_tiles = 500 * (mm.H // mm.TILE) * (mm.W // mm.TILE)
+    assert max(per_tile.values()) <= 30, f"selectivity: {max(per_tile.values())}/tile"
+    assert len(pairs) <= 0.01 * n_tiles * (n_tiles - 1) // 2, len(pairs)
 
 
 def test_intensity_matches_numpy_reference(spark, sf_smoke):
