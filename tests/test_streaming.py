@@ -67,6 +67,40 @@ def test_session_window_exact_gap_boundary(spark):
     assert [(r["user_id"], r["n"]) for r in out] == [(1, 2), (2, 1), (2, 1)]
 
 
+def test_drop_duplicates_within_watermark(spark, sf_correctness):
+    """dropDuplicatesWithinWatermark (SURVEY §2.5 streaming row): state
+    for a key expires once the watermark passes it, unlike plain
+    dropDuplicates whose state grows forever. With one micro-batch the
+    result equals the batch distinct count — semantics parity check."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources import load_table
+    from big_data_analytics_cse545_spark.streaming.ops import (
+        _events_stream,
+        _run_to_table,
+    )
+
+    e = _events_stream(spark, sf_correctness)
+    dedup = (
+        e.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        r["event_type"]: r["n"]
+        for r in _run_to_table(dedup, spark, "ddww_mem").collect()
+    }
+    exp = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_correctness, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
 def test_stream_shuffle_partitions_restored_on_error(spark):
     """The streaming shuffle-partition pin must restore the caller's conf
     even when the streaming query throws (ADVICE round 1)."""
