@@ -293,12 +293,67 @@ GROUP BY n_events ORDER BY n_events
 """
 
 
+# ---------------------------------------------------------------------------
+# st06 — stream-stream join (watermarked, time-range condition)
+# ---------------------------------------------------------------------------
+
+def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: views ⋈ purchases by the
+    same user within 1 hour after the view, reduced to pairs-per-
+    purchase-hour-of-day. Both sides carry watermarks and the join has a
+    time-range condition, so Spark can expire join state — the unbounded
+    state problem every naive stream join hits at scale. With
+    AvailableNow over one file the result equals the batch join exactly,
+    giving a SQL oracle.
+    """
+    e = _events_stream(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    out = _run_to_table(
+        joined.select("p_user", "view_ts", "purchase_ts"),
+        spark,
+        "st06_mem",
+        output_mode="append",
+    )
+    return (
+        out.groupBy(F.date_format("purchase_ts", "HH").alias("purchase_hour"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("purchase_hour")
+    )
+
+
+_ST06_SQL = """
+WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+SELECT strftime(pts, '%H') AS purchase_hour, COUNT(*) AS n_pairs
+FROM v JOIN p ON v.user_id = p.user_id
+ AND epoch(pts) >= epoch(vts) AND epoch(pts) <= epoch(vts) + 3600
+GROUP BY 1 ORDER BY purchase_hour
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
     "st03_session_window": st03_session_window,
     "st04_streaming_dedup": st04_streaming_dedup,
     "st05_stateful_user_counts": st05_stateful_user_counts,
+    "st06_stream_stream_join": st06_stream_stream_join,
 }
 
 ORACLE = {
@@ -307,4 +362,5 @@ ORACLE = {
     "st03_session_window": _ST03_SQL,
     "st04_streaming_dedup": _ST04_SQL,
     "st05_stateful_user_counts": _ST05_SQL,
+    "st06_stream_stream_join": _ST06_SQL,
 }
