@@ -32,7 +32,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entrymod.queries()
+    qs = entrymod.all_queries()  # full registry — bench ignores the driver budget
     # JVM/codegen warmup on the flagship so per-query numbers measure the
     # plan, not classloading.
     try:

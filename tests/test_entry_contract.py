@@ -18,16 +18,40 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_has_a_query():
     qs, osql = em.queries(), em.oracle_sql()
     assert set(osql) <= set(qs), f"orphan oracles: {set(osql) - set(qs)}"
-    assert len(qs) >= 50
+    # the driver checks exactly the first 50 insertion-order entries —
+    # emit exactly 50 so nothing ever falls off the end silently
+    assert len(qs) == 50, f"driver-facing queries() must be exactly 50, got {len(qs)}"
     for name, fn in qs.items():
         params = list(inspect.signature(fn).parameters)
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
 
 
+def test_rotation_budget_is_consistent():
+    """_TEST_GATED/_HELD_OUT must reference real queries, not overlap,
+    and together account for the full registry minus the 50 emitted."""
+    full, active = em.all_queries(), em.queries()
+    assert em._TEST_GATED <= set(full)
+    assert em._HELD_OUT <= set(full)
+    assert not (em._TEST_GATED & em._HELD_OUT)
+    assert set(active) == set(full) - em._TEST_GATED - em._HELD_OUT
+
+
+def test_held_out_queries_still_pass_their_oracle(spark, sf_correctness):
+    """Rotation must not lose the hard check: every held-out query that
+    has an oracle is compared here with the driver's own contract."""
+    from tests.oracle_utils import assert_parity
+
+    full = em.all_queries()
+    held = em.held_out_oracle_sql()
+    assert held, "expected at least one held-out oracle-checked query"
+    for name, sql in held.items():
+        assert_parity(full[name](spark, sf_correctness), sql, sf_correctness, name)
+
+
 def test_query_schemas_stable_across_scale_factors(spark, sf_smoke, sf_correctness):
     """Same column names and types at sf0.001 and sf0.01 — a schema that
     drifts with data size would break the driver's hash compare."""
-    qs = em.queries()
+    qs = em.all_queries()
     # streaming queries execute on build; representative batch sample
     # covers every module family without paying streaming startup twice
     sample = [
