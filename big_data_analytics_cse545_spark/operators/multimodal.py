@@ -3,10 +3,13 @@ Arrow-batched pandas UDFs over opaque binary columns.
 
 Reference parity (SURVEY §2.4):
   I1/I3 binary scan + ``getOrthoTif`` zip→tif decode (``a2_ahuja.py:13-24,
-       416``) → ``decode_image``: the container has no tifffile/PIL, so the
-       byte→tensor decode is a clearly-marked DETERMINISTIC FAKE (seeded by
-       the content bytes) — the Spark-side plumbing (BinaryType column,
-       schema, batch shapes, fan-out) is real and tested.
+       416``) → ``decode_image``: ZIP containers are unpacked for real
+       (member located by '.tif' suffix, the reference's rule) and a REAL
+       codec (tifffile/PIL) is attempted first; this container ships no
+       image codec, so the tested path falls back to a deterministic
+       raw-tensor reshape — the Spark-side plumbing (BinaryType column,
+       schema, batch shapes, fan-out) is real either way, and a
+       production deploy with tifffile installed needs zero edits.
   I4   ``divideImage`` tiling with row-major ids '{img}-{n}'
        (``a2_ahuja.py:32-44``) → ``tile_images`` (mapInPandas, 1→N rows).
   I5   intensity = mean(RGB)·(IR/100) (``a2_ahuja.py:47-50``).
@@ -85,8 +88,16 @@ def _image_bytes(base_id: int) -> bytes:
 def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id string, content binary, width, height, channels) — opaque
     payload + typed metadata, the engine's multimodal column contract."""
-    ids = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("long").alias("base_id")
+    # the sf0.1 embeddings table is a single parquet file → 1 scan
+    # partition → the whole Python funnel would run serially. 8-way is
+    # the measured sweet spot for this chained-mapInPandas stage on
+    # local[32]: 1 partition = serial (10s), 32 = cold-worker storm
+    # (19s), 8 = 7s. On a real cluster this would be
+    # max(8, input splits); the constant is the local-mode bound.
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").cast("long").alias("base_id"))
+        .repartition(8)
     )
 
     def make_bytes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,15 +119,72 @@ def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(content: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """STUB decode (reference: zipfile+tifffile, ``a2_ahuja.py:13-24``).
+def _zip_tif_member(payload: bytes) -> bytes | None:
+    """If ``payload`` is a ZIP container, return the bytes of the member
+    whose name ends in '.tif' — the reference's suffix rule for locating
+    the image inside each zip (``a2_ahuja.py:13-24``). None otherwise."""
+    if payload[:4] != b"PK\x03\x04":
+        return None
+    import io
+    import zipfile
 
-    Real image/audio codecs are not installed in this container; the
-    payload is raw uint8 so 'decoding' is a reshape. A production build
-    would replace this body with tifffile/PIL — signature and batch
-    shape stay identical.
-    """
-    arr = np.frombuffer(content, dtype=np.uint8)
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for name in zf.namelist():
+                if name.endswith(".tif"):
+                    return zf.read(name)
+    except zipfile.BadZipFile:
+        return None
+    return None
+
+
+def _codec_decode(raw: bytes) -> np.ndarray | None:
+    """Attempt a REAL image codec — tifffile first (the reference's,
+    ``a2_ahuja.py:21``), then PIL — so a production container takes the
+    real decode path with zero code edits. Returns None when no codec is
+    installed or the payload is not a parseable image (the synthetic
+    fixtures here are raw tensors)."""
+    import io
+
+    try:
+        import tifffile  # type: ignore[import-not-found]
+    except ImportError:
+        tifffile = None
+    if tifffile is not None:
+        try:
+            return np.asarray(tifffile.imread(io.BytesIO(raw)))
+        except Exception:  # noqa: BLE001 — not a tiff; fall through
+            pass
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    try:
+        return np.asarray(Image.open(io.BytesIO(raw)))
+    except Exception:  # noqa: BLE001 — not a PIL-readable image
+        return None
+
+
+def decode_image(content: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """I3 ``getOrthoTif`` (``a2_ahuja.py:13-24``): unpack the ZIP
+    container (member located by '.tif' suffix) when present, attempt a
+    real codec (tifffile/PIL), and fall back to interpreting the payload
+    as a raw uint8 tensor. This container ships no image codec, so the
+    fallback is the exercised path; the zip handling and the codec
+    attempt are real (tests skip the codec assertion when no codec is
+    installed)."""
+    raw = _zip_tif_member(content)
+    if raw is None:
+        raw = content
+    decoded = _codec_decode(raw)
+    if decoded is not None:
+        arr = np.ascontiguousarray(decoded, dtype=np.uint8)
+        if arr.size != width * height * channels:
+            raise ValueError(
+                f"decoded size {arr.size} != {width}x{height}x{channels}"
+            )
+        return arr.reshape(height, width, channels)
+    arr = np.frombuffer(raw, dtype=np.uint8)
     if arr.size != width * height * channels:
         raise ValueError(f"payload size {arr.size} != {width}x{height}x{channels}")
     return arr.reshape(height, width, channels)
@@ -126,9 +194,11 @@ def decode_image(content: bytes, width: int, height: int, channels: int) -> np.n
 # funnel stages (each a mapInPandas stage — Arrow batches, no per-row pickle)
 # ---------------------------------------------------------------------------
 
-def tile_images(images: DataFrame) -> DataFrame:
+def tile_images(images: DataFrame, decode_counter=None) -> DataFrame:
     """I4: split each H×W image into TILE×TILE cells, row-major ids
-    '{img}-{n}' (``a2_ahuja.py:32-44``). 1→(H/TILE)·(W/TILE) fan-out."""
+    '{img}-{n}' (``a2_ahuja.py:32-44``). 1→(H/TILE)·(W/TILE) fan-out.
+    ``decode_counter`` (an optional Spark accumulator) counts decoded
+    images — used by tests to prove the persist-fork decodes once."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -137,6 +207,8 @@ def tile_images(images: DataFrame) -> DataFrame:
                 img = decode_image(
                     row["content"], row["width"], row["height"], row["channels"]
                 )
+                if decode_counter is not None:
+                    decode_counter.add(1)
                 n = 0
                 for r in range(0, H, TILE):        # row-major, as the reference
                     for c in range(0, W, TILE):
@@ -166,16 +238,19 @@ def tile_intensity(tiles: DataFrame, pool: int = POOL) -> DataFrame:
     return tiles.mapInPandas(gen, schema="tile_id string, intensity array<double>")
 
 
+def _quantize(d: np.ndarray) -> np.ndarray:
+    """I8 quantizer: exact ±1 thresholds to {-1,0,1} (``a2_ahuja.py:80-84``)."""
+    q = np.zeros_like(d, dtype=np.int32)
+    q[d > 1] = 1
+    q[d < -1] = -1
+    return q
+
+
 def gradient_features(intensity: DataFrame, pool: int = POOL) -> DataFrame:
     """I8: row/col np.diff, quantize at ±1 to {-1,0,1}, flatten+concat —
     2·n·(n−1) dims (``a2_ahuja.py:77-87``)."""
     n = TILE // pool
-
-    def quantize(d: np.ndarray) -> np.ndarray:
-        q = np.zeros_like(d, dtype=np.int32)
-        q[d > 1] = 1
-        q[d < -1] = -1
-        return q
+    quantize = _quantize
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -318,12 +393,12 @@ def ref_signatures(features: DataFrame) -> DataFrame:
 def ref_band_candidates(sigs: DataFrame) -> DataFrame:
     """Candidate pairs sharing any (band position, 13-bit value) — the
     reference's same-position bucket equality over the 39 bit-bands.
-    The exploded band table is persisted: it is tiny (n_tiles × 39
-    short rows) and both sides of the self-join read it, which would
-    otherwise run the whole Python funnel twice."""
+    Callers persist ``sigs`` (the smallest relation) so both sides of
+    the self-join read the cache instead of re-running the Python
+    funnel; the posexplode itself is cheap JVM work done per side."""
     bands = sigs.select(
         "tile_id", F.posexplode("bands").alias("band", "bval")
-    ).persist()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -338,6 +413,113 @@ def ref_band_candidates(sigs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fused funnel kernel + bounded query-cache registry
+# ---------------------------------------------------------------------------
+
+def fused_signatures(
+    images: DataFrame,
+    pool: int = POOL,
+    n_chunks: int = N_CHUNKS,
+    idx: int = SIG_IDX,
+    width: int = SIG_WIDTH,
+    ref_bands: bool = False,
+) -> DataFrame:
+    """The whole decode→tile→intensity→gradient→signature funnel FUSED
+    into ONE mapInPandas stage (image bytes in → tile_id, signature
+    [, bands] out).
+
+    Stage-equivalent to composing ``tile_images → tile_intensity →
+    gradient_features → signatures``/``ref_signatures`` — pinned equal by
+    tests/test_multimodal.py — but spawns one Python runner per scan
+    partition instead of one per chained stage. Round 2's m03 spent
+    32.9s on 256 rows almost entirely in cold Python-worker spawn from
+    five chained stages; the per-row kernels are linear numpy, so fusing
+    changes worker count, not semantics. The reference funnel is likewise
+    a single lineage (``a2_ahuja.py:416-430``)."""
+    n = TILE // pool
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids: list[str] = []
+            sigs: list[str] = []
+            bands: list[list[int]] = []
+            for img_id, content, bw, bh, bc in zip(
+                batch["img_id"],
+                batch["content"],
+                batch["width"],
+                batch["height"],
+                batch["channels"],
+            ):
+                img = decode_image(content, bw, bh, bc)
+                t_no = 0
+                for r in range(0, H, TILE):        # row-major, as the reference
+                    for c in range(0, W, TILE):
+                        t = img[r : r + TILE, c : c + TILE]
+                        inten = t[:, :, :3].mean(axis=2) * (
+                            t[:, :, 3].astype(np.float64) / 100.0
+                        )
+                        pooled = inten.reshape(n, pool, n, pool).mean(axis=(1, 3))
+                        fx = _quantize(np.diff(pooled, axis=1)).ravel()
+                        fy = _quantize(np.diff(pooled, axis=0)).ravel()
+                        feat = np.concatenate([fx, fy]).tolist()
+                        sig = chunk_signature(
+                            feat, n_chunks=n_chunks, idx=idx, width=width
+                        )
+                        ids.append(f"{img_id}-{t_no}")
+                        sigs.append(sig)
+                        if ref_bands:
+                            bands.append(ref_bands_py(sig))
+                        t_no += 1
+            out: dict = {"tile_id": ids, "signature": sigs}
+            if ref_bands:
+                out["bands"] = bands
+            yield pd.DataFrame(out)
+
+    schema = "tile_id string, signature string"
+    if ref_bands:
+        schema += ", bands array<int>"
+    return images.mapInPandas(gen, schema=schema)
+
+
+_CACHED: dict[str, DataFrame] = {}
+
+
+def _swap_cached(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and unpersist the PREVIOUS
+    invocation's DF for the same key — bounding the cache footprint of a
+    long-lived session to one live entry per query family instead of one
+    per call (the leak ADVICE r2 flagged). The unpersist is best-effort:
+    the prior DF may belong to an already-stopped session."""
+    from pyspark import StorageLevel
+
+    prev = _CACHED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session gone; nothing to free
+            pass
+    _CACHED[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return _CACHED[key]
+
+
+def funnel_fork(
+    images: DataFrame, pools: tuple[int, ...] = (POOL, 1), decode_counter=None
+):
+    """The reference's extra-credit fork (``a2_ahuja.py:322-406,431-433``):
+    ONE persisted tile relation feeds the pooling→features→signature
+    funnel at several factors — decode+tiling runs once, every branch
+    re-reads the cache (the reference persists rdd4 for exactly this).
+    Returns ``(tiles, {pool: signatures_df})``; the caller unpersists
+    ``tiles`` after consuming the branches."""
+    tiles = tile_images(images, decode_counter=decode_counter).persist()
+    branches = {
+        p: signatures(gradient_features(tile_intensity(tiles, pool=p), pool=p))
+        for p in pools
+    }
+    return tiles, branches
+
+
+# ---------------------------------------------------------------------------
 # m01 — end-to-end funnel query (rows-only: tensors aren't SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -348,8 +530,10 @@ def m01_image_similarity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bands to mirror the reference's selectivity tuning
     (``a2_ahuja.py:133-139``)."""
     imgs = images_df(spark, sf_dir)
-    feats = gradient_features(tile_intensity(tile_images(imgs)))
-    sigs = signatures(feats)
+    # one fused Python stage, persisted: both sides of the band self-join
+    # read the cached signatures instead of re-running the funnel (round
+    # 2 computed the whole decode→signature chain once per join side)
+    sigs = _swap_cached("m01_sigs", fused_signatures(imgs))
     bands = sigs.select(
         "tile_id", F.posexplode(_bands_col()).alias("band", "bucket")
     )
@@ -375,46 +559,64 @@ def m01_image_similarity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BINARY_FILES = 64
 
 
+def _binary_fixture_dir() -> str:
+    """64 ZIP containers — one '.tif' member each, located by suffix as
+    the reference does (``a2_ahuja.py:13-24``) — written ONCE into a
+    shared temp dir. Creation is atomic (unique temp dir + os.replace)
+    so concurrent first-runs can never observe a half-written fixture;
+    the loser of the race just discards its copy."""
+    import os
+    import shutil
+    import tempfile
+    import zipfile
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_binimgs_v2")
+    if os.path.isdir(d):
+        return d
+    tmp = f"{d}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(N_BINARY_FILES):
+        with zipfile.ZipFile(os.path.join(tmp, f"img{i:05d}.zip"), "w") as zf:
+            zf.writestr(f"img{i:05d}.tif", _image_bytes(i))
+    try:
+        os.replace(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(d):
+            raise
+    return d
+
+
 def m03_binaryfile_ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The a2 funnel from REAL files: 64 deterministic image payloads
-    written to a temp directory once, scanned with Spark's native
-    ``binaryFile`` source (``sc.binaryFiles`` parity, ``a2_ahuja.py:416``),
-    img_id recovered from the file path (I2 ``getFileName``), then
-    decode→tile→intensity→gradient→signature with the REFERENCE-EXACT
-    banding: 128-chunk signature, 512 bits, 39 bands × 13 bits
-    (``computeBuckets2``, ``a2_ahuja.py:140-149``). Output = candidate
-    pairs. Fixture size is fixed (64 images / 256 tiles) regardless of
-    sf — the source is the point here, scale comes from m01.
+    """The a2 funnel from REAL files: 64 deterministic ZIP containers
+    (each holding a '.tif' member, as the reference's dataset does)
+    scanned with Spark's native ``binaryFile`` source (``sc.binaryFiles``
+    parity, ``a2_ahuja.py:416``), img_id recovered from the file path
+    (I2 ``getFileName``), then the FUSED decode→tile→intensity→gradient→
+    signature kernel with the REFERENCE-EXACT banding: 128-chunk
+    signature, 512 bits, 39 bands × 13 bits (``computeBuckets2``,
+    ``a2_ahuja.py:140-149``). Output = candidate pairs. Fixture size is
+    fixed (64 images / 256 tiles) regardless of sf — the source is the
+    point here, scale comes from m01.
 
     Rows-only driver check (binary tensors aren't SQL-expressible);
     recall + selectivity are pinned in tests/test_multimodal.py.
     """
-    import os
-    import tempfile
+    d = _binary_fixture_dir()
 
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_binimgs_v1")
-    marker = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
-        for i in range(N_BINARY_FILES):
-            with open(os.path.join(d, f"img{i:05d}.bin"), "wb") as f:
-                f.write(_image_bytes(i))
-        open(marker, "w").close()
-
-    # coalesce: 64 tiny files spread over 32 scan partitions × 5 chained
-    # Python runners would spawn ~160 workers (each cold-importing
-    # pandas) for 256 rows — a 20-90s worker-spawn storm. 8 partitions
-    # bound the chain at 40 workers while keeping the funnel parallel.
+    # coalesce: 64 tiny files over 32 scan partitions would still spawn
+    # 32 cold Python workers for 64 rows; 8 partitions keep the fused
+    # single-stage funnel parallel without the spawn cost dominating.
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
+        .option("pathGlobFilter", "*.zip")
         .load(d)
         .coalesce(8)
     )
     imgs = raw.select(
         F.concat(
             F.lit("img"),
-            F.regexp_extract(F.col("path"), r"img(\d+)\.bin$", 1).cast("long"),
+            F.regexp_extract(F.col("path"), r"img(\d+)\.zip$", 1).cast("long"),
         ).alias("img_id"),
         "content",
         F.lit(W).alias("width"),
@@ -426,8 +628,18 @@ def m03_binaryfile_ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per chunk; at our tiny tile size the default 2×2 pooling leaves
     # only 1-2 elements per chunk, a degenerate md5 alphabet whose
     # signature bits collide in nearly every 13-bit band.
-    feats = gradient_features(tile_intensity(tile_images(imgs), pool=1), pool=1)
-    cand = ref_band_candidates(ref_signatures(feats))
+    sigs = _swap_cached(
+        "m03_sigs",
+        fused_signatures(
+            imgs,
+            pool=1,
+            n_chunks=REF_N_CHUNKS,
+            idx=REF_SIG_IDX,
+            width=1,
+            ref_bands=True,
+        ),
+    )
+    cand = ref_band_candidates(sigs)
     return cand.orderBy("t1", "t2")
 
 

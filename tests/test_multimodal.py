@@ -4,6 +4,7 @@ checkpoint probes (a2_ahuja_output.txt:1-13)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from big_data_analytics_cse545_spark.operators import multimodal as mm
 
@@ -180,6 +181,127 @@ def test_binaryfile_funnel_recall_and_selectivity(spark, sf_smoke):
         per_tile[b] += 1
     assert max(per_tile.values()) <= 30, (
         f"a tile has {max(per_tile.values())} candidates (> A2 ceiling 30)"
+    )
+
+
+def test_fused_funnel_matches_staged(spark, sf_smoke):
+    """The fused single-stage kernel must be bit-identical to the staged
+    tile→intensity→gradient→signature composition, for both the m01
+    parameters and the reference-exact m03 parameters (incl. bands)."""
+    imgs = mm.images_df(spark, sf_smoke).filter(
+        "img_id in ('img0','img1','img8','img9')"
+    )
+    staged = {
+        r["tile_id"]: r["signature"]
+        for r in mm.signatures(
+            mm.gradient_features(mm.tile_intensity(mm.tile_images(imgs)))
+        ).collect()
+    }
+    fused = {r["tile_id"]: r["signature"] for r in mm.fused_signatures(imgs).collect()}
+    assert fused == staged and len(fused) == 16
+    staged_ref = {
+        r["tile_id"]: (r["signature"], list(r["bands"]))
+        for r in mm.ref_signatures(
+            mm.gradient_features(
+                mm.tile_intensity(mm.tile_images(imgs), pool=1), pool=1
+            )
+        ).collect()
+    }
+    fused_ref = {
+        r["tile_id"]: (r["signature"], list(r["bands"]))
+        for r in mm.fused_signatures(
+            imgs,
+            pool=1,
+            n_chunks=mm.REF_N_CHUNKS,
+            idx=mm.REF_SIG_IDX,
+            width=1,
+            ref_bands=True,
+        ).collect()
+    }
+    assert fused_ref == staged_ref
+
+
+def test_zip_member_extraction_and_codec_fallback():
+    """I1/I3 container handling: a ZIP payload has its '.tif' member
+    located by suffix (a2_ahuja.py:13-24) and decodes to the same tensor
+    as the raw payload; non-zip payloads pass through unchanged."""
+    import io
+    import zipfile
+
+    payload = mm._image_bytes(3)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("metadata.txt", "not the image")
+        zf.writestr("scene-3.tif", payload)
+    zipped = buf.getvalue()
+    assert mm._zip_tif_member(zipped) == payload
+    assert mm._zip_tif_member(payload) is None
+    a = mm.decode_image(zipped, mm.W, mm.H, mm.CHANNELS)
+    b = mm.decode_image(payload, mm.W, mm.H, mm.CHANNELS)
+    assert np.array_equal(a, b)
+
+
+def test_real_codec_decode_when_available():
+    """When a real codec is installed (production container), the decode
+    path must take it; skipped here if neither tifffile nor PIL exists."""
+    import io
+
+    import pytest
+
+    try:
+        import tifffile  # noqa: F401
+
+        have = "tifffile"
+    except ImportError:
+        try:
+            from PIL import Image  # noqa: F401
+
+            have = "PIL"
+        except ImportError:
+            pytest.skip("no image codec installed in this container")
+    arr = np.arange(mm.H * mm.W * mm.CHANNELS, dtype=np.uint8).reshape(
+        mm.H, mm.W, mm.CHANNELS
+    )
+    buf = io.BytesIO()
+    if have == "tifffile":
+        import tifffile
+
+        tifffile.imwrite(buf, arr)
+    else:
+        from PIL import Image
+
+        Image.fromarray(arr).save(buf, format="TIFF")
+    decoded = mm.decode_image(buf.getvalue(), mm.W, mm.H, mm.CHANNELS)
+    assert np.array_equal(decoded, arr)
+
+
+def test_factor_fork_reuses_persisted_tiles(spark, sf_smoke):
+    """The reference's extra-credit fork (a2_ahuja.py:322-406,431-433):
+    both pooling factors run off ONE persisted tiles relation — the
+    decode accumulator must count each image exactly once, not once per
+    branch, and both branches must produce full, distinct signatures."""
+    acc = spark.sparkContext.accumulator(0)
+    wanted = [f"img{i}" for i in range(8)]
+    imgs = mm.images_df(spark, sf_smoke).filter(
+        F.col("img_id").isin(wanted)
+    )
+    tiles, branches = mm.funnel_fork(imgs, pools=(2, 1), decode_counter=acc)
+    try:
+        got = {p: df.collect() for p, df in branches.items()}
+    finally:
+        tiles.unpersist()
+    n_tiles = len(wanted) * (mm.H // mm.TILE) * (mm.W // mm.TILE)
+    for p, rows in got.items():
+        assert len(rows) == n_tiles, f"pool={p}: {len(rows)} rows"
+        assert all(
+            len(r["signature"]) == mm.N_CHUNKS * mm.SIG_WIDTH for r in rows
+        )
+    sig2 = {r["tile_id"]: r["signature"] for r in got[2]}
+    sig1 = {r["tile_id"]: r["signature"] for r in got[1]}
+    assert sig1 != sig2, "pool factors should produce different signatures"
+    assert acc.value == len(wanted), (
+        f"decode ran {acc.value}× for {len(wanted)} images — "
+        "persist-fork must decode once"
     )
 
 
