@@ -161,26 +161,34 @@ def minhash_dedup(
 
 def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash fingerprint column (md5-nibble bits, no UDF)."""
+    from big_data_analytics_cse545_spark.operators.dedup import _bit_weight
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
     )
-    # per-token 64-bit value from md5 hex prefix (16 nibbles)
-    bit_votes = []
-    for j in range(64):
-        nib, shift = j // 4 + 1, 3 - (j % 4)
-        bit = (
-            f"CAST(floor((locate(substr(md5(t), {nib}, 1), '0123456789abcdef') - 1) "
-            f"/ {2 ** shift}) AS INT) % 2"
-        )
-        bit_votes.append(f"aggregate(_ts, 0L, (acc, t) -> acc + 2 * ({bit}) - 1) > 0")
+    # one md5 per token, pre-parsed into four 16-bit integer quarters;
+    # each bit vote is then an integer shift+mask over the quarter array
+    # (the round-2 form re-derived md5+locate per bit — 64× per token)
+    quarters = "transform(_ts, t -> array(" + ", ".join(
+        f"CAST(conv(substr(md5(t), {4 * b + 1}, 4), 16, 10) AS INT)"
+        for b in range(4)
+    ) + "))"
+    bit_votes = [
+        f"aggregate(_qs, 0L, (acc, q) -> "
+        f"acc + 2 * ((q[{j // 16}] div {_bit_weight(j)}) % 2) - 1) > 0"
+        for j in range(64)
+    ]
     # bitwise OR of shifted bits — a literal 2^63 would overflow the
     # signed long, shiftleft wraps to the sign bit correctly
     sim = " | ".join(
         f"IF({v}, shiftleft(1L, {j}), 0L)" for j, v in enumerate(bit_votes)
     )
-    return df.withColumn("_ts", toks).withColumn(
-        out_col, F.expr(sim).cast("long")
-    ).drop("_ts")
+    return (
+        df.withColumn("_ts", toks)
+        .withColumn("_qs", F.expr(quarters))
+        .withColumn(out_col, F.expr(sim).cast("long"))
+        .drop("_ts", "_qs")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +218,7 @@ def ann_join(
     k: int = 5,
     method: str = "bruteforce",
     n_planes: int = 6,
+    n_tables: int = 1,
     dim: int | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
@@ -222,6 +231,16 @@ def ann_join(
     random-hyperplane bucket first (operators.similarity.s02 machinery)
     — ~1/2^n_planes of the corpus per query, approximate recall; the
     scale path.
+
+    ``n_tables``: number of INDEPENDENT hyperplane tables (multi-probe,
+    OR-semantics — a pair is a candidate if it collides in ANY table;
+    the d03 banding pattern applied to hyperplane LSH). A single
+    all-n_planes-bits bucket has recall p^n_planes per table (p = the
+    per-plane collision probability); n_tables drives recall to
+    1-(1-p^n_planes)^n_tables while each query still scores only
+    ~n_tables/2^n_planes of the corpus. Table t uses plane indices
+    t*n_planes..t*n_planes+n_planes-1 of the same md5 sign family, so
+    n_tables=1 is exactly the round-2 behavior (and s02's).
 
     ``dim``: optional embedding dimensionality. When given, plane signs
     are embedded as literal arrays (cheapest codegen); when None they
@@ -250,14 +269,15 @@ def ann_join(
             nib = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16)
             return 1.0 if nib % 2 == 0 else -1.0
 
-        def bucket(col_name: str):
+        def bucket(col_name: str, table: int):
             b = F.lit(0)
             for p in range(n_planes):
+                gp = table * n_planes + p  # independent planes per table
                 if dim is not None:
-                    signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dim)])
+                    signs = F.array(*[F.lit(plane_sign(gp, d)) for d in range(dim)])
                     dotv = dot(signs, F.col(col_name))
                 else:
-                    signs_sql = _plane_sign_expr(p, col_name)
+                    signs_sql = _plane_sign_expr(gp, col_name)
                     dotv = F.expr(
                         f"aggregate(zip_with(cast({col_name} AS array<double>), "
                         f"{signs_sql}, (x, s) -> x * s), 0.0D, (acc, v) -> acc + v)"
@@ -265,9 +285,21 @@ def ann_join(
                 b = b + F.when(dotv > 0, F.lit(2 ** p)).otherwise(F.lit(0))
             return b
 
-        q = q.withColumn("_qb", bucket("_q_emb"))
-        c = c.withColumn("_cb", bucket("_c_emb"))
-        joined = q.join(c, (F.col("_qb") == F.col("_cb")) & not_self)
+        def with_buckets(df: DataFrame, emb: str, bucket_col: str) -> DataFrame:
+            # one row per (row, table): join key is (table, bucket) so
+            # tables never cross-match; candidates are deduped after
+            buckets = F.array(*[bucket(emb, t) for t in range(n_tables)])
+            return df.select(
+                "*", F.posexplode(buckets).alias("_t", bucket_col)
+            )
+
+        q = with_buckets(q, "_q_emb", "_qb")
+        c = with_buckets(c, "_c_emb", "_cb").withColumnRenamed("_t", "_ct")
+        # a pair colliding in several tables must be scored exactly once
+        joined = q.join(
+            c,
+            (F.col("_t") == F.col("_ct")) & (F.col("_qb") == F.col("_cb")) & not_self,
+        ).dropDuplicates(["q_id", "neighbor_id"])
     else:
         joined = q.join(c, not_self)
     cos = F.round(cosine(F.col("_q_emb"), F.col("_c_emb")), 6)

@@ -294,6 +294,17 @@ def _simhash_bit_exprs(n_bits: int, locate_fn: str) -> list[str]:
     return exprs
 
 
+def _bit_weight(j: int) -> int:
+    """Power-of-two weight of fingerprint bit ``j`` inside its 16-bit md5
+    quarter: hex char ``j//4`` (big-endian nibble order), bit ``3-(j%4)``
+    within the nibble — the same (nibble, shift) layout as
+    :func:`_simhash_bit_exprs`, so both derivations yield identical
+    fingerprints (cross-checked by the d04 oracle compare and
+    tests/test_dedup.py's pigeonhole test, which still uses the
+    per-nibble spelling)."""
+    return 1 << (4 * (3 - (j // 4) % 4) + (3 - j % 4))
+
+
 def _band_value_sql(b: int) -> str:
     """Band b (0..3) as a 16-bit integer from the vote columns — built
     from votes, not from the signed fingerprint, so neither engine has to
@@ -335,11 +346,29 @@ def simhash_near_dup_pairs(d: DataFrame, ham_k: int = HAMMING_MAX) -> DataFrame:
     hamming) pairs with hamming ≤ ham_k. Hamming-banded: candidates from
     any equal 16-bit band, exact bit_count(xor) verify on candidates."""
     toks = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
-    bit_exprs = _simhash_bit_exprs(SIMHASH_BITS, "locate")
-    votes = toks.groupBy("doc_id").agg(
+    # ONE md5 per token, parsed into four 16-bit integer quarters with
+    # conv(); each of the 64 vote sums is then an integer shift+mask on
+    # a quarter column. Round 2 derived every bit with its own
+    # locate(substr(md5(tok),...)) chain — 64 md5+locate evaluations per
+    # token — which made d04 2.8× slower than its round-1 form. The
+    # DuckDB oracle (_d04_sql) keeps the per-nibble strpos spelling
+    # (DuckDB has no conv()); the two derivations agreeing bit-for-bit
+    # is exactly what the driver's hash compare verifies.
+    quarters = toks.select(
+        "doc_id",
         *[
-            F.sum(F.expr(f"2 * ({e}) - 1")).alias(f"v{j}")
-            for j, e in enumerate(bit_exprs)
+            F.expr(
+                f"CAST(conv(substr(md5(tok), {4 * b + 1}, 4), 16, 10) AS INT)"
+            ).alias(f"q{b}")
+            for b in range(SIMHASH_BITS // 16)
+        ],
+    )
+    votes = quarters.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"2 * ((q{j // 16} div {_bit_weight(j)}) % 2) - 1")
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
         ]
     )
     fps = votes.select(

@@ -96,6 +96,38 @@ def test_ann_join_lsh_dynamic_signs_match_literal_dim(spark, sf_correctness):
     assert dyn == lit
 
 
+def test_ann_join_lsh_multiprobe_recall(spark, sf_smoke):
+    """Recall gate (round-2 VERDICT #8): a single all-6-bit bucket match
+    recalls almost nothing (measured 0.044 on this fixture); multi-probe
+    OR over independent tables must push recall@5 vs bruteforce ≥ 0.8
+    while still scoring only ~n_tables/2^n_planes of the corpus."""
+    e = load_table(spark, sf_smoke, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    bf = {
+        (r["q_id"], r["neighbor_id"])
+        for r in api.ann_join(q, e, "embedding", "vec_id", k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in api.ann_join(
+            q, e, "embedding", "vec_id", k=5, method="lsh",
+            n_planes=4, n_tables=16,
+        ).collect()
+    }
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.8, f"multi-probe recall {recall:.3f} < 0.8"
+    # single-table is the round-2 behavior: strictly worse (sanity that
+    # the flag actually changes candidate generation)
+    one = {
+        (r["q_id"], r["neighbor_id"])
+        for r in api.ann_join(
+            q, e, "embedding", "vec_id", k=5, method="lsh",
+            n_planes=4, n_tables=1,
+        ).collect()
+    }
+    assert len(bf & one) / len(bf) < recall
+
+
 def test_ann_join_lsh_is_lazy(spark, sf_correctness):
     """Plan construction must not trigger a driver action (the round-1
     version probed dimensionality with .first())."""
