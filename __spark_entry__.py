@@ -127,7 +127,9 @@ def oracle_sql() -> dict[str, str]:
     for mod in _modules():
         for name, sql in getattr(mod, "ORACLE", {}).items():
             if name in active:
-                out[name] = sql
+                # callables are lazy SQL builders (e.g. t10's, which
+                # writes its file fixture on first use, not at import)
+                out[name] = sql() if callable(sql) else sql
     return out
 
 
@@ -139,5 +141,5 @@ def held_out_oracle_sql() -> dict[str, str]:
     for mod in _modules():
         for name, sql in getattr(mod, "ORACLE", {}).items():
             if name not in active:
-                out[name] = sql
+                out[name] = sql() if callable(sql) else sql
     return out

@@ -40,8 +40,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
         print(f"bench: warmup FAILED: {exc}", file=sys.stderr)
 
+    # SPARK_GRAFT_BENCH_ORDER=reverse runs the suite back-to-front —
+    # used to separate real per-query regressions from suite-order JVM
+    # effects (GC pressure, codegen cache, Python-worker reuse)
+    ordered = sorted(qs.items())
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
+        ordered = ordered[::-1]
     timings: dict[str, float] = {}
-    for name, fn in sorted(qs.items()):
+    for name, fn in ordered:
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()

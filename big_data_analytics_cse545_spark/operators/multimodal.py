@@ -562,29 +562,18 @@ N_BINARY_FILES = 64
 def _binary_fixture_dir() -> str:
     """64 ZIP containers — one '.tif' member each, located by suffix as
     the reference does (``a2_ahuja.py:13-24``) — written ONCE into a
-    shared temp dir. Creation is atomic (unique temp dir + os.replace)
-    so concurrent first-runs can never observe a half-written fixture;
-    the loser of the race just discards its copy."""
+    shared temp dir, atomically (no reader can see a partial fixture)."""
     import os
-    import shutil
-    import tempfile
     import zipfile
 
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_binimgs_v2")
-    if os.path.isdir(d):
-        return d
-    tmp = f"{d}.tmp-{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    for i in range(N_BINARY_FILES):
-        with zipfile.ZipFile(os.path.join(tmp, f"img{i:05d}.zip"), "w") as zf:
-            zf.writestr(f"img{i:05d}.tif", _image_bytes(i))
-    try:
-        os.replace(tmp, d)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.isdir(d):
-            raise
-    return d
+    from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
+
+    def write(tmp: str) -> None:
+        for i in range(N_BINARY_FILES):
+            with zipfile.ZipFile(os.path.join(tmp, f"img{i:05d}.zip"), "w") as zf:
+                zf.writestr(f"img{i:05d}.tif", _image_bytes(i))
+
+    return ensure_fixture_dir("spark_graft_binimgs_v2", write)
 
 
 def m03_binaryfile_ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,28 +165,31 @@ def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist once, release at the end (the reference persists its RDD
     # for the same loop, a2_ahuja.py:431).
     e = load_table(spark, sf_dir, "embeddings").persist()
-    stats = _dim_stats_df(e).collect()
-    mean = np.array([r["mean_v"] for r in stats])
-    std = np.array([max(r["std_v"], 1e-9) for r in stats])
+    try:
+        stats = _dim_stats_df(e).collect()
+        mean = np.array([r["mean_v"] for r in stats])
+        std = np.array([max(r["std_v"], 1e-9) for r in stats])
 
-    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = np.zeros((DIM, DIM))
-        for batch in batches:
-            x = np.stack(batch["embedding"].to_numpy())
-            x = (x - mean) / std
-            acc += x.T @ x
-        yield pd.DataFrame({"gram": [acc.ravel().tolist()]})
+        def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((DIM, DIM))
+            for batch in batches:
+                x = np.stack(batch["embedding"].to_numpy())
+                x = (x - mean) / std
+                acc += x.T @ x
+            yield pd.DataFrame({"gram": [acc.ravel().tolist()]})
 
-    gram_parts = e.select("embedding").mapInPandas(
-        partial_gram, schema="gram array<double>"
-    )
-    gram = np.zeros((DIM, DIM))
-    for row in gram_parts.collect():
-        gram += np.array(row["gram"]).reshape(DIM, DIM)
-    # stats + Gram passes are done; the final projection pass below runs
-    # at the caller's action — release the cache now (one parquet re-scan
-    # there instead of a leaked cache entry per invocation)
-    e.unpersist()
+        gram_parts = e.select("embedding").mapInPandas(
+            partial_gram, schema="gram array<double>"
+        )
+        gram = np.zeros((DIM, DIM))
+        for row in gram_parts.collect():
+            gram += np.array(row["gram"]).reshape(DIM, DIM)
+    finally:
+        # stats + Gram passes are done; the final projection pass below
+        # runs at the caller's action — release the cache now (one parquet
+        # re-scan there instead of a leaked cache entry per invocation),
+        # and release it even when a collect above fails mid-loop
+        e.unpersist()
     # SVD of symmetric PSD Gram ≡ eigendecomposition (a2_ahuja.py:274-275)
     u, _s, _vt = np.linalg.svd(gram)
     comps = u[:, :PCA_K]  # 64×3
@@ -341,26 +344,42 @@ def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "pid int, cluster long, psum array<double>, n long, dsum double"
     final_cnt: np.ndarray = np.zeros(k, dtype=np.int64)
     final_dsum: np.ndarray = np.zeros(k)
-    for it in range(iters):
-        parts = e.mapInPandas(make_partials(centroids), schema=schema).collect()
-        # deterministic accumulation order — collect() row order is not
-        parts.sort(key=lambda r: (r["cluster"], r["pid"]))
-        sums = np.zeros((k, DIM))
-        cnts = np.zeros(k, dtype=np.int64)
-        dsum = np.zeros(k)
-        for r in parts:
-            sums[r["cluster"]] += np.array(r["psum"])
-            cnts[r["cluster"]] += r["n"]
-            dsum[r["cluster"]] += r["dsum"]
-        if it < iters - 1:
-            for c in np.nonzero(cnts)[0]:
-                centroids[c] = sums[c] / cnts[c]
-        else:
-            final_cnt, final_dsum = cnts, dsum
-    e.unpersist()
+    try:
+        for it in range(iters):
+            parts = e.mapInPandas(make_partials(centroids), schema=schema).collect()
+            # deterministic accumulation order — collect() row order is not
+            parts.sort(key=lambda r: (r["cluster"], r["pid"]))
+            sums = np.zeros((k, DIM))
+            cnts = np.zeros(k, dtype=np.int64)
+            dsum = np.zeros(k)
+            for r in parts:
+                sums[r["cluster"]] += np.array(r["psum"])
+                cnts[r["cluster"]] += r["n"]
+                dsum[r["cluster"]] += r["dsum"]
+            if it < iters - 1:
+                for c in np.nonzero(cnts)[0]:
+                    centroids[c] = sums[c] / cnts[c]
+            else:
+                final_cnt, final_dsum = cnts, dsum
+    finally:
+        # release the per-iteration scan cache even if a collect fails
+        e.unpersist()
+
+    # HALF_UP rounding, matching Spark/SQL ROUND semantics everywhere
+    # else in the engine (Python round() is banker's/HALF_EVEN and could
+    # flip a tie at the 4th decimal vs the SQL convention)
+    from decimal import ROUND_HALF_UP, Decimal
 
     out = [
-        (int(c), int(final_cnt[c]), float(round(final_dsum[c] / final_cnt[c], 4)))
+        (
+            int(c),
+            int(final_cnt[c]),
+            float(
+                Decimal(repr(final_dsum[c] / final_cnt[c])).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
         for c in np.nonzero(final_cnt)[0]
     ]
     return spark.createDataFrame(

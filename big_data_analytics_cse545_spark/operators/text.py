@@ -450,16 +450,15 @@ N_WHOLETEXT_FILES = 8
 
 
 def _wholetext_dir() -> str:
-    """Deterministic fixture: 8 small pseudo-XML blog files in a temp
-    dir, written once at first use (and at module import so the DuckDB
-    oracle's read_text() path exists before either side runs)."""
+    """Deterministic fixture: 8 small pseudo-XML blog files, written
+    atomically on FIRST USE (unique temp dir + os.replace — no reader
+    can observe a half-written directory, and nothing is written at
+    module import)."""
     import os
-    import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_wholetext_v1")
-    marker = os.path.join(d, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
+    from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
+
+    def write(tmp: str) -> None:
         for i in range(N_WHOLETEXT_FILES):
             blocks = []
             for j in range(1 + i % 3):
@@ -468,10 +467,10 @@ def _wholetext_dir() -> str:
                     f"<date>{day:02d},March,2024</date>"
                     f"<post>{'file%d post%d ' % (i, j) * (j + 1)}</post>"
                 )
-            with open(os.path.join(d, f"blog{i:02d}.xml"), "w") as f:
+            with open(os.path.join(tmp, f"blog{i:02d}.xml"), "w") as f:
                 f.write("\n".join(blocks))
-        open(marker, "w").close()
-    return d
+
+    return ensure_fixture_dir("spark_graft_wholetext_v2", write)
 
 
 def t10_wholetext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +517,9 @@ def t10_wholetext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t10_sql() -> str:
-    d = _wholetext_dir()  # import-time write keeps the oracle path valid
+    # called lazily (ORACLE stores the callable) — the fixture write
+    # happens at first query/oracle use, not at module import
+    d = _wholetext_dir()
     return f"""
 WITH raw AS (
   SELECT regexp_extract(filename, '([^/]+)\\.xml', 1) AS file, content AS raw_xml
@@ -561,5 +562,7 @@ ORACLE = {
     "t07_token_count": _T07_SQL,
     "t08_fingerprint": _T08_SQL,
     "t09_pseudo_xml_extract": _T09_SQL,
-    "t10_wholetext_extract": _t10_sql(),
+    # callable → resolved lazily by __spark_entry__/tests so the fixture
+    # write happens at first use, not at import
+    "t10_wholetext_extract": _t10_sql,
 }

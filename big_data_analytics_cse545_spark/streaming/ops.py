@@ -337,12 +337,15 @@ def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The join bound compares timestamps directly (INTERVAL arithmetic is
+# exact integer-microsecond math in DuckDB); epoch() doubles could lose
+# 1 ulp on fractional-microsecond values and flip a boundary pair.
 _ST06_SQL = """
 WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
 p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
 SELECT strftime(pts, '%H') AS purchase_hour, COUNT(*) AS n_pairs
 FROM v JOIN p ON v.user_id = p.user_id
- AND epoch(pts) >= epoch(vts) AND epoch(pts) <= epoch(vts) + 3600
+ AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR
 GROUP BY 1 ORDER BY purchase_hour
 """
 

@@ -59,7 +59,9 @@ def _value_eq(a, b) -> tuple[bool, bool]:
     return (str(a) == str(b),) * 2  # type: ignore[return-value]
 
 
-def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "query"):
+def assert_parity(spark_df, oracle_sql, sf_dir: str, name: str = "query"):
+    if callable(oracle_sql):  # lazy SQL builder (e.g. t10's fixture-writing one)
+        oracle_sql = oracle_sql()
     got = _normalize(spark_df.toPandas())
     exp = _normalize(run_oracle(oracle_sql, sf_dir))
     assert list(got.columns) == list(exp.columns), (
