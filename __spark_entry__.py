@@ -73,7 +73,9 @@ _TEST_GATED = frozenset(
 )
 _HELD_OUT = frozenset(
     {
-        # round-3 hold-out — all green in CORRECTNESS_r02:
+        # round-3 hold-out — all green in CORRECTNESS_r02. st03/st04
+        # make room for the two NEW round-3 queries (d07_decontaminate,
+        # t11_pii_scrub), which need their first driver row.
         "q04_customers_with_orders",
         "q10_set_ops",
         "q13_string_funcs",
@@ -82,6 +84,8 @@ _HELD_OUT = frozenset(
         "m02_video_frame_sample",
         "p03_pca_topk",
         "p05_kmeans_iterative",
+        "st03_session_window",
+        "st04_streaming_dedup",
     }
 )
 

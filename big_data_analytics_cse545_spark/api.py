@@ -53,6 +53,57 @@ def quality_score(df: DataFrame, text_col: str, out_col: str = "quality") -> Dat
     return df.withColumn(out_col, q)
 
 
+def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
+    """Redact emails/IPv4s/phone numbers in ``text_col`` in place
+    (operators.text.t11 semantics: <EMAIL>/<IP>/<PHONE> placeholders,
+    all JVM-side regexp — a narrow map stage at any scale)."""
+    from big_data_analytics_cse545_spark.operators.text import pii_scrub_col
+
+    return df.withColumn(text_col, pii_scrub_col(F.col(text_col)))
+
+
+def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id_col, shingle) — distinct word n-gram shingles per row."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+    shingles = F.expr(
+        f"CASE WHEN size(_ts) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size(_ts) - {n} + 1), "
+        f"i -> array_join(slice(_ts, i, {n}), '_'))) ELSE array() END"
+    )
+    return (
+        df.select(id_col, toks.alias("_ts"))
+        .select(id_col, F.explode(shingles).alias("shingle"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.d07 generalized):
+    remove corpus rows sharing ≥ ``min_shared`` distinct word ``n``-gram
+    shingles with any ``benchmark`` row. The benchmark shingle set is
+    broadcast (eval suites are small); the corpus never shuffles its
+    text — at 100 TB this is a broadcast semi-join over a narrow scan."""
+    csh = _word_shingles(corpus, text_col, id_col, n)
+    bsh = _word_shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    contaminated = (
+        csh.join(F.broadcast(bsh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_shared)
+        .select(id_col)
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------

@@ -636,6 +636,57 @@ def d06_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# d07 — benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 37          # documents with doc_id % 37 == 0 stand in for the
+                        # held-out eval/benchmark set
+DECON_MIN_SHARED = 3    # flag docs sharing ≥ this many distinct shingles
+
+
+def d07_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag corpus documents that share
+    ≥ DECON_MIN_SHARED distinct 3-gram shingles with the benchmark slice
+    (doc_id % BENCH_MOD == 0 stands in for an eval set).
+
+    The step every LLM training pipeline runs before training. Shape at
+    100 TB: the benchmark shingle set is small (an eval suite, ~10⁵-10⁶
+    n-grams) → broadcast it; the corpus side streams its shingles
+    through the broadcast-hash semi-join and never shuffles text. Here
+    the broadcast is explicit; at larger benchmark sizes drop the hint
+    and shuffle on md5(shingle) instead.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        # per-doc shingles are already distinct (_shingles_df), so the
+        # count is the distinct-shared-shingle count
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+_D07_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM corpus JOIN bench USING (shingle)
+GROUP BY doc_id
+HAVING COUNT(*) >= {DECON_MIN_SHARED}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
@@ -643,6 +694,7 @@ QUERIES = {
     "d04_simhash_clusters": d04_simhash_clusters,
     "d05_embedding_near_dup": d05_embedding_near_dup,
     "d06_minhash_mllib": d06_minhash_mllib,
+    "d07_decontaminate": d07_decontaminate,
 }
 
 ORACLE = {
@@ -651,4 +703,5 @@ ORACLE = {
     "d03_minhash_lsh_dedup": _D03_SQL,
     "d04_simhash_clusters": _d04_sql(),
     "d05_embedding_near_dup": _D05_SQL,
+    "d07_decontaminate": _D07_SQL,
 }

@@ -539,6 +539,87 @@ FROM recs GROUP BY file ORDER BY file
 """
 
 
+# ---------------------------------------------------------------------------
+# t11 — PII scrubbing (training-data redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java (Spark) and RE2 (DuckDB) treat
+# identically: character classes, bounded repeats, \b — no lookarounds.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_MOD = 7  # docs with doc_id % 7 == 0 get deterministic planted PII
+
+
+def pii_scrub_col(col):
+    """Redact emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE> (email
+    first: its local part could otherwise swallow a digit run)."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def t11_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus — the scrub step of a
+    training-data pipeline. The synthetic documents carry no organic
+    PII, so a deterministic contact line is planted on every PII_MOD-th
+    doc IN THE QUERY (both engines plant the identical string); output =
+    per-doc match counts and the md5 of the scrubbed text, which proves
+    the redaction is byte-identical between Spark and the oracle.
+
+    All JVM-side regexp expressions (one pass per pattern, no UDF): at
+    100 TB this is a narrow map stage — no shuffle at all until the
+    final order, which a real pipeline (write-back) wouldn't have.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 or 555-867-5309"),
+    )
+    t = F.when(F.col("doc_id") % PII_MOD == 0, planted).otherwise(F.col("text"))
+    n = lambda pat: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("bigint")  # noqa: E731
+    return (
+        d.select(
+            "doc_id",
+            n(PII_EMAIL).alias("n_emails"),
+            n(PII_IP).alias("n_ips"),
+            n(PII_PHONE).alias("n_phones"),
+            F.md5(pii_scrub_col(t)).alias("scrub_md5"),
+        )
+        .filter((F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0)
+        .orderBy("doc_id")
+    )
+
+
+_T11_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.1 or 555-867-5309'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}', 0)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IP}', 0)) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}', 0)) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IP}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM injected
+WHERE len(regexp_extract_all(t, '{PII_EMAIL}', 0))
+    + len(regexp_extract_all(t, '{PII_IP}', 0))
+    + len(regexp_extract_all(t, '{PII_PHONE}', 0)) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -550,6 +631,7 @@ QUERIES = {
     "t08_fingerprint": t08_fingerprint,
     "t09_pseudo_xml_extract": t09_pseudo_xml_extract,
     "t10_wholetext_extract": t10_wholetext_extract,
+    "t11_pii_scrub": t11_pii_scrub,
 }
 
 ORACLE = {
@@ -565,4 +647,5 @@ ORACLE = {
     # callable → resolved lazily by __spark_entry__/tests so the fixture
     # write happens at first use, not at import
     "t10_wholetext_extract": _t10_sql,
+    "t11_pii_scrub": _T11_SQL,
 }

@@ -135,3 +135,35 @@ def test_closure_kernel_guard_refuses_large_corpus(spark, sf_correctness):
     e = load_table(spark, sf_correctness, "embeddings")
     with pytest.raises(ValueError, match="guard"):
         dedup.closure_cosine_pairs(e, threshold=0.4, max_rows=10)
+
+
+def test_d07_decontamination_excludes_benchmark_and_api_filters(spark, sf_correctness):
+    """d07: output never contains benchmark ids and respects the
+    min-shared threshold; api.decontaminate removes exactly the rows
+    with >= min_shared n-gram overlap on a constructed corpus."""
+    rows = dedup.d07_decontaminate(spark, sf_correctness).collect()
+    assert rows, "expected contaminated docs on this fixture"
+    assert all(r["doc_id"] % dedup.BENCH_MOD != 0 for r in rows)
+    assert all(r["n_shared"] >= dedup.DECON_MIN_SHARED for r in rows)
+
+    from big_data_analytics_cse545_spark import api
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox seen downtown"),       # shares 'quick_brown_fox'
+            (2, "a completely different document here"),
+            (3, "over the lazy dog it jumps again"),    # shares 'over_the_lazy', 'the_lazy_dog'
+        ],
+        "id long, text string",
+    )
+    kept = {r["id"] for r in api.decontaminate(corpus, bench, "text", "id").collect()}
+    assert kept == {2}
+    kept2 = {
+        r["id"]
+        for r in api.decontaminate(corpus, bench, "text", "id", min_shared=2).collect()
+    }
+    assert kept2 == {1, 2}

@@ -21,3 +21,35 @@ def test_wordcount_counts_are_case_insensitive(spark, sf_smoke):
     assert rows, "expected non-empty wordcount"
     assert all(r["word"] == r["word"].lower() for r in rows)
     assert rows[0]["n"] >= rows[-1]["n"]
+
+
+def test_t11_detects_and_scrubs_planted_pii(spark, sf_correctness):
+    """Every PII_MOD-th doc carries the planted contact line: it must be
+    detected (all three pattern kinds) and the scrub must leave no
+    residual matches."""
+    from pyspark.sql import functions as F
+
+    rows = text.t11_pii_scrub(spark, sf_correctness).collect()
+    assert rows
+    planted = [r for r in rows if r["doc_id"] % text.PII_MOD == 0]
+    assert planted, "no planted-PII docs surfaced"
+    assert all(
+        r["n_emails"] >= 1 and r["n_ips"] >= 1 and r["n_phones"] >= 1
+        for r in planted
+    )
+    # api.pii_scrub: scrubbed text contains no remaining matches
+    from big_data_analytics_cse545_spark import api
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io or 10.1.2.3 or 555-123-4567 end")],
+        "id long, text string",
+    )
+    out = api.pii_scrub(df, "text").first()["text"]
+    assert out == "mail <EMAIL> or <IP> or <PHONE> end"
+    for pat in (text.PII_EMAIL, text.PII_IP, text.PII_PHONE):
+        assert (
+            df.sparkSession.createDataFrame([(out,)], "t string")
+            .filter(F.expr(f"t rlike '{pat.replace(chr(92), chr(92) * 2)}'"))
+            .count()
+            == 0
+        )
