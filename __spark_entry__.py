@@ -73,9 +73,11 @@ _TEST_GATED = frozenset(
 )
 _HELD_OUT = frozenset(
     {
-        # round-3 hold-out — all green in CORRECTNESS_r02. st03/st04
-        # make room for the two NEW round-3 queries (d07_decontaminate,
-        # t11_pii_scrub), which need their first driver row.
+        # round-3 hold-out — all green in CORRECTNESS_r02. st03/st04/t01
+        # make room for the three NEW round-3 queries (d07_decontaminate,
+        # t11_pii_scrub, t12_pack_sequences), which need their first
+        # driver row.
+        "t01_wordcount",
         "q04_customers_with_orders",
         "q10_set_ops",
         "q13_string_funcs",

@@ -53,6 +53,39 @@ def quality_score(df: DataFrame, text_col: str, out_col: str = "quality") -> Dat
     return df.withColumn(out_col, q)
 
 
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stream_col: str,
+    *,
+    max_len: int = 512,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign each row to a context-window pack (operators.text.t12
+    semantics, row-level): rows are concatenated per ``stream_col`` in
+    ``id_col`` order and chunked every ``max_len`` whitespace tokens; a
+    row's pack is where its first token lands. One running-sum window
+    per stream — no cross-stream shuffle."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(toks).cast("long")
+    return (
+        df.withColumn("_n_tok", n_tok)
+        .withColumn("_cum", F.sum("_n_tok").over(w))
+        .withColumn(
+            out_col, F.floor((F.col("_cum") - F.col("_n_tok")) / max_len).cast("long")
+        )
+        .drop("_n_tok", "_cum")
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
     """Redact emails/IPv4s/phone numbers in ``text_col`` in place
     (operators.text.t11 semantics: <EMAIL>/<IP>/<PHONE> placeholders,

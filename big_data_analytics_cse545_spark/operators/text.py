@@ -620,6 +620,74 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t12 — sequence packing (concatenate-and-chunk into context windows)
+# ---------------------------------------------------------------------------
+
+PACK_LEN = 512  # context-window size in whitespace tokens
+
+
+def t12_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, the batching step of an LLM training pipeline:
+    per source, documents are laid out in doc_id order as one token
+    stream cut into PACK_LEN-token windows; a document belongs to the
+    pack where its first token lands (concatenate-and-chunk semantics).
+    Output: per (source, pack_id) document/token counts.
+
+    Shape at scale: ONE running-sum window per stream key — each source
+    packs independently in its own partition, no cross-stream shuffle.
+    At 100 TB pick a finer stream key ((source, day)) so no single
+    window partition is unbounded; packing quality is unchanged because
+    packs never span stream keys anyway.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = per.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "pack_id",
+        F.floor((F.col("cum") - F.col("n_tok")) / PACK_LEN).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_T12_SQL = f"""
+WITH per AS (
+  SELECT source, doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per
+)
+SELECT source,
+       CAST((cum - n_tok) // {PACK_LEN} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY 1, 2
+ORDER BY source, pack_id
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -632,6 +700,7 @@ QUERIES = {
     "t09_pseudo_xml_extract": t09_pseudo_xml_extract,
     "t10_wholetext_extract": t10_wholetext_extract,
     "t11_pii_scrub": t11_pii_scrub,
+    "t12_pack_sequences": t12_pack_sequences,
 }
 
 ORACLE = {
@@ -648,4 +717,5 @@ ORACLE = {
     # write happens at first use, not at import
     "t10_wholetext_extract": _t10_sql,
     "t11_pii_scrub": _T11_SQL,
+    "t12_pack_sequences": _T12_SQL,
 }

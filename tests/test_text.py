@@ -53,3 +53,22 @@ def test_t11_detects_and_scrubs_planted_pii(spark, sf_correctness):
             .count()
             == 0
         )
+
+
+def test_t12_pack_sequences_boundaries(spark):
+    """api.pack_sequences: known token counts → known pack boundaries
+    (concatenate-and-chunk: a row packs where its first token lands)."""
+    from big_data_analytics_cse545_spark import api
+
+    rows = [
+        (1, "s", " ".join(["w"] * 300)),   # tokens 0-299    → pack 0
+        (2, "s", " ".join(["w"] * 300)),   # starts at 300   → pack 0
+        (3, "s", " ".join(["w"] * 100)),   # starts at 600   → pack 1
+        (4, "t", " ".join(["w"] * 10)),    # own stream      → pack 0
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    got = {
+        (r["src"], r["id"]): r["pack_id"]
+        for r in api.pack_sequences(df, "text", "id", "src", max_len=512).collect()
+    }
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("t", 4): 0}
