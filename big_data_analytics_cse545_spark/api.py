@@ -86,6 +86,111 @@ def pack_sequences(
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Append Gopher-style repetition signals (operators.text.t13
+    semantics): ``dup_token_frac`` (1 - distinct/total tokens) and
+    ``top_bigram_frac`` (most frequent bigram's share of bigrams).
+
+    Shuffle-free form: the top-bigram count is a per-row array
+    expression (count each distinct bigram inside the row), quadratic in
+    the row's distinct-bigram count but zero data movement — the right
+    trade for filter pipelines where docs are bounded. t13's
+    explode+groupBy form is the alternative when single docs can be
+    huge; the two are cross-checked in tests/test_sampling.py."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+    df = df.withColumn("_ts", toks).withColumn(
+        "_bg",
+        F.expr(
+            "transform(slice(_ts, 1, greatest(size(_ts) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', element_at(_ts, i + 2)))"
+        ),
+    )
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("_bg")),
+            lambda b: F.size(F.filter(F.col("_bg"), lambda x: x == b)),
+        )
+    )
+    return (
+        df.withColumn(
+            "dup_token_frac",
+            F.lit(1.0)
+            - F.size(F.array_distinct("_ts")).cast("double")
+            / F.size("_ts").cast("double"),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.coalesce(
+                top_n.cast("double") / F.size("_bg").cast("double"), F.lit(0.0)
+            ),
+        )
+        .drop("_ts", "_bg")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    train_pct: int = 98,
+    val_pct: int = 1,
+    tag: str = "split|",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket
+    (operators.sampling.x01 semantics over any DataFrame): stable under
+    reruns, repartitioning, and corpus growth — no rand()."""
+    from big_data_analytics_cse545_spark.operators.sampling import hash_bucket
+
+    bucket = hash_bucket(F.col(key_col), tag, mod=100)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, split)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.5,
+    tag: str = "mix|",
+) -> DataFrame:
+    """Deterministically downsample over-represented sources toward the
+    alpha-temperature mixture (operators.sampling.x02 semantics over any
+    DataFrame): keep-rate (min_n/n_s)^(1-alpha) per source, realized as
+    hash(key) < floor(rate * 2^32). Returns the kept rows. One tiny
+    count shuffle + a broadcast join; membership is a narrow per-row
+    compare."""
+    from big_data_analytics_cse545_spark.operators.sampling import (
+        HASH_DOMAIN,
+        hash_bucket,
+    )
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    min_n = counts.agg(F.min("_n_total").alias("_min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).withColumn(
+        "_threshold",
+        F.floor(
+            F.pow(
+                F.col("_min_n").cast("double") / F.col("_n_total").cast("double"),
+                F.lit(1.0 - alpha),
+            )
+            * F.lit(HASH_DOMAIN)
+        ).cast("long"),
+    )
+    return (
+        df.join(F.broadcast(rates.select(source_col, "_threshold")), source_col)
+        .filter(hash_bucket(F.col(key_col), tag) < F.col("_threshold"))
+        .drop("_threshold")
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
     """Redact emails/IPv4s/phone numbers in ``text_col`` in place
     (operators.text.t11 semantics: <EMAIL>/<IP>/<PHONE> placeholders,

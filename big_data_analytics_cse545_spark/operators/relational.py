@@ -1224,6 +1224,109 @@ ORDER BY g.user_id, day
 """
 
 
+# ---------------------------------------------------------------------------
+# q28 — sessionization (gaps-and-islands, batch form of st03)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 3_600_000_000  # 1 hour, in microseconds
+
+
+def q28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user events are cut into sessions at
+    >1-hour silence gaps (gaps-and-islands: lag → boundary flag →
+    running sum = session ordinal), then summarized per user. The batch
+    twin of st03's streaming ``session_window``, exposing the rewrite
+    Spark applies internally.
+
+    Gap math is integer microseconds on both sides (unix_micros here,
+    epoch_us in the oracle) — no float epoch, so no ulp flip at the
+    exact-1-hour boundary (strictly greater ⇒ new session, matching
+    st03's pinned merge semantics).
+
+    Shape at scale: ONE shuffle on user_id serves both windows and the
+    final agg (same key); the boundary flag and running sum pipeline
+    within the sorted partition. Sessions never span users, so at
+    100 TB the window key can be refined to (user_id, day-bucket) the
+    same way t12 refines its stream key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        e.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1_000_000)
+            ).cast("long").alias("duration_sec"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+            F.max("duration_sec").alias("max_duration_sec"),
+            F.sum(F.col("sum_value").cast("decimal(18,3)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q28_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id,
+         ts, value
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0) AS BIGINT)
+           AS duration_sec,
+         CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(duration_sec) AS BIGINT) AS max_duration_sec,
+       CAST(SUM(CAST(sum_value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1252,6 +1355,7 @@ QUERIES = {
     "q25_range_frame": q25_range_frame,
     "q26_pivot": q26_pivot,
     "q27_gap_fill": q27_gap_fill,
+    "q28_sessionize": q28_sessionize,
 }
 
 ORACLE = {
@@ -1281,4 +1385,5 @@ ORACLE = {
     "q25_range_frame": _Q25_SQL,
     "q26_pivot": _Q26_SQL,
     "q27_gap_fill": _Q27_SQL,
+    "q28_sessionize": _Q28_SQL,
 }

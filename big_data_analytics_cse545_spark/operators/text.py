@@ -688,6 +688,96 @@ ORDER BY source, pack_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t13 — intra-document repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+DUP_TOKEN_MAX = 0.6  # repetitive if >60% of tokens are repeats
+TOP_BIGRAM_MAX = 0.25  # ... or one bigram is >25% of all bigrams
+
+
+def t13_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals, the Gopher/MassiveText quality
+    rules (Rae et al. 2021, §A1.1): duplicate-token fraction
+    (1 - distinct/total) and top-bigram fraction (most frequent bigram's
+    share of all bigrams), plus the combined repetitive flag.
+
+    Shape at scale: token/distinct counts are per-row array expressions
+    inside codegen (no shuffle); the top-bigram count is one
+    explode → (doc_id, bigram) partial+final count → per-doc max —
+    exactly WordCount's shape keyed by doc, so it shards like t01. The
+    doc_id join back to the per-row signals is on the natural key and
+    AQE-broadcastable when the filtered side is small.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", tokens(F.col("text")).alias("ts"))
+        .withColumn("n_tok", F.size("ts").cast("long"))
+        .withColumn("n_distinct", F.size(F.array_distinct("ts")).cast("long"))
+        .withColumn(
+            "bigrams",
+            F.expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
+            ),
+        )
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_n"))
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
+        "n_tok"
+    ).cast("double")
+    top_frac = F.coalesce(
+        F.col("top_n").cast("double") / (F.col("n_tok") - F.lit(1)).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            dup_frac.alias("dup_token_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac > DUP_TOKEN_MAX) | (top_frac > TOP_BIGRAM_MAX)
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T13_SQL = f"""
+WITH base AS (
+  SELECT doc_id, ts, len(ts) AS n_tok, len(list_distinct(ts)) AS n_distinct,
+         list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]) AS bigrams
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents)
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_n
+  FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base)
+    GROUP BY doc_id, bg
+  )
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS n_tok,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS dup_token_frac,
+       coalesce(CAST(top_n AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE), 0.0) AS top_bigram_frac,
+       (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > {DUP_TOKEN_MAX}
+        OR coalesce(CAST(top_n AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE), 0.0) > {TOP_BIGRAM_MAX})
+         AS repetitive
+FROM base b LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -701,6 +791,7 @@ QUERIES = {
     "t10_wholetext_extract": t10_wholetext_extract,
     "t11_pii_scrub": t11_pii_scrub,
     "t12_pack_sequences": t12_pack_sequences,
+    "t13_repetition_filter": t13_repetition_filter,
 }
 
 ORACLE = {
@@ -718,4 +809,5 @@ ORACLE = {
     "t10_wholetext_extract": _t10_sql,
     "t11_pii_scrub": _T11_SQL,
     "t12_pack_sequences": _T12_SQL,
+    "t13_repetition_filter": _T13_SQL,
 }

@@ -350,6 +350,51 @@ GROUP BY 1 ORDER BY purchase_hour
 """
 
 
+# ---------------------------------------------------------------------------
+# st07 — stream-static broadcast join (dimension enrichment)
+# ---------------------------------------------------------------------------
+
+def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event stream with a static dimension (customer market
+    segment, keyed user_id = c_custkey) then aggregate per (segment,
+    event_type) — the canonical streaming-ETL enrichment: the static
+    side is planned as a broadcast hash join against every micro-batch,
+    so no stream-side state and no shuffle of the stream.
+
+    At 100 TB of stream: the dimension is re-broadcast per batch at its
+    own (small) size; only the aggregation state scales with key count,
+    not with stream volume.
+    """
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        e.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    out = _run_to_table(agg, spark, "st07_mem")
+    return out.orderBy("c_mktsegment", "event_type")
+
+
+_ST07_SQL = """
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY c_mktsegment, event_type
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
@@ -357,6 +402,7 @@ QUERIES = {
     "st04_streaming_dedup": st04_streaming_dedup,
     "st05_stateful_user_counts": st05_stateful_user_counts,
     "st06_stream_stream_join": st06_stream_stream_join,
+    "st07_stream_static_join": st07_stream_static_join,
 }
 
 ORACLE = {
@@ -366,4 +412,5 @@ ORACLE = {
     "st04_streaming_dedup": _ST04_SQL,
     "st05_stateful_user_counts": _ST05_SQL,
     "st06_stream_stream_join": _ST06_SQL,
+    "st07_stream_static_join": _ST07_SQL,
 }

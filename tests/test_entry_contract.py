@@ -27,13 +27,17 @@ def test_every_oracle_has_a_query():
 
 
 def test_rotation_budget_is_consistent():
-    """_TEST_GATED/_HELD_OUT must reference real queries, not overlap,
-    and together account for the full registry minus the 50 emitted."""
+    """_TEST_GATED/_DEMOTED_BASELINES/_HELD_OUT must reference real
+    queries, be pairwise disjoint, and together account for the full
+    registry minus the 50 emitted."""
     full, active = em.all_queries(), em.queries()
-    assert em._TEST_GATED <= set(full)
-    assert em._HELD_OUT <= set(full)
-    assert not (em._TEST_GATED & em._HELD_OUT)
-    assert set(active) == set(full) - em._TEST_GATED - em._HELD_OUT
+    buckets = [em._TEST_GATED, em._DEMOTED_BASELINES, em._HELD_OUT]
+    for b in buckets:
+        assert b <= set(full)
+    for i, a in enumerate(buckets):
+        for b in buckets[i + 1 :]:
+            assert not (a & b)
+    assert set(active) == set(full) - em._TEST_GATED - em._DEMOTED_BASELINES - em._HELD_OUT
 
 
 def test_held_out_queries_still_pass_their_oracle(spark, sf_correctness):

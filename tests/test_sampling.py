@@ -1,0 +1,116 @@
+"""Dataset split / mixing operators (x01-x02) and the t13 repetition
+signals: DuckDB-oracle parity plus semantic invariants (hashlib is the
+determinism referee — md5 is identical in Spark, DuckDB, and Python)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark import api
+from big_data_analytics_cse545_spark.operators import sampling, text
+from tests.oracle_utils import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(sampling.QUERIES))
+def test_sampling_oracle_parity(spark, sf_correctness, name):
+    df = sampling.QUERIES[name](spark, sf_correctness)
+    assert_parity(df, sampling.ORACLE[name], sf_correctness, name)
+
+
+def test_x01_buckets_match_hashlib(spark, sf_correctness):
+    """The split is a pure function of md5: recompute every bucket in
+    Python and compare — proves the assignment survives any engine,
+    partitioning, or rerun."""
+    rows = sampling.x01_hash_split(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        h = hashlib.md5(f"split|{r['doc_id']}".encode()).hexdigest()
+        assert r["bucket"] == int(h[:8], 16) % 100, r
+    splits = {r["doc_id"]: r["split"] for r in rows}
+    counts = {s: sum(1 for v in splits.values() if v == s) for s in ("train", "val", "test")}
+    # 98/1/1 in expectation; allow generous binomial slack at 500 docs
+    assert counts["train"] >= 0.9 * len(rows)
+    assert counts["val"] + counts["test"] >= 1
+
+
+def test_x02_smallest_source_keeps_everything(spark, sf_correctness):
+    rows = sampling.x02_temperature_mix(spark, sf_correctness).collect()
+    assert rows
+    smallest = min(rows, key=lambda r: r["n_total"])
+    assert smallest["keep_rate"] == 1.0
+    assert smallest["n_kept"] == smallest["n_total"]
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_total"]
+        assert 0.0 < r["keep_rate"] <= 1.0
+
+
+def test_api_hash_split_matches_x01(spark, sf_correctness):
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    via_api = {
+        r["doc_id"]: r["split"]
+        for r in api.hash_split(d, "doc_id").select("doc_id", "split").collect()
+    }
+    via_op = {
+        r["doc_id"]: r["split"]
+        for r in sampling.x01_hash_split(spark, sf_correctness).collect()
+    }
+    assert via_api == via_op
+
+
+def test_api_temperature_mix_matches_x02_counts(spark, sf_correctness):
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    kept = (
+        api.temperature_mix(d, "source", "doc_id", alpha=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {
+        r["source"]: r["n_kept"]
+        for r in sampling.x02_temperature_mix(spark, sf_correctness).collect()
+    }
+    assert {r["source"]: r["n"] for r in kept} == expected
+
+
+def test_api_repetition_signals_match_t13(spark, sf_correctness):
+    """The shuffle-free array-expression form (api) and the
+    explode+groupBy form (t13) must produce identical fractions."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    via_api = {
+        r["doc_id"]: (r["dup_token_frac"], r["top_bigram_frac"])
+        for r in api.repetition_signals(d, "text")
+        .select("doc_id", "dup_token_frac", "top_bigram_frac")
+        .collect()
+    }
+    via_op = {
+        r["doc_id"]: (r["dup_token_frac"], r["top_bigram_frac"])
+        for r in text.t13_repetition_filter(spark, sf_correctness).collect()
+    }
+    assert via_api == via_op
+
+
+def test_repetition_signals_planted(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),  # one token repeated
+        (2, "alpha beta gamma delta epsilon"),  # all distinct
+        (3, "one"),  # single token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r
+        for r in api.repetition_signals(df, "text").collect()
+    }
+    assert got[1]["dup_token_frac"] == pytest.approx(5 / 6)
+    assert got[1]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 4)  # all unique
+    assert got[3]["top_bigram_frac"] == 0.0
