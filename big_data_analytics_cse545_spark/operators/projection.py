@@ -387,12 +387,99 @@ def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# p06 — scalar (int8) embedding quantization
+# ---------------------------------------------------------------------------
+
+SQ_SAMPLE_MOD = 50  # emit codes for vec_id % 50 == 0 → result-sized at any SF
+SQ_LEVELS = 255.0
+
+
+def p06_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max scalar quantization to uint8 codes — the
+    embedding-compression step of a vector-search pipeline (4 bytes →
+    1 byte per dim, the standard IVF/SQ storage layout): corpus pass
+    computes per-dim [min, max]; each value maps to
+    floor((v-min)·255/(max-min)) capped at 255, and the per-element
+    reconstruction error is reported alongside.
+
+    Output is the code+error table for a deterministic vec_id sample
+    (result-sized at any SF); the quantizer itself is fitted on the FULL
+    corpus.
+
+    Float-parity: every step (sub, mul, div, floor, abs) is a single
+    correctly-rounded IEEE op with identical association in the oracle
+    SQL — bit-exact across engines, no rounding fudge.
+
+    Shape at scale: fitting is one posexplode + 64-key agg (partial
+    agg map-side, one tiny shuffle); encoding is a broadcast join of
+    the 64-row stats table against the corpus — no wide shuffle of
+    embeddings. Constant-range dims are dropped (not zero-divided)
+    on both sides.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    stats = (
+        dims.groupBy("pos")
+        .agg(F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .filter(F.col("max_v") > F.col("min_v"))
+    )
+    rng = F.col("max_v") - F.col("min_v")
+    code = F.least(
+        F.floor((F.col("v") - F.col("min_v")) * F.lit(SQ_LEVELS) / rng).cast("long"),
+        F.lit(255),
+    )
+    return (
+        dims.filter(F.col("vec_id") % SQ_SAMPLE_MOD == 0)
+        .join(F.broadcast(stats), "pos")
+        .withColumn("code", code)
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("v")
+                - (F.col("min_v") + F.col("code").cast("double") * rng / F.lit(SQ_LEVELS))
+            ),
+        )
+        .select("vec_id", "pos", "code", "err")
+        .orderBy("vec_id", "pos")
+    )
+
+
+_P06_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range(1, {DIM} + 1) t(i)
+),
+stats AS (
+  SELECT pos, MIN(v) AS min_v, MAX(v) AS max_v
+  FROM dims GROUP BY pos
+  HAVING MAX(v) > MIN(v)
+),
+coded AS (
+  SELECT d.vec_id, d.pos, d.v, s.min_v, s.max_v,
+         least(CAST(floor((d.v - s.min_v) * {SQ_LEVELS} / (s.max_v - s.min_v))
+                    AS BIGINT), 255) AS code
+  FROM dims d JOIN stats s USING (pos)
+  WHERE d.vec_id % {SQ_SAMPLE_MOD} = 0
+)
+SELECT vec_id, pos, code,
+       abs(v - (min_v + CAST(code AS DOUBLE) * (max_v - min_v) / {SQ_LEVELS})) AS err
+FROM coded
+ORDER BY vec_id, pos
+"""
+
+
 QUERIES = {
     "p01_dim_stats": p01_dim_stats,
     "p02_random_projection": p02_random_projection,
     "p03_pca_topk": p03_pca_topk,
     "p04_pca_mllib_topk": p04_pca_mllib_topk,
     "p05_kmeans_iterative": p05_kmeans_iterative,
+    "p06_scalar_quantize": p06_scalar_quantize,
 }
 
 ORACLE = {
@@ -400,4 +487,5 @@ ORACLE = {
     "p02_random_projection": _p02_sql(),
     # p03_pca_topk: intentionally no oracle (driver SVD is not
     # SQL-expressible) — rows-only check, invariants in tests.
+    "p06_scalar_quantize": _P06_SQL,
 }

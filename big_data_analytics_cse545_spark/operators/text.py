@@ -778,6 +778,61 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t14 — corpus-frequency document scoring (two-pass dictionary pattern)
+# ---------------------------------------------------------------------------
+
+def t14_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the corpus frequency of its own tokens —
+    the unigram-LM proxy for 'how typical is this text' that data
+    pipelines use to flag boilerplate (high mass) and gibberish (low
+    mass). Pass 1 builds the corpus unigram table; pass 2 joins it back
+    to each document's tokens and sums.
+
+    Stays in integers until the final division (freq_mass and n_tok are
+    exact counts), so the oracle compare has no float-summation hazard.
+
+    Shape at scale: the vocab table is Zipf-heavy — the join is a plain
+    shuffle join on `word` so AQE's skew split can kick in for stopword
+    keys; when the vocabulary is known-small it collapses to a broadcast
+    (Catalyst decides from stats). Both passes are partial+final aggs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("cnt").alias("freq_mass"),
+        )
+        .withColumn(
+            "avg_tok_freq",
+            F.col("freq_mass").cast("double") / F.col("n_tok").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T14_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+),
+vocab AS (
+  SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tok,
+       CAST(SUM(v.cnt) AS BIGINT) AS freq_mass,
+       CAST(CAST(SUM(v.cnt) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_tok_freq
+FROM tok t JOIN vocab v USING (word)
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -792,6 +847,7 @@ QUERIES = {
     "t11_pii_scrub": t11_pii_scrub,
     "t12_pack_sequences": t12_pack_sequences,
     "t13_repetition_filter": t13_repetition_filter,
+    "t14_corpus_freq_score": t14_corpus_freq_score,
 }
 
 ORACLE = {
@@ -810,4 +866,5 @@ ORACLE = {
     "t11_pii_scrub": _T11_SQL,
     "t12_pack_sequences": _T12_SQL,
     "t13_repetition_filter": _T13_SQL,
+    "t14_corpus_freq_score": _T14_SQL,
 }

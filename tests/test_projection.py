@@ -8,10 +8,29 @@ from big_data_analytics_cse545_spark.operators import projection
 from tests.oracle_utils import assert_parity
 
 
-@pytest.mark.parametrize("name", ["p01_dim_stats", "p02_random_projection"])
+@pytest.mark.parametrize(
+    "name", ["p01_dim_stats", "p02_random_projection", "p06_scalar_quantize"]
+)
 def test_projection_oracle_parity(spark, sf_correctness, name):
     df = projection.QUERIES[name](spark, sf_correctness)
     assert_parity(df, projection.ORACLE[name], sf_correctness, name)
+
+
+def test_scalar_quantize_bounds(spark, sf_correctness):
+    """Quantizer contract: codes in [0,255]; per-element reconstruction
+    error bounded by one quantization step of that dimension."""
+    rows = projection.QUERIES["p06_scalar_quantize"](spark, sf_correctness).collect()
+    assert rows
+    stats = {
+        r["pos"]: (r["min_v"], r["max_v"])
+        for r in projection.p01_dim_stats(spark, sf_correctness).collect()
+    }
+    for r in rows:
+        assert 0 <= r["code"] <= 255
+        lo, hi = stats[r["pos"]]
+        step = (hi - lo) / 255.0
+        # p01 stats are rounded to 6dp — allow that slack on the bound
+        assert r["err"] <= step + 2e-6, r
 
 
 def test_pca_topk_invariants(spark, sf_correctness):
