@@ -50,6 +50,16 @@ def test_csv_and_json_roundtrip(spark, sf_smoke, tmp_path):
     }
 
 
+def test_orc_sink_roundtrip(spark, sf_smoke, tmp_path):
+    """ORC is the other native columnar format — same writer/reader
+    contract as parquet (predicate pushdown included)."""
+    out = str(tmp_path / "nation_orc")
+    df = load_table(spark, sf_smoke, "nation")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
 def test_text_wholetext_and_binary_sources(spark, tmp_path):
     """R8/R9/I1 source family: text, wholetext, binaryFile."""
     p = tmp_path / "docs"
