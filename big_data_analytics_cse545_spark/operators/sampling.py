@@ -180,12 +180,97 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# x03 — end-to-end training-data pipeline (quality → dedup → split → stats)
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20  # quality gate: drop docs shorter than this
+
+
+def x03_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline in one declarative plan:
+    quality gate (≥ MIN_TOKENS tokens) → exact dedup (keep the lowest
+    doc_id per md5-of-lowercased-text, d01 semantics) → deterministic
+    split (x01 semantics) → per (split, source) corpus stats. This is
+    the end-to-end shape a corpus build runs nightly; expressing it as
+    ONE DataFrame lets Catalyst fuse the gate into the scan and plan
+    dedup + stats with two total shuffles (hash key, then group key).
+
+    Shape at scale: the only data-sized shuffle is the dedup window on
+    the 16-byte content hash (same key discipline as d01 — never the
+    text); split assignment adds zero movement; the stats agg shuffles
+    result-sized rows.
+    """
+    from pyspark.sql.window import Window
+
+    from big_data_analytics_cse545_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.col("text"))).alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") >= MIN_TOKENS)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = hash_bucket(F.col("doc_id"), "split|", mod=100)
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+_X03_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, source, md5(lower(text)) AS h,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+gated AS (SELECT * FROM raw WHERE n_tok >= {MIN_TOKENS}),
+kept AS (
+  SELECT doc_id, source, n_tok
+  FROM gated
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
+),
+labeled AS (
+  SELECT doc_id, source, n_tok,
+         {_sql_hash('doc_id', 'split|')} % 100 AS bucket
+  FROM kept
+)
+SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM labeled
+GROUP BY 1, 2
+ORDER BY split, source
+"""
+
+
 QUERIES = {
     "x01_hash_split": x01_hash_split,
     "x02_temperature_mix": x02_temperature_mix,
+    "x03_pipeline_stats": x03_pipeline_stats,
 }
 
 ORACLE = {
     "x01_hash_split": _X01_SQL,
     "x02_temperature_mix": _X02_SQL,
+    "x03_pipeline_stats": _X03_SQL,
 }

@@ -3,6 +3,7 @@ from big_data_analytics_cse545_spark.plans.explain import (
     has_broadcast_join,
     pushed_filters,
     scan_read_schema,
+    shuffle_exchanges,
     wholestage_codegen_spans,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "has_broadcast_join",
     "pushed_filters",
     "scan_read_schema",
+    "shuffle_exchanges",
     "wholestage_codegen_spans",
 ]

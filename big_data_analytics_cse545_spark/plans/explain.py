@@ -44,6 +44,20 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
 
 
+def shuffle_exchanges(df: DataFrame) -> list[str]:
+    """Shuffle Exchange nodes (hash/range/single-partition) in the plan
+    — broadcast exchanges excluded. Each entry is the partitioning spec,
+    so tests can pin both the count and the keys a query shuffles on."""
+    text = explain_str(df, "simple")
+    return [
+        m.group(1)
+        for m in re.finditer(
+            r"Exchange (hashpartitioning\([^)]*\)|rangepartitioning\([^)]*\)|SinglePartition)",
+            text,
+        )
+    ]
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees — wider/fewer is better.
 

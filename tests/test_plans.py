@@ -82,3 +82,70 @@ def test_q20_approx_distinct_accuracy(spark, sf_correctness):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
         assert err <= 0.05, f"{r['event_type']}: approx off by {err:.1%}"
+
+
+def test_x01_split_is_shuffle_free(spark, sf_correctness):
+    """Membership must be a per-row hash compare: the only exchange
+    allowed is the result sort — no hashpartitioning anywhere."""
+    from big_data_analytics_cse545_spark.operators import sampling
+    from big_data_analytics_cse545_spark.plans import shuffle_exchanges
+
+    ex = shuffle_exchanges(sampling.x01_hash_split(spark, sf_correctness))
+    assert all(e.startswith("rangepartitioning") for e in ex), ex
+
+
+def test_x02_rates_broadcast(spark, sf_correctness):
+    """The per-source rate table must broadcast back to the corpus —
+    a shuffle of documents by source would be a 100 TB anti-pattern."""
+    from big_data_analytics_cse545_spark.operators import sampling
+    from big_data_analytics_cse545_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(sampling.x02_temperature_mix(spark, sf_correctness))
+
+
+def test_q28_single_user_shuffle(spark, sf_correctness):
+    """Gaps-and-islands contract: ONE hashpartitioning(user_id) serves
+    the lag window, the island sum, and both aggregations."""
+    from big_data_analytics_cse545_spark.operators import relational
+    from big_data_analytics_cse545_spark.plans import shuffle_exchanges
+
+    ex = shuffle_exchanges(relational.q28_sessionize(spark, sf_correctness))
+    hash_ex = [e for e in ex if e.startswith("hashpartitioning")]
+    assert len(hash_ex) == 1 and "user_id" in hash_ex[0], ex
+
+
+def test_p06_stats_broadcast_and_pruned(spark, sf_correctness):
+    """Quantizer stats broadcast (never shuffle the corpus to encode);
+    the label column is never read."""
+    from big_data_analytics_cse545_spark.operators import projection
+    from big_data_analytics_cse545_spark.plans import (
+        has_broadcast_join,
+        scan_read_schema,
+    )
+
+    df = projection.p06_scalar_quantize(spark, sf_correctness)
+    assert has_broadcast_join(df)
+    assert all("label" not in s for s in scan_read_schema(df))
+
+
+def test_t14_reads_only_needed_columns(spark, sf_correctness):
+    from big_data_analytics_cse545_spark.operators import text
+    from big_data_analytics_cse545_spark.plans import scan_read_schema
+
+    schemas = scan_read_schema(text.t14_corpus_freq_score(spark, sf_correctness))
+    assert schemas and all(
+        "lang" not in s and "n_chars" not in s for s in schemas
+    ), schemas
+
+
+def test_x03_pipeline_shuffles_hash_not_text(spark, sf_correctness):
+    """The composed pipeline's data-sized shuffle is keyed by the 16-byte
+    content hash — the text column must never reach an exchange, and the
+    whole pipeline needs at most two hash shuffles (dedup key, group key)."""
+    from big_data_analytics_cse545_spark.operators import sampling
+    from big_data_analytics_cse545_spark.plans import shuffle_exchanges
+
+    ex = shuffle_exchanges(sampling.x03_pipeline_stats(spark, sf_correctness))
+    hash_ex = [e for e in ex if e.startswith("hashpartitioning")]
+    assert len(hash_ex) <= 2, ex
+    assert all("text" not in e for e in ex), ex
