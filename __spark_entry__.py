@@ -98,10 +98,11 @@ _HELD_OUT = frozenset(
         # round-3 hold-out — all green in CORRECTNESS_r02 (or r1 for
         # entries r2's budget missed; those q17-q27 all rotate IN this
         # round). Slots freed here fund the first driver rows of the
-        # eleven NEW round-3 queries (d07, t11, t12, t13, t14, q28,
-        # x01, x02, x03, p06, st07). Nothing below was held out in
-        # round 2.
+        # twelve NEW round-3 queries (d07, d08, t11, t12, t13, t14,
+        # q28, x01, x02, x03, p06, st07). Nothing below was held out
+        # in round 2.
         "q05_customers_without_orders",
+        "q12_inlist_filter",
         "q09_cube_status_priority",
         "t01_wordcount",
         "t04_term_mentions_nested",

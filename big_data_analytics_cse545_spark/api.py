@@ -348,6 +348,42 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def dup_clusters(
+    df: DataFrame, text_col: str, id_col: str, *, ham_k: int = 3
+) -> DataFrame:
+    """Transitive near-dup clusters over any corpus: 64-bit SimHash
+    hamming-banded pairs (d04 semantics) closed into components by
+    distributed min-label propagation (d08). Returns one row per doc
+    that has at least one near-dup: (id_col, cluster_id, cluster_size),
+    cluster_id = min member id.
+
+    Unlike ``minhash_dedup``'s per-pair drop (which deletes BOTH ends of
+    a chain's tail pairs), keeping ``cluster_id == id`` rows retains
+    exactly one representative per transitive group:
+
+        clusters = api.dup_clusters(docs, "text", "doc_id")
+        keep = docs.join(
+            clusters.filter("doc_id != cluster_id").select("doc_id"),
+            "doc_id", "left_anti")
+    """
+    from big_data_analytics_cse545_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    pairs = simhash_near_dup_pairs(d, ham_k)
+    cc = connected_components(pairs, "d1", "d2")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash fingerprint column (md5-nibble bits, no UDF)."""
     from big_data_analytics_cse545_spark.operators.dedup import _bit_weight

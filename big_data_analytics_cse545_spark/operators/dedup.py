@@ -403,7 +403,9 @@ def simhash_near_dup_pairs(d: DataFrame, ham_k: int = HAMMING_MAX) -> DataFrame:
     )
 
 
-def _d04_sql() -> str:
+def _d04_cte_body() -> str:
+    """The toks → votes → fps → bands → cand CTE chain of the SimHash
+    funnel in DuckDB spelling — shared by the d04 and d08 oracles."""
     bit_exprs = _simhash_bit_exprs(SIMHASH_BITS, "strpos")
     votes = ",\n    ".join(
         f"SUM(2 * ({e}) - 1) AS v{j}" for j, e in enumerate(bit_exprs)
@@ -412,8 +414,7 @@ def _d04_sql() -> str:
         f"SELECT doc_id, simhash, {b} AS band, band{b} AS bval FROM fps"
         for b in range(SIMHASH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
 ),
 votes AS (
@@ -433,7 +434,12 @@ cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _d04_sql() -> str:
+    return f"""
+WITH {_d04_cte_body()}
 SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
@@ -687,6 +693,138 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d08 — duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 25  # safety bound; LSH dup components converge in 2-3
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, *, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: ``label(v) ← min(label(v), min over neighbors(v) of
+    label(u))`` until a fixpoint. Returns (id, label) with ``label`` =
+    the minimum node id in the component.
+
+    Scale shape: each iteration shuffles only (id, label) pairs — one
+    hash shuffle to meet labels with edge endpoints, a map-side-combined
+    min per target node, one to join the update back. Iterations needed
+    = graph diameter; near-dup components out of banded LSH (d03/d04)
+    are quasi-cliques (every member collides with the seed on some
+    band), so diameter ≈ 2 and the loop converges in 2-3 passes even at
+    billions of edges. The O(log n)-round large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) only pays off on long-chain graphs, which dedup candidate
+    graphs are not — documented trade-off, not an oversight.
+
+    Per iteration: one ``localCheckpoint(eager=True)`` truncates the
+    otherwise-quadratic iterative lineage (the same reason p05 collects
+    centroids — but labels are data-sized, so they must stay
+    distributed), and the convergence check is a driver-side count of
+    changed labels (O(1) driver data). On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so label
+    blocks survive executor loss.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["u"] == labels["id"])
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["v"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the d04
+    SimHash near-dup pairs, labeling every clustered doc with the
+    minimum doc_id of its component.
+
+    This is the step d03/d04 stop short of: pairwise near-dup verdicts
+    are not directly actionable (A~B and B~C must collapse into ONE
+    group before a pipeline can keep a single representative), and
+    naive per-pair "drop the larger id" over-deletes. Downstream:
+    ``keep = docs WHERE doc_id == cluster_id`` (or no cluster row at
+    all) retains exactly one doc per transitive dup group — the
+    reference's funnel ends at candidate pairs (``a2_ahuja.py:150-170``);
+    this closes them the way a production corpus build must.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(d)
+    cc = connected_components(pairs, "d1", "d2")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _d08_sql() -> str:
+    """Oracle: same SimHash pairs, then transitive closure via a
+    recursive CTE (reach(id, r) = node r is in id's component; MIN(r)
+    per id is the component label — exact, if exponential on big
+    graphs; fine at oracle scale)."""
+    return f"""
+WITH RECURSIVE {_d04_cte_body()},
+pairs AS (
+  SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
+),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION
+  SELECT d2 AS u, d1 AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
@@ -695,6 +833,7 @@ QUERIES = {
     "d05_embedding_near_dup": d05_embedding_near_dup,
     "d06_minhash_mllib": d06_minhash_mllib,
     "d07_decontaminate": d07_decontaminate,
+    "d08_dup_clusters": d08_dup_clusters,
 }
 
 ORACLE = {
@@ -704,4 +843,5 @@ ORACLE = {
     "d04_simhash_clusters": _d04_sql(),
     "d05_embedding_near_dup": _D05_SQL,
     "d07_decontaminate": _D07_SQL,
+    "d08_dup_clusters": _d08_sql(),
 }

@@ -239,3 +239,27 @@ def test_grouped_zscore_matches_window_expr(spark, sf_correctness):
     }
     assert got.keys() == exp.keys()
     assert all(math.isclose(got[k], exp[k], rel_tol=1e-9) for k in got)
+
+
+def test_dup_clusters_matches_operator_and_keeps_one_rep(spark, sf_correctness):
+    """api.dup_clusters over renamed columns must equal d08 exactly, and
+    the documented keep-rule must retain exactly one doc per cluster."""
+    docs = load_table(spark, sf_correctness, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("body"), "source"
+    )
+    got = {
+        (r["id"], r["cluster_id"], r["cluster_size"])
+        for r in api.dup_clusters(docs, "body", "id").collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup.d08_dup_clusters(spark, sf_correctness).collect()
+    }
+    assert got == want and got
+    clusters = api.dup_clusters(docs, "body", "id")
+    keep = docs.join(
+        clusters.filter("id != cluster_id").select("id"), "id", "left_anti"
+    )
+    n_clustered = clusters.count()
+    n_groups = clusters.select("cluster_id").distinct().count()
+    assert keep.count() == docs.count() - (n_clustered - n_groups)

@@ -167,3 +167,38 @@ def test_d07_decontamination_excludes_benchmark_and_api_filters(spark, sf_correc
         for r in api.decontaminate(corpus, bench, "text", "id", min_shared=2).collect()
     }
     assert kept2 == {1, 2}
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B and B~C (A never directly paired with C) must collapse into
+    one cluster; disjoint pairs must not merge. A 7-node path exercises
+    multi-iteration convergence (diameter 6 > one propagation step)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)] + [(30, 31)], ["d1", "d2"]
+    )
+    got = {
+        (r["id"], r["label"])
+        for r in dedup.connected_components(edges, "d1", "d2").collect()
+    }
+    want = {(i, 10) for i in range(10, 17)} | {(30, 30), (31, 30)}
+    assert got == want
+
+
+def test_d08_clusters_consistent_with_d04_pairs(spark, sf_correctness):
+    """Every d04 pair must land in the same d08 cluster, every clustered
+    doc must appear in some pair, and cluster_id is the min member."""
+    pairs = dedup.d04_simhash_clusters(spark, sf_correctness).collect()
+    rows = dedup.d08_dup_clusters(spark, sf_correctness).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    size = {r["cluster_id"]: r["cluster_size"] for r in rows}
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert label[p["d1"]] == label[p["d2"]], p
+    paired = {p["d1"] for p in pairs} | {p["d2"] for p in pairs}
+    assert set(label) == paired
+    members: dict[int, set[int]] = {}
+    for doc, lab in label.items():
+        members.setdefault(lab, set()).add(doc)
+    for lab, docs in members.items():
+        assert lab == min(docs)
+        assert size[lab] == len(docs)
