@@ -38,6 +38,7 @@ def _modules():
     """
     from big_data_analytics_cse545_spark.operators import (
         dedup,
+        ingest,
         multimodal,
         projection,
         relational,
@@ -51,6 +52,7 @@ def _modules():
         relational,
         text,
         sampling,
+        ingest,
         dedup,
         similarity,
         projection,
@@ -98,11 +100,14 @@ _HELD_OUT = frozenset(
         # round-3 hold-out — all green in CORRECTNESS_r02 (or r1 for
         # entries r2's budget missed; those q17-q27 all rotate IN this
         # round). Slots freed here fund the first driver rows of the
-        # twelve NEW round-3 queries (d07, d08, t11, t12, t13, t14,
-        # q28, x01, x02, x03, p06, st07). Nothing below was held out
-        # in round 2.
+        # fifteen NEW round-3 queries (d07, d08, f01, f02, t11, t12,
+        # t13, t14, t15, q28, x01, x02, x03, p06, st07). Nothing below
+        # was held out in round 2.
         "q05_customers_without_orders",
+        "q15_json_extract",  # JSON coverage rides on new f01 this round
         "q12_inlist_filter",
+        "q14_events_by_month_type",
+        "t08_fingerprint",
         "q09_cube_status_priority",
         "t01_wordcount",
         "t04_term_mentions_nested",

@@ -1,0 +1,181 @@
+"""File-format ingestion — JSONL and CSV sources with explicit schemas.
+
+Training corpora arrive as newline-delimited JSON or CSV long before
+they are parquet; the reference's ingestion is likewise raw-file-first
+(driver file listing ``a1p2a_ahuja.py:21-24``, lenient whole-file reads
+``a1p2b_ahuja.py:30-41``). These queries prove the engine's format
+parity on REAL files written to local disk (same atomic-fixture
+discipline as t10/m03), with DuckDB ``read_json``/``read_csv`` oracles
+over the very same files.
+
+100 TB posture, stated in each docstring and tested in test_plans:
+* schemas are ALWAYS explicit — ``inferSchema``/sampling costs an extra
+  full pass over the data before the first real job;
+* plain (uncompressed or bzip2/zstd-framed) JSONL and CSV are
+  line-splittable, so a 100 TB directory still parallelizes per block —
+  but neither format has column pruning or predicate pushdown, so the
+  first job of a production pipeline is convert-to-parquet; these
+  operators are the ingestion edge, not the steady state;
+* md5-of-text aggregation pins content fidelity through JSON/CSV
+  escaping (embedded quotes, newlines, unicode) — a silent mojibake or
+  quote-mangling flips the oracle hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
+
+N_SHARDS = 4  # files per fixture dir — a parallel scan even at sf0.001
+
+_JSONL_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+_CSV_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DECIMAL(12,2), o_orderdate DATE"
+)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def jsonl_fixture_dir(sf_dir: str) -> str:
+    """documents.parquet re-materialized as N_SHARDS newline-delimited
+    JSON files (DuckDB's JSON writer: standard escaping, one object per
+    line) — written once, atomically."""
+    import duckdb
+
+    def write(tmp: str) -> None:
+        con = duckdb.connect()
+        for i in range(N_SHARDS):
+            con.execute(
+                f"COPY (SELECT doc_id, text, lang, source, n_chars "
+                f"FROM '{sf_dir}/documents.parquet' WHERE doc_id % {N_SHARDS} = {i} "
+                f"ORDER BY doc_id) TO '{tmp}/part-{i}.jsonl' (FORMAT JSON)"
+            )
+        con.close()
+
+    return ensure_fixture_dir(f"graft-jsonl-{_sf_tag(sf_dir)}", write)
+
+
+def csv_fixture_dir(sf_dir: str) -> str:
+    """orders re-materialized as headered CSV shards with an exact
+    DECIMAL money column and a DATE column (the two types CSV round-trips
+    get wrong most often)."""
+    import duckdb
+
+    def write(tmp: str) -> None:
+        con = duckdb.connect()
+        for i in range(N_SHARDS):
+            con.execute(
+                f"COPY (SELECT o_orderkey, o_custkey, o_orderstatus, "
+                f"CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, "
+                f"CAST(o_orderdate AS DATE) AS o_orderdate "
+                f"FROM '{sf_dir}/orders.parquet' WHERE o_orderkey % {N_SHARDS} = {i} "
+                f"ORDER BY o_orderkey) TO '{tmp}/part-{i}.csv' (FORMAT CSV, HEADER)"
+            )
+        con.close()
+
+    return ensure_fixture_dir(f"graft-csv-{_sf_tag(sf_dir)}", write)
+
+
+def f01_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile straight off a JSONL directory: per (source, lang)
+    doc count, char volume, first doc id, and a content hash
+    (min md5(text)) that fails the oracle if JSON escaping mangles even
+    one document.
+
+    Explicit schema: at 100 TB, ``inferSchema`` is an extra full scan
+    (Spark samples JSON by READING it) before the first useful job —
+    never in production. JSONL is line-splittable so the scan
+    parallelizes per HDFS/S3 block; there is no column pruning in a
+    row-text format, which is why convert-to-parquet is job #1 of a real
+    pipeline (this operator IS that job's read side).
+    """
+    path = jsonl_fixture_dir(sf_dir)
+    d = spark.read.schema(_JSONL_SCHEMA).json(path)
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.min(F.md5(F.col("text"))).alias("content_hash"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _f01_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    path = jsonl_fixture_dir(sf_dir)
+    return f"""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc,
+       MIN(md5(text)) AS content_hash
+FROM read_json('{path}/part-*.jsonl', format='newline_delimited',
+               columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                         'lang': 'VARCHAR', 'source': 'VARCHAR',
+                         'n_chars': 'BIGINT'}})
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def f02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book rollup straight off headered CSV: revenue by
+    (status, month) with the money column parsed as DECIMAL(12,2) —
+    summed exactly in decimal, cast to double only at the end (the
+    module float-parity policy) — and the date column parsed as DATE.
+
+    Explicit schema + ``header=true``: CSV type inference misparses
+    decimals as doubles (losing the exact-sum property) and dates as
+    strings. Plain CSV is line-splittable; embedded-newline fields
+    would force ``multiLine=true`` which makes each FILE the split unit
+    — the orders table has none, and the docstring records the trap.
+    """
+    path = csv_fixture_dir(sf_dir)
+    d = spark.read.schema(_CSV_SCHEMA).option("header", "true").csv(path)
+    return (
+        d.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("o_orderstatus", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus", "month")
+    )
+
+
+def _f02_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    path = csv_fixture_dir(sf_dir)
+    return f"""
+SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM read_csv('{path}/part-*.csv', header=true,
+              columns={{'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT',
+                        'o_orderstatus': 'VARCHAR',
+                        'o_totalprice': 'DECIMAL(12,2)',
+                        'o_orderdate': 'DATE'}})
+GROUP BY o_orderstatus, month
+ORDER BY o_orderstatus, month
+"""
+
+
+QUERIES = {
+    "f01_jsonl_scan": f01_jsonl_scan,
+    "f02_csv_scan": f02_csv_scan,
+}
+
+ORACLE = {
+    "f01_jsonl_scan": _f01_sql,
+    "f02_csv_scan": _f02_sql,
+}

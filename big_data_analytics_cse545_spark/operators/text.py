@@ -19,7 +19,7 @@ Everything is built-in JVM expressions (split/filter/transform/aggregate)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_cse545_spark.functions.text import (
@@ -833,6 +833,127 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t15 — winnowing fingerprints (substring-level dup candidates)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5       # tokens per k-gram
+WINNOW_W = 4       # winnowing window (guarantee threshold t = K + W - 1)
+WINNOW_MAX_DF = 20  # suppress fingerprints shared by more docs (boilerplate)
+WINNOW_MIN_SHARED = 2  # pairs must share ≥ this many fingerprints
+
+
+def t15_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate candidates via winnowing (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD'03) — the fingerprint family t08's whole-doc
+    hashes can't provide: any shared token run of length ≥ K+W-1 is
+    GUARANTEED to produce a shared fingerprint, so copied passages
+    surface even when the surrounding document differs (the case MinHash
+    d03 dilutes away: whole-doc Jaccard of one stolen paragraph in a
+    long doc is tiny).
+
+    Formulated ROW-wise on purpose: posexplode tokens, build each
+    K-gram with ``lead()`` over (doc_id, pos), frame-``min`` each
+    W-window of gram hashes, distinct the selected mins. The obvious
+    nested-array spelling (transform over sequence with slice) is a
+    trap: CollapseProject inlines the tokenizer and the whole gram
+    array into EVERY downstream lambda element, re-running the regex
+    and O(T) md5s per window — O(T²) work per doc (measured 109s vs 6s
+    at sf0.01). Window functions materialize each stage once and stay
+    inside whole-stage codegen.
+
+    Pair generation is bucket-local, never a fingerprint self-join:
+    group by fp, drop boilerplate buckets (doc-frequency >
+    WINNOW_MAX_DF — both the standard relevance move and the skew
+    guard), emit ordered pairs from each ≤MAX_DF-doc bucket with one
+    nested transform over a tiny array. The shuffle carries (32-char
+    hash, doc_id) only; fan-out per fingerprint is bounded by MAX_DF².
+    At 100 TB this is the d03 shape — bucketed, quadratic only within
+    a bounded bucket — and the expensive fingerprint extraction runs
+    exactly once (the old self-join re-ran it on both sides).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    grams = (
+        toks.withColumn(
+            "gh",
+            # full grams only: the K-1 lookahead is NULL in the tail
+            F.when(
+                F.lead("tok", WINNOW_K - 1).over(w).isNotNull(),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *([F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, WINNOW_K)]),
+                    )
+                ),
+            ),
+        )
+        .filter(F.col("gh").isNotNull())
+        .select("doc_id", "pos", "gh")
+    )
+    fps = (
+        grams.withColumn("_wend", F.lead("gh", WINNOW_W - 1).over(w))
+        .withColumn("fp", F.min("gh").over(w.rowsBetween(0, WINNOW_W - 1)))
+        .filter(F.col("_wend").isNotNull())
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_MAX_DF))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("d1", "d2")
+    )
+
+
+_T15_SQL = f"""
+WITH big AS (
+  SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+  WHERE len({_SQL_TOKENS}) >= {WINNOW_K + WINNOW_W - 1}
+),
+kg AS (
+  SELECT doc_id,
+         list_transform(range(0, len(ts) - {WINNOW_K} + 1),
+           i -> md5(array_to_string(list_slice(ts, i + 1, i + {WINNOW_K}), ' '))) AS kgs
+  FROM big
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(kgs) - {WINNOW_W} + 1),
+           j -> list_aggregate(list_slice(kgs, j + 1, j + {WINNOW_W}), 'min'))) AS sel
+  FROM kg
+),
+fp AS (SELECT doc_id, unnest(sel) AS fp FROM fps),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF})
+SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+FROM (SELECT * FROM fp JOIN rare USING (fp)) a
+JOIN (SELECT * FROM fp JOIN rare USING (fp)) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY d1, d2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+ORDER BY d1, d2
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -848,6 +969,7 @@ QUERIES = {
     "t12_pack_sequences": t12_pack_sequences,
     "t13_repetition_filter": t13_repetition_filter,
     "t14_corpus_freq_score": t14_corpus_freq_score,
+    "t15_winnowing_pairs": t15_winnowing_pairs,
 }
 
 ORACLE = {
@@ -867,4 +989,5 @@ ORACLE = {
     "t12_pack_sequences": _T12_SQL,
     "t13_repetition_filter": _T13_SQL,
     "t14_corpus_freq_score": _T14_SQL,
+    "t15_winnowing_pairs": _T15_SQL,
 }

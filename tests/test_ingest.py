@@ -1,0 +1,59 @@
+"""File-format ingestion (f01 JSONL, f02 CSV): DuckDB parity over the
+SAME on-disk files, plus fixture-integrity and type round-trip checks."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark.operators import ingest
+from big_data_analytics_cse545_spark.sources import load_table
+from tests.oracle_utils import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(ingest.ORACLE))
+def test_ingest_oracle_parity(spark, sf_correctness, name):
+    df = ingest.QUERIES[name](spark, sf_correctness)
+    assert_parity(df, ingest.ORACLE[name](sf_correctness), sf_correctness, name)
+
+
+def test_jsonl_round_trips_every_document(spark, sf_correctness):
+    """Every doc must survive the parquet→JSONL→Spark trip byte-exact:
+    per-doc md5(text) equality against the parquet original (a stronger
+    check than f01's per-group min hash)."""
+    path = ingest.jsonl_fixture_dir(sf_correctness)
+    files = sorted(glob.glob(os.path.join(path, "part-*.jsonl")))
+    assert len(files) == ingest.N_SHARDS
+    j = (
+        spark.read.schema(ingest._JSONL_SCHEMA)
+        .json(path)
+        .select("doc_id", F.md5("text").alias("h_json"))
+    )
+    p = load_table(spark, sf_correctness, "documents").select(
+        "doc_id", F.md5("text").alias("h_pq")
+    )
+    joined = j.join(p, "doc_id")
+    assert joined.count() == p.count() == j.count()
+    assert joined.filter("h_json <> h_pq").count() == 0
+
+
+def test_csv_decimal_and_date_round_trip(spark, sf_correctness):
+    """The CSV money column must re-parse to the EXACT decimal total of
+    the parquet source (no float drift), and the date column to real
+    dates."""
+    path = ingest.csv_fixture_dir(sf_correctness)
+    c = spark.read.schema(ingest._CSV_SCHEMA).option("header", "true").csv(path)
+    p = load_table(spark, sf_correctness, "orders")
+    got = c.agg(
+        F.sum("o_totalprice").alias("total"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    want = p.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert got["n"] == want["n"]
+    assert got["total"] == want["total"]
+    assert dict(c.dtypes)["o_orderdate"] == "date"
