@@ -38,15 +38,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-        # default. Read nanos as long, then floor-truncate to microseconds —
-        # the same ns→µs truncation DuckDB applies — so both engines see
-        # identical timestamps.
+        # events.ts has shipped as either TIMESTAMP(NANOS) (which Spark 4
+        # rejects by default) or plain TIMESTAMP(MICROS), depending on the
+        # generator version. Handle both: read nanos as long and
+        # floor-truncate to microseconds (the same ns→µs truncation DuckDB
+        # applies), or take micros as-is. Either way normalize to
+        # session-timezone TIMESTAMP (session tz is pinned UTC) so every
+        # downstream window/watermark sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 
 

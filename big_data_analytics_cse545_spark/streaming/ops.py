@@ -48,15 +48,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch loader (sources/tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts is LongType under nanosAsLong
+    schema = spark.read.parquet(path).schema
+    # ts is LongType when the file is TIMESTAMP(NANOS) (read under
+    # nanosAsLong), or already a timestamp when the file is micros —
+    # normalize exactly like the batch loader (sources/tables.py).
+    ts_is_long = dict((f.name, f.dataType.simpleString()) for f in schema)[
+        "ts"
+    ] == "bigint"
     # File-stream sources need a directory basePath; select the single
     # events file out of the sf dir with a glob filter.
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_long:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_table(
