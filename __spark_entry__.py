@@ -100,9 +100,16 @@ _HELD_OUT = frozenset(
         # round-3 hold-out — all green in CORRECTNESS_r02 (or r1 for
         # entries r2's budget missed; those q17-q27 all rotate IN this
         # round). Slots freed here fund the first driver rows of the
-        # fifteen NEW round-3 queries (d07, d08, f01, f02, t11, t12,
-        # t13, t14, t15, q28, x01, x02, x03, p06, st07). Nothing below
-        # was held out in round 2.
+        # NEW round-3 queries (d07, d08, f01, f02, t11-t17, q28, q29,
+        # x01-x05, p06, p07, st07, st08). Nothing below was held out
+        # in round 2.
+        "q02_revenue_by_nation",
+        "q03_top_orders",
+        "q11_distinct_and_conditional_agg",
+        "q16_above_avg_lineitems",
+        "t09_pseudo_xml_extract",
+        "p01_dim_stats",
+        "st06_stream_stream_join",
         "q05_customers_without_orders",
         "q15_json_extract",  # JSON coverage rides on new f01 this round
         "q12_inlist_filter",

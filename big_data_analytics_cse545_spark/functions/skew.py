@@ -34,6 +34,29 @@ def skew_resistant_count_distinct(
     )
 
 
+def skew_resistant_distinct_and_total(
+    df: DataFrame,
+    key: str,
+    value: str,
+    distinct_col: str = "n_distinct",
+    total_col: str = "n_total",
+) -> DataFrame:
+    """COUNT(DISTINCT value) and COUNT(*) per key in one skew-safe plan.
+
+    The fused form of :func:`skew_resistant_count_distinct`: phase 1
+    groups by (key, value) — the hot key's rows spread over every
+    partition and collapse to one row per distinct pair, carrying the
+    pair's row count; phase 2 aggregates the pair-sized relation. A
+    plain ``agg(countDistinct, count)`` funnels the hot key's full row
+    set through one reducer; this never shuffles more than the distinct
+    pairs after the map-side combine."""
+    pairs = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_cnt"))
+    return pairs.groupBy(key).agg(
+        F.count(F.lit(1)).alias(distinct_col),
+        F.sum("_cnt").alias(total_col),
+    )
+
+
 def salted_collect_list(
     df: DataFrame,
     key: str,

@@ -473,6 +473,160 @@ ORDER BY vec_id, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# p07 — product quantization: train codebooks, encode corpus, ADC top-k
+# ---------------------------------------------------------------------------
+
+PQ_M = 8         # subspaces
+PQ_DSUB = DIM // PQ_M
+PQ_K = 16        # centroids per subspace → 8×4-bit codes per vector
+PQ_TRAIN_CAP = 2048  # absolute training-sample cap (model-sized, not data-sized)
+PQ_ITERS = 10
+PQ_TOPK = 3
+PQ_RERANK = 32   # ADC shortlist size fed to the exact rerank, per batch
+
+
+def _pq_train(train: "object") -> "object":
+    """Seeded Lloyd per subspace on the capped training sample (numpy,
+    driver-side): init = first PQ_K distinct subvectors in vec_id order,
+    PQ_ITERS iterations, empty clusters keep their previous centroid.
+    Deterministic: fixed input order, fixed iteration count, no RNG."""
+    import numpy as np
+
+    codebooks = np.zeros((PQ_M, PQ_K, PQ_DSUB))
+    for m in range(PQ_M):
+        x = train[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
+        cents = x[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                mask = a == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        codebooks[m] = cents
+    return codebooks
+
+
+def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-bound scale path of vector
+    search (IVF-PQ's PQ half): train per-subspace codebooks, encode every
+    vector as PQ_M 4-bit codes (64 float32 dims → 8 bytes, 32×
+    compression), then answer top-k by ADC (asymmetric distance
+    computation) — each query builds an M×K lookup table once and scores
+    a corpus row with M table lookups instead of a 64-dim float kernel.
+
+    Scale shape, stage by stage:
+    * training reads a capped deterministic sample (first
+      {PQ_TRAIN_CAP} vec_ids — distributed TakeOrdered, model-sized
+      collect; the standard PQ practice of fitting codebooks on a
+      bounded reservoir);
+    * encoding is one Arrow-batched mapInPandas pass with the
+      codebooks broadcast — narrow, no shuffle, output 8 bytes/row;
+    * search scans CODES, not floats: ADC scores every row with M table
+      lookups, keeps a per-batch shortlist of PQ_RERANK candidates per
+      query, and reranks ONLY the shortlist with exact float distances
+      (the standard PQ + rerank recipe — exact math touches ≤
+      queries × PQ_RERANK rows per batch, not the corpus);
+    * each task then emits only its local top-k per query, so the
+      shuffle is partitions × queries × k candidate rows, never the
+      corpus; a final window picks the global top-k (the two-phase
+      exact-top-k pattern, x05).
+
+    No oracle (k-means training is not SQL-expressible); invariants —
+    code range, rank monotonicity, determinism, recall vs exact —
+    pinned in tests/test_projection.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    train_rows = e.orderBy("vec_id").limit(PQ_TRAIN_CAP).collect()
+    train = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
+    codebooks = _pq_train(train)
+
+    q_rows = e.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # per-query ADC lookup tables: dtab[q, m, k] = ||q_m − c_{m,k}||²
+    dtab = np.stack(
+        [
+            ((q_mat[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
+              - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+    q_full = q_mat  # exact rerank needs the full query vectors
+    out_schema = "query_id long, neighbor_id long, d2 double"
+
+    def local_topk(batches):
+        cbs, qids, tabs, qvecs = bc.value
+        nq = len(qids)
+        best_d = np.full((nq, PQ_TOPK), np.inf)
+        best_i = np.full((nq, PQ_TOPK), -1, dtype=np.int64)
+        for batch in batches:
+            ids = batch["vec_id"].to_numpy()
+            x = np.array([list(v) for v in batch["embedding"]], dtype=np.float64)
+            # encode: per subspace, nearest codebook entry
+            codes = np.stack(
+                [
+                    ((x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
+                      - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                    for m in range(PQ_M)
+                ],
+                axis=1,
+            )
+            # ADC: approx d² of every (query, row) via M table lookups
+            adc = np.zeros((nq, len(ids)))
+            for m in range(PQ_M):
+                adc += tabs[:, m, :][:, codes[:, m]]
+            adc[qids[:, None] == ids[None, :]] = np.inf
+            # shortlist: per-query ADC top-R of this batch, exact-reranked
+            r = min(PQ_RERANK, adc.shape[1])
+            short = np.argsort(adc, axis=1, kind="stable")[:, :r]
+            cand = np.unique(short)
+            # exact d² only on shortlisted rows (≤ nq·R per batch)
+            exact = ((qvecs[:, None, :] - x[cand][None, :, :]) ** 2).sum(axis=2)
+            mask = np.full((nq, len(cand)), np.inf)
+            col_of = {c: j for j, c in enumerate(cand)}
+            for qi in range(nq):
+                for c in short[qi]:
+                    if np.isfinite(adc[qi, c]):
+                        mask[qi, col_of[c]] = exact[qi, col_of[c]]
+            all_d = np.concatenate([best_d, mask], axis=1)
+            all_i = np.concatenate(
+                [best_i, np.broadcast_to(ids[cand], (nq, len(cand)))], axis=1
+            )
+            sel = np.argsort(all_d, axis=1, kind="stable")[:, :PQ_TOPK]
+            best_d = np.take_along_axis(all_d, sel, axis=1)
+            best_i = np.take_along_axis(all_i, sel, axis=1)
+        rows = []
+        for qi in range(nq):
+            for j in range(PQ_TOPK):
+                if np.isfinite(best_d[qi, j]):
+                    rows.append((int(qids[qi]), int(best_i[qi, j]),
+                                 float(best_d[qi, j])))
+        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "d2"])
+
+    bc = spark.sparkContext.broadcast((codebooks, q_ids, dtab, q_full))
+    candidates = e.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("d2", 4).alias("d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "p01_dim_stats": p01_dim_stats,
     "p02_random_projection": p02_random_projection,
@@ -480,6 +634,7 @@ QUERIES = {
     "p04_pca_mllib_topk": p04_pca_mllib_topk,
     "p05_kmeans_iterative": p05_kmeans_iterative,
     "p06_scalar_quantize": p06_scalar_quantize,
+    "p07_pq_ann": p07_pq_ann,
 }
 
 ORACLE = {

@@ -1327,6 +1327,46 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q29 — skew-resistant exact distinct counts (functions/skew.py surfaced)
+# ---------------------------------------------------------------------------
+
+def q29_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user and total-event counts per event_type via the
+    engine's skew pattern (functions/skew.py): phase 1 shuffles on the
+    (event_type, user_id) PAIR — a hot event_type spreads across all
+    partitions instead of drowning one reducer — phase 2 aggregates the
+    pair-sized relation. Semantically identical to
+    ``COUNT(DISTINCT user_id), COUNT(*) GROUP BY event_type`` (the
+    oracle runs exactly that); the plan is the one that survives a
+    skewed 100 TB event log. The reference's residual-row balancing
+    (``Assignment 1/a1p1_ahuja.py:114-115``) is the toy form of the
+    same concern.
+    """
+    from big_data_analytics_cse545_spark.functions.skew import (
+        skew_resistant_distinct_and_total,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        skew_resistant_distinct_and_total(
+            e, "event_type", "user_id",
+            distinct_col="n_users", total_col="n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q29_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1356,6 +1396,7 @@ QUERIES = {
     "q26_pivot": q26_pivot,
     "q27_gap_fill": q27_gap_fill,
     "q28_sessionize": q28_sessionize,
+    "q29_skew_safe_distinct": q29_skew_safe_distinct,
 }
 
 ORACLE = {
@@ -1386,4 +1427,5 @@ ORACLE = {
     "q26_pivot": _Q26_SQL,
     "q27_gap_fill": _Q27_SQL,
     "q28_sessionize": _Q28_SQL,
+    "q29_skew_safe_distinct": _Q29_SQL,
 }

@@ -263,14 +263,177 @@ ORDER BY split, source
 """
 
 
+# ---------------------------------------------------------------------------
+# x04 — token-budget corpus selection (quality-ranked, exact, distributed)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 8000  # total token budget for the selected sub-corpus
+
+def x04_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents whose token counts fit a
+    fixed budget — the "give me the best N-token sub-corpus" selection
+    every pre-training run starts with.
+
+    The naive spelling is a GLOBAL ORDER BY quality + running-sum cutoff
+    — a single-reducer window, dead at 100 TB. This is the distributed
+    exact form:
+
+    1. integer quality bucket per doc (``floor(1000·alpha_ratio)`` —
+       ≤ 1001 distinct values by construction);
+    2. per-bucket token totals (map-side-combined agg; result is
+       histogram-sized, ≤ 1001 rows);
+    3. running total over the tiny histogram (window over ≤ 1001 rows —
+       result-sized, NOT data-sized);
+    4. broadcast the per-bucket running offsets back; each doc needs a
+       cumulative sum only WITHIN its own bucket (window partitioned by
+       bucket — distributed across buckets, and only the single
+       boundary bucket's order actually decides membership).
+
+    Keep iff ``bucket_offset + within_bucket_cumsum <= BUDGET``: exact,
+    deterministic (ties broken by doc_id), and every data-sized stage
+    is either a narrow projection or a partitioned window.
+    """
+    from pyspark.sql.window import Window
+
+    from big_data_analytics_cse545_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.floor(
+            F.lit(1000.0)
+            * F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            / F.col("n_chars")
+        ).cast("long").alias("score"),
+    )
+    hist = base.groupBy("score").agg(F.sum("n_tok").alias("bucket_tok"))
+    w_hist = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = hist.withColumn(
+        "prev_tok", F.sum("bucket_tok").over(w_hist) - F.col("bucket_tok")
+    ).select("score", "prev_tok")
+    w_bucket = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel = (
+        base.join(F.broadcast(offsets), "score")
+        .withColumn("cum", F.sum("n_tok").over(w_bucket))
+        .filter(F.col("prev_tok") + F.col("cum") <= TOKEN_BUDGET)
+    )
+    return sel.select("doc_id", "score", "n_tok").orderBy(
+        F.desc("score"), "doc_id"
+    )
+
+
+_X04_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS n_tok,
+         CAST(floor(1000.0 * len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    / n_chars) AS BIGINT) AS score
+  FROM documents
+),
+hist AS (SELECT score, SUM(n_tok) AS bucket_tok FROM base GROUP BY score),
+offsets AS (
+  SELECT score,
+         SUM(bucket_tok) OVER (ORDER BY score DESC) - bucket_tok AS prev_tok
+  FROM hist
+),
+sel AS (
+  SELECT b.doc_id, b.score, b.n_tok,
+         o.prev_tok + SUM(b.n_tok) OVER (PARTITION BY b.score ORDER BY b.doc_id)
+           AS running
+  FROM base b JOIN offsets o USING (score)
+)
+SELECT doc_id, score, n_tok FROM sel
+WHERE running <= {TOKEN_BUDGET}
+ORDER BY score DESC, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# x05 — stratified fixed-size sample (exact top-K per stratum, skew-safe)
+# ---------------------------------------------------------------------------
+
+STRATUM_K = 20  # docs kept per language stratum
+_X05_SALTS = 8  # phase-1 fan-out per stratum
+
+
+def x05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly K documents per language stratum, chosen by deterministic
+    hash order — the eval-set / human-review sampler (fixed size per
+    stratum, reproducible across reruns and cluster sizes, unlike
+    ``df.sampleBy`` which is fraction-based AND partitioning-dependent).
+
+    Skew story: ``row_number() OVER (PARTITION BY lang)`` alone sends
+    each stratum's ENTIRE row set through one reducer — the hot-stratum
+    version of the single-reducer window. This is the two-phase exact
+    top-K instead:
+
+    1. phase 1 partitions by (lang, salt) — salt = hash mod {_X05_SALTS},
+       deterministic per doc — and keeps each salt-group's local top-K;
+       a stratum of any size is spread over {_X05_SALTS} reducers, each
+       emitting ≤ K candidate rows;
+    2. phase 2 ranks the ≤ {_X05_SALTS}·K survivors per stratum — a
+       window over candidate-sized input (result-sized, not data-sized).
+
+    The local top-K of every salt group is a superset of the global
+    top-K members hashed into it, so the two phases are exactly
+    equivalent to the naive window; the oracle runs the naive spelling.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked_key = hash_bucket(F.col("doc_id"), "strat|")
+    base = d.select(
+        "doc_id", "lang", ranked_key.alias("h"),
+        (ranked_key % _X05_SALTS).alias("_salt"),
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy("h", "doc_id")
+    candidates = (
+        base.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= STRATUM_K)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        candidates.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= STRATUM_K)
+        .select("lang", "rank", "doc_id")
+        .orderBy("lang", "rank")
+    )
+
+
+_X05_SQL = f"""
+SELECT lang, rank, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_hash('doc_id', 'strat|')}, doc_id
+         ) AS rank
+  FROM documents
+)
+WHERE rank <= {STRATUM_K}
+ORDER BY lang, rank
+"""
+
+
 QUERIES = {
     "x01_hash_split": x01_hash_split,
     "x02_temperature_mix": x02_temperature_mix,
     "x03_pipeline_stats": x03_pipeline_stats,
+    "x04_token_budget_select": x04_token_budget_select,
+    "x05_stratified_sample": x05_stratified_sample,
 }
 
 ORACLE = {
     "x01_hash_split": _X01_SQL,
     "x02_temperature_mix": _X02_SQL,
     "x03_pipeline_stats": _X03_SQL,
+    "x04_token_budget_select": _X04_SQL,
+    "x05_stratified_sample": _X05_SQL,
 }

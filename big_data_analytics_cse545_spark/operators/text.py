@@ -954,6 +954,190 @@ ORDER BY d1, d2
 """
 
 
+# ---------------------------------------------------------------------------
+# t16 — HTML boilerplate strip over real .html files
+# ---------------------------------------------------------------------------
+
+N_HTML_FILES = 24
+
+
+def _html_dir() -> str:
+    """Fixture: N_HTML_FILES small HTML pages with the boilerplate a web
+    crawl actually carries — <script>/<style> blocks, nav/footer chrome,
+    escaped entities — wrapped around deterministic body text. Written
+    atomically on first use (ensure_fixture_dir)."""
+    import os
+
+    from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
+
+    def write(tmp: str) -> None:
+        for i in range(N_HTML_FILES):
+            words = " ".join(f"word{(i * 7 + j) % 13}" for j in range(10 + i % 9))
+            page = (
+                f"<html><head><title>Page {i}</title>\n"
+                "<style>body { margin: 0; color: #222; }</style>\n"
+                f"<script>var page = {i}; if (page < 99) loadAds();</script>\n"
+                "</head><body>\n"
+                '<nav><a href="/home">Home</a> | <a href="/about">About</a></nav>\n'
+                f"<h1>Doc {i}</h1>\n"
+                f"<p>{words}</p>\n"
+                f"<p>fish &amp; chips &lt;tag&gt; &quot;quoted&quot; page{i}</p>\n"
+                "<footer>&copy; 2026 Example Corp</footer>\n"
+                "</body></html>\n"
+            )
+            with open(os.path.join(tmp, f"page{i:02d}.html"), "w") as f:
+                f.write(page)
+
+    return ensure_fixture_dir("spark_graft_html_v1", write)
+
+
+# The strip chain, shared verbatim between the Spark and DuckDB twins.
+# Order matters: script/style bodies first (their CONTENT must go, not
+# just their tags), then remaining tags, then entity unescape with
+# &amp; strictly last (else '&amp;lt;' would double-decode).
+_HTML_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"<[^>]*>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&copy;", "(c)"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+)
+
+
+def t16_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal — the first transform of any web-crawl
+    pipeline: drop <script>/<style> bodies, strip tags, unescape
+    entities, collapse whitespace; report the clean text and its token
+    count per page.
+
+    All JVM-side ``regexp_replace`` — the whole strip is one narrow
+    projection fused into the file scan (no Python, no shuffle; at
+    100 TB this runs at scan speed and the only shuffle is the final
+    result-sized sort). The oracle applies the identical RE2-safe chain
+    via DuckDB over the very same files.
+    """
+    d = _html_dir()
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.html")
+        .load(d)
+        .select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)\.html", 1).alias("file"),
+            F.col("value").alias("html"),
+        )
+    )
+    clean = F.col("html")
+    for pat, rep in _HTML_STEPS:
+        clean = F.regexp_replace(clean, pat, rep)
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return (
+        raw.select(
+            "file",
+            clean.alias("text"),
+            F.size(F.split(clean, r"\s+")).cast("long").alias("n_tok"),
+        )
+        .orderBy("file")
+    )
+
+
+def _t16_sql() -> str:
+    d = _html_dir()
+    steps = "content"
+    for pat, rep in _HTML_STEPS:
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        steps = f"regexp_replace({steps}, '{pat_sql}', '{rep_sql}', 'g')"
+    steps = f"trim(regexp_replace({steps}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH raw AS (
+  SELECT regexp_extract(filename, '([^/]+)\\.html', 1) AS file,
+         {steps} AS text
+  FROM read_text('{d}/*.html')
+)
+SELECT file, text,
+       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+FROM raw
+ORDER BY file
+"""
+
+
+# ---------------------------------------------------------------------------
+# t17 — overlapping token-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # window size W
+CHUNK_STRIDE = 24  # stride S (overlap = W - S = 8 tokens)
+
+
+def t17_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping token windows (W={W},
+    stride={S}) — the chunking step feeding embedding/RAG indexes and
+    fixed-context training examples.
+
+    Pure JVM higher-order expressions: ``sequence`` builds the chunk
+    starts, ``transform``+``slice`` cuts the windows, ``posexplode``
+    fans out 1→⌈n/S⌉ — no Python boundary, and the fan-out is a narrow
+    per-row operation (Spark's UDTF shape, same family as the
+    reference's per-file record extraction ``a1p2b_ahuja.py:30-41``).
+    At 100 TB: chunking shuffles nothing; output partitioning inherits
+    the scan, and downstream dedup/embedding stages key on chunk ids.
+    """.format(W=CHUNK_TOKENS, S=CHUNK_STRIDE)
+    from big_data_analytics_cse545_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("toks", s + 1, CHUNK_TOKENS))
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_chunk_tok"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_T17_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END,
+                      {CHUNK_STRIDE})) AS st
+  FROM base
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(st / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         list_slice(toks, st + 1, st + {CHUNK_TOKENS}) AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -970,6 +1154,8 @@ QUERIES = {
     "t13_repetition_filter": t13_repetition_filter,
     "t14_corpus_freq_score": t14_corpus_freq_score,
     "t15_winnowing_pairs": t15_winnowing_pairs,
+    "t16_html_strip": t16_html_strip,
+    "t17_chunk_overlap": t17_chunk_overlap,
 }
 
 ORACLE = {
@@ -990,4 +1176,7 @@ ORACLE = {
     "t13_repetition_filter": _T13_SQL,
     "t14_corpus_freq_score": _T14_SQL,
     "t15_winnowing_pairs": _T15_SQL,
+    # callable — fixture written on first use, like t10
+    "t16_html_strip": _t16_sql,
+    "t17_chunk_overlap": _T17_SQL,
 }

@@ -403,6 +403,83 @@ ORDER BY c_mktsegment, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# st08 — stream-stream LEFT OUTER join (watermark-gated null emission)
+# ---------------------------------------------------------------------------
+
+def st08_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view pairs with
+    a same-user purchase within 1 hour after it, or emits a null-padded
+    row once it can be PROVEN unmatched — i.e. once the global watermark
+    passes the view's one-hour match horizon and its join state is
+    evicted. Views still inside the horizon at end-of-stream are neither
+    matched nor provably unmatched, so they are (correctly) never
+    emitted — the outer-join semantics only a watermark makes safe at
+    scale, and exactly what the oracle reproduces: the final watermark
+    is min(max view_ts, max purchase_ts) − 1 h, and a view null-emits
+    iff view_ts + 1 h < that watermark.
+
+    Output: pairs per purchase-hour plus an 'unmatched' bucket.
+    """
+    e = _events_stream(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    out = _run_to_table(
+        joined.select("v_user", "view_ts", "purchase_ts"),
+        spark,
+        "st08_mem",
+        output_mode="append",
+    )
+    return (
+        out.groupBy(
+            F.coalesce(
+                F.date_format("purchase_ts", "HH"), F.lit("unmatched")
+            ).alias("purchase_hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("purchase_hour")
+    )
+
+
+_ST08_SQL = """
+WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(vts) FROM v), (SELECT max(pts) FROM p))
+         - INTERVAL 1 HOUR AS w
+),
+j AS (
+  SELECT v.vts, p.pts
+  FROM v LEFT JOIN p ON v.user_id = p.user_id
+   AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR
+)
+SELECT CASE WHEN pts IS NOT NULL THEN strftime(pts, '%H')
+            ELSE 'unmatched' END AS purchase_hour,
+       COUNT(*) AS n_rows
+FROM j
+WHERE pts IS NOT NULL
+   OR vts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+GROUP BY 1
+ORDER BY purchase_hour
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
@@ -411,6 +488,7 @@ QUERIES = {
     "st05_stateful_user_counts": st05_stateful_user_counts,
     "st06_stream_stream_join": st06_stream_stream_join,
     "st07_stream_static_join": st07_stream_static_join,
+    "st08_stream_outer_join": st08_stream_outer_join,
 }
 
 ORACLE = {
@@ -421,4 +499,5 @@ ORACLE = {
     "st05_stateful_user_counts": _ST05_SQL,
     "st06_stream_stream_join": _ST06_SQL,
     "st07_stream_static_join": _ST07_SQL,
+    "st08_stream_outer_join": _ST08_SQL,
 }

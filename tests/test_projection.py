@@ -105,3 +105,33 @@ def test_kmeans_converges_and_partitions_corpus(spark, sf_correctness):
     assert all(r["mean_dist"] > 0 for r in rows)
     again = projection.QUERIES["p05_kmeans_iterative"](spark, sf_correctness).collect()
     assert [r.asDict() for r in rows] == [r.asDict() for r in again]  # deterministic
+
+
+def test_p07_pq_ann_recall_and_determinism(spark, sf_correctness):
+    """PQ + exact-rerank contract: ≥0.6 recall@3 vs brute force, exact
+    distances monotone per query, self excluded, byte-identical reruns."""
+    import numpy as np
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    df = projection.p07_pq_ann(spark, sf_correctness).toPandas()
+    assert not df.empty
+    rows = load_table(spark, sf_correctness, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = tot = 0
+    for qi in np.where(ids % projection.QUERY_MOD == 0)[0]:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[: projection.PQ_TOPK]])
+        sub = df[df.query_id == ids[qi]]
+        got = set(sub.neighbor_id)
+        assert ids[qi] not in got, "self must be excluded"
+        assert list(sub.sort_values("rank").d2) == sorted(sub.d2)
+        hits += len(exact & got)
+        tot += projection.PQ_TOPK
+    assert hits / tot >= 0.6, f"recall@{projection.PQ_TOPK} = {hits}/{tot}"
+    again = projection.p07_pq_ann(spark, sf_correctness).toPandas()
+    assert df.equals(again), "PQ pipeline must be deterministic"

@@ -114,3 +114,69 @@ def test_repetition_signals_planted(spark):
     assert got[2]["dup_token_frac"] == 0.0
     assert got[2]["top_bigram_frac"] == pytest.approx(1 / 4)  # all unique
     assert got[3]["top_bigram_frac"] == 0.0
+
+
+def test_x04_budget_respected_and_maximal(spark, sf_correctness):
+    """Selected token mass fits the budget, and the selection is maximal
+    under the (score DESC, doc_id) order: the first excluded doc in that
+    order would overflow the budget."""
+    sel = sampling.x04_token_budget_select(spark, sf_correctness).collect()
+    assert sel
+    total = sum(r["n_tok"] for r in sel)
+    assert total <= sampling.TOKEN_BUDGET
+    # rebuild the full ranked universe and walk it greedily per the
+    # histogram-offset rule: the operator must pick the same prefix
+    from big_data_analytics_cse545_spark.functions.text import tokens
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.floor(
+            F.lit(1000.0)
+            * F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            / F.col("n_chars")
+        ).cast("long").alias("score"),
+    ).collect()
+    universe = sorted(base, key=lambda r: (-r["score"], r["doc_id"]))
+    # exact operator semantics: global walk in (score DESC, doc_id)
+    # order where prev_tok counts EVERY higher bucket's full token mass;
+    # the first doc that overflows ends the selection (later buckets'
+    # offsets are already past the budget)
+    expected, acc = [], 0
+    for r in universe:
+        if acc + r["n_tok"] > sampling.TOKEN_BUDGET:
+            break
+        expected.append(r["doc_id"])
+        acc += r["n_tok"]
+    got = [r["doc_id"] for r in sel]
+    assert got == expected
+
+
+def test_x05_two_phase_equals_naive_window(spark, sf_correctness):
+    """The salted two-phase top-K must equal the single-window spelling
+    exactly (the local top-K of each salt group is a superset of the
+    global winners hashed into it)."""
+    from pyspark.sql.window import Window
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    got = {
+        (r["lang"], r["rank"]): r["doc_id"]
+        for r in sampling.x05_stratified_sample(spark, sf_correctness).collect()
+    }
+    d = load_table(spark, sf_correctness, "documents")
+    h = sampling.hash_bucket(F.col("doc_id"), "strat|")
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    naive = {
+        (r["lang"], r["rank"]): r["doc_id"]
+        for r in d.select("lang", "doc_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= sampling.STRATUM_K)
+        .collect()
+    }
+    assert got == naive
+    # exactly K per stratum (each stratum here is larger than K)
+    langs = {k[0] for k in got}
+    for lang in langs:
+        assert sum(1 for k in got if k[0] == lang) == sampling.STRATUM_K

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_analytics_cse545_spark.operators import text
 from tests.oracle_utils import assert_parity
@@ -72,3 +73,52 @@ def test_t12_pack_sequences_boundaries(spark):
         for r in api.pack_sequences(df, "text", "id", "src", max_len=512).collect()
     }
     assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("t", 4): 0}
+
+
+def test_t16_strips_all_markup_and_decodes_entities(spark):
+    got = {
+        r["file"]: r["text"]
+        for r in text.t16_html_strip(spark, "unused").collect()
+    }
+    assert len(got) == text.N_HTML_FILES
+    for fname, clean in got.items():
+        # no tag residue, no script/style payloads, no undecoded entities
+        assert "<" not in clean.replace("<tag>", "") or "<tag>" in clean
+        assert "loadAds" not in clean and "margin" not in clean
+        assert "&amp;" not in clean and "&quot;" not in clean
+        assert 'fish & chips <tag> "quoted"' in clean
+        assert "  " not in clean and clean == clean.strip()
+
+
+def test_t17_chunks_overlap_and_cover(spark, sf_correctness):
+    """Adjacent chunks overlap by W−S tokens and concatenating each
+    chunk's fresh suffix reconstructs the document's token stream."""
+    from big_data_analytics_cse545_spark.functions.text import tokens as tok_fn
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    W, S = text.CHUNK_TOKENS, text.CHUNK_STRIDE
+    chunks = text.t17_chunk_overlap(spark, sf_correctness).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["toks"]
+        for r in load_table(spark, sf_correctness, "documents")
+        .select("doc_id", tok_fn(F.col("text")).alias("toks"))
+        .collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = docs[doc_id]
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(ctoks) == r["n_chunk_tok"] <= W
+            start = r["chunk_idx"] * S
+            assert ctoks == toks[start : start + W]
+            if i > 0 and len(ctoks) >= (W - S):
+                prev = rows[i - 1]["chunk_text"].split(" ")
+                assert prev[S:] == ctoks[: W - S], "overlap region must agree"
+            rebuilt.extend(ctoks[len(rebuilt) - start :])
+        assert rebuilt == toks, f"doc {doc_id} chunks must cover all tokens"
