@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 61
+# The driver hash-checks only the FIRST 50 queries() entries, so with 84
 # registered queries we budget deliberately instead of letting the tail
 # fall off silently:
 #
@@ -110,6 +110,7 @@ _HELD_OUT = frozenset(
         "t09_pseudo_xml_extract",
         "p01_dim_stats",
         "st06_stream_stream_join",
+        "t02_word_set_difference",
         "q05_customers_without_orders",
         "q15_json_extract",  # JSON coverage rides on new f01 this round
         "q12_inlist_filter",
@@ -151,7 +152,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (61 queries) — used by bench.py and pytest so
+    """The FULL registry (84 queries) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

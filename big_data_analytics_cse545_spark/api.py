@@ -667,3 +667,116 @@ def grouped_zscore(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(zscore, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# corpus prep (chunking, selection, sampling, boilerplate)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking (operators.text.t17 semantics
+    over any table): one row per (id, chunk_idx) with the chunk's tokens
+    re-joined. Zero-shuffle narrow fan-out — sequence/transform/slice/
+    posexplode, all JVM-side."""
+    toked = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+            lambda t: t != F.lit(""),
+        ).alias("toks"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        toked.select(
+            id_col,
+            F.posexplode(
+                F.transform(starts, lambda s: F.slice("toks", s + 1, chunk_tokens))
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("n_chunk_tok"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Keep the highest-``score_col`` rows whose ``weight_col`` mass fits
+    ``budget`` — the distributed exact form of ORDER BY score + running-
+    sum cutoff (operators.sampling.x04): per-score histogram → tiny
+    running-offset window → broadcast back → within-score cumulative sum.
+    ``score_col`` should be low-cardinality (bucketed) — the histogram is
+    score-cardinality-sized. Ties break by ``id_col``."""
+    hist = df.groupBy(score_col).agg(F.sum(weight_col).alias("_bucket_w"))
+    w_hist = Window.orderBy(F.desc(score_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = hist.withColumn(
+        "_prev_w", F.sum("_bucket_w").over(w_hist) - F.col("_bucket_w")
+    ).select(score_col, "_prev_w")
+    w_bucket = Window.partitionBy(score_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.join(F.broadcast(offsets), score_col)
+        .withColumn("_cum", F.sum(weight_col).over(w_bucket))
+        .filter(F.col("_prev_w") + F.col("_cum") <= budget)
+        .drop("_prev_w", "_cum")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    *,
+    tag: str = "strat|",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Deterministic fixed-K-per-stratum sample (operators.sampling.x05):
+    md5-hash order, salted two-phase exact top-K so a hot stratum never
+    funnels through one reducer. Adds a ``rank`` column (1..K)."""
+    from big_data_analytics_cse545_spark.operators.sampling import hash_bucket
+
+    h = hash_bucket(F.col(id_col), tag)
+    base = df.withColumn("_h", h).withColumn("_salt", h % n_salts)
+    w1 = Window.partitionBy(stratum_col, "_salt").orderBy("_h", id_col)
+    cand = base.withColumn("_r", F.row_number().over(w1)).filter(F.col("_r") <= k)
+    w2 = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("_h", "_salt", "_r")
+    )
+
+
+def html_strip(df: DataFrame, html_col: str, out_col: str = "text") -> DataFrame:
+    """Boilerplate removal over any HTML column (operators.text.t16
+    chain): script/style bodies, then tags, then entity unescape
+    (&amp; last), then whitespace collapse — one JVM-side narrow
+    projection, no Python."""
+    from big_data_analytics_cse545_spark.operators.text import _HTML_STEPS
+
+    clean = F.col(html_col)
+    for pat, rep in _HTML_STEPS:
+        clean = F.regexp_replace(clean, pat, rep)
+    return df.withColumn(out_col, F.trim(F.regexp_replace(clean, r"\s+", " ")))

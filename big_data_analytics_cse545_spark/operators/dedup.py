@@ -825,6 +825,97 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d09 — chunk-level (sub-document) duplication profile
+# ---------------------------------------------------------------------------
+
+D09_BLOCK = 16  # tokens per non-overlapping block
+
+
+def d09_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup profile: cut every document into
+    non-overlapping {B}-token blocks, hash each block, and report per
+    document how much of it recurs VERBATIM in other documents — the
+    paragraph-level dedup signal (full-doc dedup d01 misses a page whose
+    second half is a boilerplate license; this flags it with
+    dup_ratio ≈ 0.5).
+
+    Plan at scale: block fan-out is narrow (sequence/slice/posexplode,
+    zero shuffle); then only 16-byte md5 keys move — groupBy(hash) for
+    cross-doc counts (hash keys are uniform: skew-free by construction),
+    hash-join back, groupBy(doc_id) for the profile. The text column
+    never shuffles, exactly the d01/d03 key discipline.
+    """.format(B=D09_BLOCK)
+    from big_data_analytics_cse545_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(D09_BLOCK)
+    )
+    blocks = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda s: F.slice("toks", s + 1, D09_BLOCK))
+        ).alias("block"),
+    ).filter(F.size("block") > 0)
+    hashed = blocks.select("doc_id", F.md5(F.array_join("block", " ")).alias("h"))
+    counts = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_block")
+    )
+    return (
+        hashed.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("n_docs_with_block") > 1).cast("long")).alias(
+                "n_dup_blocks"
+            ),
+        )
+        .filter(F.col("n_dup_blocks") > 0)
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_blocks") / F.col("n_blocks"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_D09_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(toks, st + 1, st + {D09_BLOCK}), ' ')) AS h
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END,
+                        {D09_BLOCK})) AS st
+    FROM toked
+  )
+  WHERE len(list_slice(toks, st + 1, st + {D09_BLOCK})) > 0
+),
+counts AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n_docs_with_block FROM blocks GROUP BY h
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN n_docs_with_block > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_blocks,
+       ROUND(SUM(CASE WHEN n_docs_with_block > 1 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS dup_ratio
+FROM blocks JOIN counts USING (h)
+GROUP BY doc_id
+HAVING SUM(CASE WHEN n_docs_with_block > 1 THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
@@ -834,6 +925,7 @@ QUERIES = {
     "d06_minhash_mllib": d06_minhash_mllib,
     "d07_decontaminate": d07_decontaminate,
     "d08_dup_clusters": d08_dup_clusters,
+    "d09_chunk_dedup": d09_chunk_dedup,
 }
 
 ORACLE = {
@@ -844,4 +936,5 @@ ORACLE = {
     "d05_embedding_near_dup": _D05_SQL,
     "d07_decontaminate": _D07_SQL,
     "d08_dup_clusters": _d08_sql(),
+    "d09_chunk_dedup": _D09_SQL,
 }

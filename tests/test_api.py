@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_cse545_spark import api
 from big_data_analytics_cse545_spark.operators import dedup, similarity
+from big_data_analytics_cse545_spark.operators import text as text_ops
 from big_data_analytics_cse545_spark.sources import load_table
 
 
@@ -263,3 +264,74 @@ def test_dup_clusters_matches_operator_and_keeps_one_rep(spark, sf_correctness):
     n_clustered = clusters.count()
     n_groups = clusters.select("cluster_id").distinct().count()
     assert keep.count() == docs.count() - (n_clustered - n_groups)
+
+
+def test_chunk_documents_matches_t17(spark, sf_correctness):
+    d = load_table(spark, sf_correctness, "documents").withColumnRenamed(
+        "doc_id", "my_id"
+    )
+    got = {
+        (r["my_id"], r["chunk_idx"]): (r["n_chunk_tok"], r["chunk_text"])
+        for r in api.chunk_documents(
+            d, "text", "my_id",
+            chunk_tokens=text_ops.CHUNK_TOKENS, stride=text_ops.CHUNK_STRIDE,
+        ).collect()
+    }
+    exp = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tok"], r["chunk_text"])
+        for r in text_ops.t17_chunk_overlap(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_token_budget_select_matches_x04(spark, sf_correctness):
+    from big_data_analytics_cse545_spark.functions.text import tokens
+    from big_data_analytics_cse545_spark.operators import sampling
+
+    d = load_table(spark, sf_correctness, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.floor(
+            F.lit(1000.0)
+            * F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            / F.col("n_chars")
+        ).cast("long").alias("score"),
+    )
+    got = {
+        r["doc_id"]
+        for r in api.token_budget_select(
+            base, "score", "n_tok", "doc_id", sampling.TOKEN_BUDGET
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]
+        for r in sampling.x04_token_budget_select(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_stratified_sample_matches_x05(spark, sf_correctness):
+    from big_data_analytics_cse545_spark.operators import sampling
+
+    d = load_table(spark, sf_correctness, "documents")
+    got = {
+        (r["lang"], r["rank"]): r["doc_id"]
+        for r in api.stratified_sample(
+            d, "lang", "doc_id", sampling.STRATUM_K
+        ).select("lang", "rank", "doc_id").collect()
+    }
+    exp = {
+        (r["lang"], r["rank"]): r["doc_id"]
+        for r in sampling.x05_stratified_sample(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_html_strip_on_literal(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>a &amp; b</p><script>bad()</script> <b>c</b>")],
+        "id long, html string",
+    )
+    row = api.html_strip(df, "html").collect()[0]
+    assert row["text"] == "a & b c"

@@ -202,3 +202,36 @@ def test_d08_clusters_consistent_with_d04_pairs(spark, sf_correctness):
     for lab, docs in members.items():
         assert lab == min(docs)
         assert size[lab] == len(docs)
+
+
+def test_d09_flags_planted_partial_duplicate(spark):
+    """A doc sharing exactly its first 16-token block with another doc
+    gets dup_ratio = shared_blocks / n_blocks; fully-unique docs are
+    absent from the result."""
+    from big_data_analytics_cse545_spark.operators.dedup import D09_BLOCK
+
+    assert D09_BLOCK == 16
+    shared = " ".join(f"s{i}" for i in range(16))
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"b{i}" for i in range(16))
+    rows = [
+        (1, f"{shared} {uniq_a}"),
+        (2, f"{shared} {uniq_b}"),
+        (3, " ".join(f"c{i}" for i in range(32))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "_d09_docs"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.table("_d09_docs").write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    from big_data_analytics_cse545_spark.operators import dedup as dd
+
+    got = {r["doc_id"]: r for r in dd.d09_chunk_dedup(spark, d).collect()}
+    assert set(got) == {1, 2}
+    for doc in (1, 2):
+        assert got[doc]["n_blocks"] == 2
+        assert got[doc]["n_dup_blocks"] == 1
+        assert got[doc]["dup_ratio"] == 0.5
