@@ -95,6 +95,15 @@ _DEMOTED_BASELINES = frozenset(
         "s01_knn_bruteforce",
     }
 )
+# Born after this round's budget was frozen: pytest-oracle-checked now
+# (held_out_oracle_sql → test_entry_contract), first driver row next
+# round when they rotate in against round-3-checked entries.
+_NEW_AWAITING_ROTATION = frozenset(
+    {
+        "d10_incremental_dedup",
+        "t18_url_canonicalize",
+    }
+)
 _HELD_OUT = frozenset(
     {
         # round-3 hold-out — all green in CORRECTNESS_r02 (or r1 for
@@ -165,7 +174,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-facing view: exactly 50 entries (the driver's observed
     correctness budget), chosen by the rotation policy above."""
-    excluded = _TEST_GATED | _DEMOTED_BASELINES | _HELD_OUT
+    excluded = (
+        _TEST_GATED | _DEMOTED_BASELINES | _HELD_OUT | _NEW_AWAITING_ROTATION
+    )
     out = {k: v for k, v in all_queries().items() if k not in excluded}
     assert len(out) <= 50, f"driver budget exceeded: {len(out)} entries"
     return out

@@ -31,6 +31,8 @@ N_HASHES = 32
 BAND_ROWS = 4
 N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.8
+JACCARD_THRESHOLD_D10 = 0.7  # batch-vs-corpus near-dup verify (d10), same
+                             # bar as d03's pair output threshold
 
 
 def _tokens_col():
@@ -161,6 +163,36 @@ ORDER BY d1, d2
 # d03 — MinHash + LSH banding (the scale path)
 # ---------------------------------------------------------------------------
 
+def _band_keys_df(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — MinHash(N_HASHES) banded into N_BANDS
+    keys per document. One aggregation pass computes all minhashes as
+    separate agg columns — a single shuffle keyed by doc_id instead of a
+    N_HASHES× shingle-row explode (the naive seeds-cross-join shuffles
+    N_HASHES× the shingle table; at 100 TB that explode is the
+    bottleneck). Band key = md5 of the band's minhashes, seed-ordered
+    (matches the oracle's string_agg(mh, '|' ORDER BY seed)). Shared by
+    d03 (self-dedup) and d10 (incremental batch-vs-corpus dedup)."""
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{s}") for s in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
+            )
+        ).alias(f"bk{b}")
+        for b in range(N_BANDS)
+    ]
+    return minh.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])).alias(
+            "band", "band_key"
+        ),
+    )
+
 def d03_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs, exact-verified.
 
@@ -172,32 +204,7 @@ def d03_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: shuffles on 16-byte band keys; the all-pairs join never runs.
     """
     sh = _shingles_df(spark, sf_dir)
-    # One aggregation pass computes all 32 minhashes as separate agg
-    # columns — a single shuffle keyed by doc_id instead of a 32×
-    # shingle-row explode (the naive seeds-cross-join shuffles N_HASHES×
-    # the shingle table; at 100 TB that explode is the bottleneck).
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
-            for s in range(N_HASHES)
-        ]
-    )
-    # band key = md5 of the band's minhashes, seed-ordered (matches the
-    # oracle's string_agg(mh, '|' ORDER BY seed))
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{s}") for s in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
-            )
-        ).alias(f"bk{b}")
-        for b in range(N_BANDS)
-    ]
-    bands = minh.select("doc_id", *band_cols).select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(N_BANDS)])).alias(
-            "band", "band_key"
-        ),
-    )
+    bands = _band_keys_df(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -916,6 +923,157 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d10 — incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+D10_BATCH_MOD = 4   # documents with doc_id % 4 == 1 stand in for the
+D10_BATCH_REM = 1   # newly-ingested batch; the rest are the existing corpus
+
+
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: for each document in a NEW batch
+    (doc_id % {M} == {R} stands in for today's crawl), decide keep/drop
+    against the EXISTING corpus (all other documents) without ever
+    comparing corpus docs to each other:
+
+    - ``exact_dup``  — md5(text) collides with some corpus document;
+    - ``near_dup_of`` — the smallest corpus doc_id whose exact shingle
+      Jaccard ≥ {J} among MinHash band-bucket candidates (d03's funnel,
+      restricted to batch×corpus pairs);
+    - ``decision`` — drop_exact > drop_near > keep.
+
+    This is the shape a continuous training-data pipeline actually runs:
+    the corpus's md5 hashes and band keys are computed ONCE (in
+    production they are a stored index, refreshed per ingest), and each
+    new batch joins against them. Cost at 100 TB: both joins are keyed
+    by 16-byte hashes (skew-free by construction); the batch side is
+    tiny relative to the corpus, so AQE broadcasts the batch-side build;
+    corpus text never shuffles — only its hashes and band keys do.
+    Exact-verify shingle traffic is limited to candidate pairs, exactly
+    the d03 discipline (reference funnel: ``a2_ahuja.py:140-170``).
+    """.format(M=D10_BATCH_MOD, R=D10_BATCH_REM, J=JACCARD_THRESHOLD_D10)
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = d["doc_id"] % D10_BATCH_MOD == D10_BATCH_REM
+    batch = d.filter(is_batch)
+    # exact path: 16-byte content-hash semi-join (never the text itself)
+    corpus_hashes = (
+        d.filter(~is_batch).select(F.md5("text").alias("h")).distinct()
+    )
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(corpus_hashes, "h", "left_semi")
+        .select("doc_id")
+    )
+    # near path: band-bucket candidates restricted to batch×corpus
+    sh = _shingles_df(spark, sf_dir)
+    bands = _band_keys_df(sh)
+    band_is_batch = F.col("doc_id") % D10_BATCH_MOD == D10_BATCH_REM
+    bb = bands.filter(band_is_batch).select(
+        F.col("doc_id").alias("bid"), "band", "band_key"
+    )
+    cb = bands.filter(~band_is_batch).select(
+        F.col("doc_id").alias("cid"), "band", "band_key"
+    )
+    cand = bb.join(cb, ["band", "band_key"]).select("bid", "cid").distinct()
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("bid"), F.col("shingle").alias("s1"))
+    s2 = sh.select(F.col("doc_id").alias("scid"), F.col("shingle").alias("s2"))
+    inter = (
+        cand.join(s1, "bid")
+        .join(s2, (F.col("cid") == F.col("scid")) & (F.col("s1") == F.col("s2")))
+        .groupBy("bid", "cid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("bid"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("doc_id").alias("cid"), F.col("n").alias("n2"))
+    jac = F.round(
+        F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6
+    )
+    near = (
+        inter.join(c1, "bid")
+        .join(c2, "cid")
+        .filter(jac >= JACCARD_THRESHOLD_D10)
+        .groupBy("bid")
+        .agg(F.min("cid").alias("near_dup_of"))
+    )
+    e = exact.withColumn("is_exact", F.lit(True))
+    return (
+        batch.select("doc_id")
+        .join(e, "doc_id", "left")
+        .join(near, batch["doc_id"] == near["bid"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact", F.lit(False)).alias("exact_dup"),
+            "near_dup_of",
+            F.when(F.coalesce("is_exact", F.lit(False)), "drop_exact")
+            .when(F.col("near_dup_of").isNotNull(), "drop_near")
+            .otherwise("keep")
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_D10_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
+minh AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {BAND_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM minh GROUP BY doc_id, seed // {BAND_ROWS}
+),
+batch AS (SELECT * FROM documents
+          WHERE doc_id % {D10_BATCH_MOD} = {D10_BATCH_REM}),
+corpus_hashes AS (
+  SELECT DISTINCT md5(text) AS h FROM documents
+  WHERE doc_id % {D10_BATCH_MOD} <> {D10_BATCH_REM}
+),
+exact AS (
+  SELECT doc_id FROM batch WHERE md5(text) IN (SELECT h FROM corpus_hashes)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % {D10_BATCH_MOD} = {D10_BATCH_REM}
+    AND b.doc_id % {D10_BATCH_MOD} <> {D10_BATCH_REM}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT bid, cid, COUNT(*) AS inter
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = bid
+  JOIN sh s2 ON s2.doc_id = cid AND s2.shingle = s1.shingle
+  GROUP BY bid, cid
+),
+near AS (
+  SELECT bid, MIN(cid) AS near_dup_of
+  FROM inter
+  JOIN cnt c1 ON c1.doc_id = bid
+  JOIN cnt c2 ON c2.doc_id = cid
+  WHERE ROUND(inter * 1.0 / (c1.n + c2.n - inter), 6)
+        >= {JACCARD_THRESHOLD_D10}
+  GROUP BY bid
+)
+SELECT b.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       n.near_dup_of,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+            WHEN n.near_dup_of IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS decision
+FROM batch b
+LEFT JOIN exact e ON e.doc_id = b.doc_id
+LEFT JOIN near n ON n.bid = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
@@ -926,6 +1084,7 @@ QUERIES = {
     "d07_decontaminate": d07_decontaminate,
     "d08_dup_clusters": d08_dup_clusters,
     "d09_chunk_dedup": d09_chunk_dedup,
+    "d10_incremental_dedup": d10_incremental_dedup,
 }
 
 ORACLE = {
@@ -937,4 +1096,5 @@ ORACLE = {
     "d07_decontaminate": _D07_SQL,
     "d08_dup_clusters": _d08_sql(),
     "d09_chunk_dedup": _D09_SQL,
+    "d10_incremental_dedup": _D10_SQL,
 }

@@ -1138,6 +1138,85 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# t18 — URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+def t18_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization — the cheapest dedup in a
+    crawl pipeline (no page content needed): raw URLs varying only in
+    case, default port, ``www.``, tracking params, param order, or
+    fragment collapse to one canonical form, and re-crawled variants
+    group together.
+
+    The documents table has no URL column, so each doc derives a
+    deterministic *messy* URL (mixed case, ``:443``, unordered params,
+    ``utm_``/``gclid`` noise, fragment) from its own fields — the
+    canonicalizer (``functions/url.py``, pure JVM expressions with a
+    rule-for-rule DuckDB twin) is the operator under test; the URL
+    construction is just reproducible input. Output: one row per
+    canonical URL with how many docs and how many distinct raw variants
+    it absorbed.
+
+    At 100 TB: canonicalization is stage-local string work inside
+    whole-stage codegen; the groupBy shuffles only (url, doc_id)-sized
+    rows keyed by canonical URL — hot hosts do not skew it because the
+    key is the full URL. This is the operator to run BEFORE content
+    dedup (d01/d03): every URL-dup dropped here saves fetching/hashing
+    its text downstream.
+    """
+    from big_data_analytics_cse545_spark.functions.url import canonical_url
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM:443/wiki/Page_"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?b=2&utm_source=feed&a=1")
+            ).otherwise(F.lit("?a=1&b=2&gclid=xyz")),
+            F.lit("#sec"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _t18_sql() -> str:
+    from big_data_analytics_cse545_spark.functions.url import sql_canonical_url
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM:443/wiki/Page_' ||
+         CAST(doc_id % 40 AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+              ELSE '?a=1&b=2&gclid=xyz' END ||
+         '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT {sql_canonical_url('url')} AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       MIN(doc_id) AS first_doc_id
+FROM raw
+GROUP BY 1
+ORDER BY canonical_url
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -1156,6 +1235,7 @@ QUERIES = {
     "t15_winnowing_pairs": t15_winnowing_pairs,
     "t16_html_strip": t16_html_strip,
     "t17_chunk_overlap": t17_chunk_overlap,
+    "t18_url_canonicalize": t18_url_canonicalize,
 }
 
 ORACLE = {
@@ -1179,4 +1259,6 @@ ORACLE = {
     # callable — fixture written on first use, like t10
     "t16_html_strip": _t16_sql,
     "t17_chunk_overlap": _T17_SQL,
+    # callable — composes the canonicalizer's SQL twin lazily
+    "t18_url_canonicalize": _t18_sql,
 }

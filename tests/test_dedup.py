@@ -235,3 +235,52 @@ def test_d09_flags_planted_partial_duplicate(spark):
         assert got[doc]["n_blocks"] == 2
         assert got[doc]["n_dup_blocks"] == 1
         assert got[doc]["dup_ratio"] == 0.5
+
+
+def test_d10_incremental_dedup_invariants(spark, sf_smoke):
+    """d10 only judges BATCH docs, never corpus-vs-corpus; exact dups
+    are planted by writing a batch doc whose text equals a corpus doc's."""
+    from big_data_analytics_cse545_spark.operators import dedup as dd
+
+    rows = dd.d10_incremental_dedup(spark, sf_smoke).collect()
+    assert rows, "batch slice must be non-empty at sf0.001"
+    for r in rows:
+        assert r["doc_id"] % dd.D10_BATCH_MOD == dd.D10_BATCH_REM
+        if r["near_dup_of"] is not None:
+            # near-dup target must be a CORPUS doc
+            assert r["near_dup_of"] % dd.D10_BATCH_MOD != dd.D10_BATCH_REM
+        expect = (
+            "drop_exact"
+            if r["exact_dup"]
+            else ("drop_near" if r["near_dup_of"] is not None else "keep")
+        )
+        assert r["decision"] == expect
+
+
+def test_d10_planted_exact_and_near_dup(spark):
+    """A batch doc identical to a corpus doc → drop_exact; one sharing
+    most shingles → drop_near pointing at that corpus doc; a disjoint
+    one → keep. doc_id % 4 == 1 is the batch slice."""
+    import os
+    import tempfile
+
+    from big_data_analytics_cse545_spark.operators import dedup as dd
+
+    corpus_text = " ".join(f"w{i}" for i in range(30))
+    near_text = " ".join(f"w{i}" for i in range(29)) + " zz"
+    rows = [
+        (0, corpus_text),                                  # corpus
+        (4, " ".join(f"x{i}" for i in range(30))),         # corpus, unrelated
+        (1, corpus_text),                                  # batch: exact dup of 0
+        (5, near_text),                                    # batch: near dup of 0
+        (9, " ".join(f"q{i}" for i in range(30))),         # batch: novel
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in dd.d10_incremental_dedup(spark, d).collect()}
+    assert set(got) == {1, 5, 9}
+    assert got[1]["decision"] == "drop_exact" and got[1]["exact_dup"]
+    assert got[5]["decision"] == "drop_near" and got[5]["near_dup_of"] == 0
+    assert got[9]["decision"] == "keep" and got[9]["near_dup_of"] is None

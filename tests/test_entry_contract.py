@@ -31,13 +31,18 @@ def test_rotation_budget_is_consistent():
     queries, be pairwise disjoint, and together account for the full
     registry minus the 50 emitted."""
     full, active = em.all_queries(), em.queries()
-    buckets = [em._TEST_GATED, em._DEMOTED_BASELINES, em._HELD_OUT]
+    buckets = [
+        em._TEST_GATED,
+        em._DEMOTED_BASELINES,
+        em._HELD_OUT,
+        em._NEW_AWAITING_ROTATION,
+    ]
     for b in buckets:
         assert b <= set(full)
     for i, a in enumerate(buckets):
         for b in buckets[i + 1 :]:
             assert not (a & b)
-    assert set(active) == set(full) - em._TEST_GATED - em._DEMOTED_BASELINES - em._HELD_OUT
+    assert set(active) == set(full) - set().union(*buckets)
 
 
 def test_held_out_queries_still_pass_their_oracle(spark, sf_correctness):

@@ -122,3 +122,68 @@ def test_t17_chunks_overlap_and_cover(spark, sf_correctness):
                 assert prev[S:] == ctoks[: W - S], "overlap region must agree"
             rebuilt.extend(ctoks[len(rebuilt) - start :])
         assert rebuilt == toks, f"doc {doc_id} chunks must cover all tokens"
+
+
+def test_canonical_url_rules(spark):
+    """Rule-by-rule check of functions/url.py on literal messy URLs."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.functions.url import canonical_url
+
+    cases = [
+        # fragment dropped, scheme+host lowercased, :443 stripped, www
+        # stripped, tracking params dropped, params sorted
+        ("HTTPS://WWW.Ex.COM:443/A/b?z=1&utm_source=t&a=2#frag",
+         "https://ex.com/A/b?a=2&z=1"),
+        # http default port; ref + gclid dropped; no query survives
+        ("http://ex.com:80/path/?ref=nav&gclid=g",
+         "http://ex.com/path"),
+        # non-default port preserved; path case preserved
+        ("https://Ex.com:8443/Path", "https://ex.com:8443/Path"),
+        # bare host → '/' path; fbclid dropped
+        ("https://ex.com?fbclid=x", "https://ex.com/"),
+        # trailing slashes collapsed; utm_campaign dropped, rest sorted
+        ("https://ex.com/a///?utm_campaign=c&b=2&a=1",
+         "https://ex.com/a?a=1&b=2"),
+        # 'ref' only matches as a whole param name: 'referrer' survives
+        ("https://ex.com/a?referrer=x", "https://ex.com/a?referrer=x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_sql_twin_matches(spark):
+    """sql_canonical_url must agree with the Spark column byte-for-byte
+    on the same messy inputs (the t18 oracle contract)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.functions.url import (
+        canonical_url,
+        sql_canonical_url,
+    )
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/A/b?z=1&utm_source=t&a=2#frag",
+        "http://ex.com:80/path/?ref=nav&gclid=g",
+        "https://Ex.com:8443/Path",
+        "https://ex.com?fbclid=x",
+        "https://ex.com/a///?utm_campaign=c&b=2&a=1",
+        "https://ex.com/a?referrer=x&A=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    spark_out = [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(
+            "WITH u AS (SELECT ?::VARCHAR AS url) "
+            f"SELECT {sql_canonical_url('url')} AS c FROM u",
+            [u],
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert spark_out == duck_out
