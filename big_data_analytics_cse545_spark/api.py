@@ -260,19 +260,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_dedup_pairs(
+def _shingle_bands(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
-    n_hashes: int = 32,
-    band_rows: int = 4,
-    shingle_size: int = 3,
-    threshold: float = 0.7,
-) -> DataFrame:
-    """Near-duplicate id pairs (id1 < id2, jaccard) via MinHash+LSH with
-    exact verification on candidates — operators.dedup.d03 generalized.
-    Returns columns (id1, id2, jaccard)."""
+    n_hashes: int,
+    band_rows: int,
+    shingle_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, band_keys) for MinHash-LSH: shingles = (_id, _sh)
+    distinct word n-grams; band_keys = (_id, _band, _key). One
+    aggregation pass computes all minhashes as separate agg columns (a
+    single doc-keyed shuffle, never an n_hashes× explode). Shared by
+    minhash_dedup_pairs (self-join dedup) and incremental_dedup
+    (batch-vs-corpus)."""
     n_bands = n_hashes // band_rows
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
@@ -306,6 +308,26 @@ def minhash_dedup_pairs(
         F.posexplode(F.array(*[F.col(f"_bk{b}") for b in range(n_bands)])).alias(
             "_band", "_key"
         ),
+    )
+    return sh, bands
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 32,
+    band_rows: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate id pairs (id1 < id2, jaccard) via MinHash+LSH with
+    exact verification on candidates — operators.dedup.d03 generalized.
+    Returns columns (id1, id2, jaccard)."""
+    sh, bands = _shingle_bands(
+        df, text_col, id_col,
+        n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size,
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -780,3 +802,100 @@ def html_strip(df: DataFrame, html_col: str, out_col: str = "text") -> DataFrame
     for pat, rep in _HTML_STEPS:
         clean = F.regexp_replace(clean, pat, rep)
     return df.withColumn(out_col, F.trim(F.regexp_replace(clean, r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# incremental ingestion
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 32,
+    band_rows: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Judge each BATCH row against an existing CORPUS without any
+    corpus-vs-corpus work (operators.dedup.d10 generalized to two
+    arbitrary DataFrames). Returns the batch with three extra columns:
+
+    - ``exact_dup``   — md5(text) collides with a corpus row;
+    - ``near_dup_of`` — smallest corpus id with verified shingle
+      Jaccard ≥ ``threshold`` among MinHash band candidates (else null);
+    - ``decision``    — drop_exact > drop_near > keep.
+
+    At scale the corpus side's hashes/band keys are computed once per
+    ingest cycle (store them); total join work scales with |batch|, and
+    AQE broadcasts the batch-side build of both joins.
+    """
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    exact = (
+        batch.select(F.col(id_col).alias("_eid"), F.md5(F.col(text_col)).alias("_h"))
+        .join(corpus_hashes, "_h", "left_semi")
+        .select("_eid")
+        .withColumn("_exact", F.lit(True))
+    )
+    kw = dict(n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size)
+    sh_b, bands_b = _shingle_bands(batch, text_col, id_col, **kw)
+    sh_c, bands_c = _shingle_bands(corpus, text_col, id_col, **kw)
+    cand = (
+        bands_b.select(F.col("_id").alias("_bid"), "_band", "_key")
+        .join(bands_c.select(F.col("_id").alias("_cid"), "_band", "_key"),
+              ["_band", "_key"])
+        .select("_bid", "_cid")
+        .distinct()
+    )
+    cnt_b = sh_b.groupBy("_id").agg(F.count(F.lit(1)).alias("_n1"))
+    cnt_c = sh_c.groupBy("_id").agg(F.count(F.lit(1)).alias("_n2"))
+    s1 = sh_b.select(F.col("_id").alias("_bid"), F.col("_sh").alias("_s1"))
+    s2 = sh_c.select(F.col("_id").alias("_scid"), F.col("_sh").alias("_s2"))
+    inter = (
+        cand.join(s1, "_bid")
+        .join(s2, (F.col("_cid") == F.col("_scid")) & (F.col("_s1") == F.col("_s2")))
+        .groupBy("_bid", "_cid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.round(
+        F.col("_inter") / (F.col("_n1") + F.col("_n2") - F.col("_inter")), 6
+    )
+    near = (
+        inter.join(cnt_b.select(F.col("_id").alias("_bid"), "_n1"), "_bid")
+        .join(cnt_c.select(F.col("_id").alias("_cid"), "_n2"), "_cid")
+        .filter(jac >= threshold)
+        .groupBy("_bid")
+        .agg(F.min("_cid").alias("near_dup_of"))
+    )
+    return (
+        batch.join(exact, batch[id_col] == exact["_eid"], "left")
+        .join(near, batch[id_col] == near["_bid"], "left")
+        .withColumn("exact_dup", F.coalesce("_exact", F.lit(False)))
+        .withColumn(
+            "decision",
+            F.when(F.col("exact_dup"), "drop_exact")
+            .when(F.col("near_dup_of").isNotNull(), "drop_near")
+            .otherwise("keep"),
+        )
+        .drop("_eid", "_exact", "_bid")
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Keep one row per canonical URL (functions/url.py rules: fragment,
+    host case, default ports, www, tracking params, param order,
+    trailing slashes) — survivor = min id. The cheapest dedup in a
+    crawl pipeline; run it before any content-hash dedup. One shuffle
+    keyed by the full canonical URL (no host-level hot key)."""
+    from big_data_analytics_cse545_spark.functions.url import canonical_url
+
+    w = Window.partitionBy("_curl").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_curl", canonical_url(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_curl", "_rn")
+    )

@@ -335,3 +335,37 @@ def test_html_strip_on_literal(spark):
     )
     row = api.html_strip(df, "html").collect()[0]
     assert row["text"] == "a & b c"
+
+
+def test_incremental_dedup_matches_operator(spark, sf_correctness):
+    """api.incremental_dedup on the d10 batch/corpus split must make the
+    identical per-doc decisions as the fixture-bound operator."""
+    d = load_table(spark, sf_correctness, "documents")
+    is_batch = d["doc_id"] % dedup.D10_BATCH_MOD == dedup.D10_BATCH_REM
+    out = api.incremental_dedup(
+        d.filter(is_batch), d.filter(~is_batch), "text", "doc_id",
+        threshold=dedup.JACCARD_THRESHOLD_D10,
+    )
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup_of"], r["decision"])
+        for r in out.select("doc_id", "exact_dup", "near_dup_of", "decision").collect()
+    }
+    exp = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup_of"], r["decision"])
+        for r in dedup.d10_incremental_dedup(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_url_dedup_collapses_canonical_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Ex.COM:443/a?b=2&a=1&utm_source=t"),
+            (2, "https://ex.com/a?a=1&b=2"),          # same canonical as 1
+            (3, "https://ex.com/a?a=1&b=3"),          # different query
+            (4, "https://ex.com/a/?a=1&b=2#frag"),    # same canonical as 1
+        ],
+        ["id", "url"],
+    )
+    out = api.url_dedup(df, "url", "id").collect()
+    assert {r["id"] for r in out} == {1, 3}
