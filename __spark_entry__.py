@@ -102,6 +102,7 @@ _NEW_AWAITING_ROTATION = frozenset(
     {
         "d10_incremental_dedup",
         "t18_url_canonicalize",
+        "st09_stream_incremental_dedup",
     }
 )
 _HELD_OUT = frozenset(

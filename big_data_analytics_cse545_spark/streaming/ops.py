@@ -480,6 +480,75 @@ ORDER BY purchase_hour
 """
 
 
+# ---------------------------------------------------------------------------
+# st09 — streaming incremental dedup (stream-static LEFT ANTI join)
+# ---------------------------------------------------------------------------
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table (file source, same schema
+    as the batch loader)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def st09_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming spelling of d10's exact path: newly-arriving
+    documents (the d10 batch slice, doc_id % 4 == 1, streamed as a file
+    source) are anti-joined against the static corpus's content-hash
+    index — rows whose md5(text) already exists in the corpus never
+    reach the sink. This is continuous-ingest dedup as a standing query:
+    stream-static LEFT ANTI join, the one streaming join type the
+    st-suite didn't yet exercise.
+
+    Scale shape: the static side is only 16-byte hashes (distinct), so
+    it broadcasts; each micro-batch filters against it with no
+    stream-side state at all (unlike st04's dropDuplicates, nothing
+    accumulates), and no shuffle of the stream. At 100 TB/day the hash
+    index refreshes per ingest cycle while the standing query keeps
+    running. Output: kept docs per source (count + first id).
+    """
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    batch = _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 4 == 1)
+    corpus_hashes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 != 1)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    kept = (
+        batch.withColumn("h", F.md5("text"))
+        .join(F.broadcast(corpus_hashes), "h", "left_anti")
+    )
+    out = _run_to_table(
+        kept.select("doc_id", "source"), spark, "st09_mem", output_mode="append"
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_ST09_SQL = """
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 4 = 1),
+ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 <> 1)
+SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = md5(b.text))
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
@@ -489,6 +558,7 @@ QUERIES = {
     "st06_stream_stream_join": st06_stream_stream_join,
     "st07_stream_static_join": st07_stream_static_join,
     "st08_stream_outer_join": st08_stream_outer_join,
+    "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
 }
 
 ORACLE = {
@@ -500,4 +570,5 @@ ORACLE = {
     "st06_stream_stream_join": _ST06_SQL,
     "st07_stream_static_join": _ST07_SQL,
     "st08_stream_outer_join": _ST08_SQL,
+    "st09_stream_incremental_dedup": _ST09_SQL,
 }

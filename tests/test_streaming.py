@@ -115,3 +115,29 @@ def test_stream_shuffle_partitions_restored_on_error(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_st09_drops_planted_corpus_duplicate(spark, tmp_path):
+    """A streamed batch doc whose text already exists in the corpus must
+    never reach the sink; novel batch docs must."""
+    dup = "alpha beta gamma delta"
+    rows = [
+        (0, dup, "s0"),                  # corpus
+        (4, "epsilon zeta eta", "s0"),   # corpus
+        (1, dup, "s0"),                  # batch: exact corpus dup → dropped
+        (5, "theta iota kappa", "s1"),   # batch: novel → kept
+        (9, "lam mu nu", "s1"),          # batch: novel → kept
+    ]
+    import pandas as pd
+
+    # single FILE named documents.parquet (the driver fixtures' layout —
+    # the stream's pathGlobFilter matches file names, not directories)
+    d = str(tmp_path)
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        d + "/documents.parquet", index=False
+    )
+    got = {
+        r["source"]: (r["n_kept"], r["first_kept"])
+        for r in st.st09_stream_incremental_dedup(spark, d).collect()
+    }
+    assert got == {"s1": (2, 5)}
