@@ -103,6 +103,7 @@ _NEW_AWAITING_ROTATION = frozenset(
         "d10_incremental_dedup",
         "t18_url_canonicalize",
         "st09_stream_incremental_dedup",
+        "f03_jsonl_corrupt_tolerant",
     }
 )
 _HELD_OUT = frozenset(

@@ -170,12 +170,123 @@ ORDER BY o_orderstatus, month
 """
 
 
+CORRUPT_MOD = 7  # lines whose doc_id % 7 == 2 are truncated mid-object
+
+
+def corrupt_jsonl_fixture_dir(sf_dir: str) -> str:
+    """JSONL shards of the documents table with deterministic corruption
+    planted: every doc with doc_id % {M} == 2 is written as a TRUNCATED
+    JSON object (first half of the line) — invalid syntax, the way real
+    crawl dumps break (killed writers, truncated uploads, bad bytes).
+    Written once, atomically; Spark and the DuckDB oracle read the very
+    same bytes.
+    """.format(M=CORRUPT_MOD)
+    import json
+
+    import duckdb
+
+    def write(tmp: str) -> None:
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT doc_id, text, lang, source, n_chars "
+            f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        con.close()
+        cols = ("doc_id", "text", "lang", "source", "n_chars")
+        for i in range(N_SHARDS):
+            with open(os.path.join(tmp, f"part-{i}.jsonl"), "w") as f:
+                for r in rows:
+                    if r[0] % N_SHARDS != i:
+                        continue
+                    line = json.dumps(dict(zip(cols, r)), ensure_ascii=False)
+                    if r[0] % CORRUPT_MOD == 2:
+                        line = line[: max(1, len(line) // 2)]
+                    f.write(line + "\n")
+
+    return ensure_fixture_dir(f"spark_graft_jsonl_corrupt_{_sf_tag(sf_dir)}", write)
+
+
+def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient JSONL ingestion over a shard set with planted torn lines:
+    PERMISSIVE mode + ``columnNameOfCorruptRecord`` parses every valid
+    line and quarantines malformed ones instead of failing the job — the
+    ingestion-level twin of the reference's lenient whole-file decode
+    (``a1p2b_ahuja.py:8-17``, ``errors='replace'``). Output: per-source
+    good-row stats plus one ``_corrupt`` row counting the quarantined
+    lines — the corrupt count is a first-class data-quality metric, not
+    a log line.
+
+    At 100 TB, FAILFAST on a crawl dump means one torn line kills an
+    N-thousand-task job; DROPMALFORMED silently under-reports. This is
+    the only mode that both survives and *accounts*. Corruption here is
+    purely syntactic (truncated objects) so the oracle's skip-set
+    (``ignore_errors``) provably equals Spark's quarantine set.
+    """
+    path = corrupt_jsonl_fixture_dir(sf_dir)
+    schema = _JSONL_SCHEMA + ", _corrupt STRING"
+    d = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    good = (
+        d.filter(F.col("_corrupt").isNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min(F.md5(F.col("text"))).alias("content_hash"),
+        )
+    )
+    # Spark forbids a raw-JSON-scan query that references ONLY the
+    # corrupt column (it would require a second parse of the raw line),
+    # so the quarantine count is derived arithmetically: every input
+    # line yields exactly one PERMISSIVE row, hence corrupt = all − good.
+    n_all = d.agg(F.count(F.lit(1)).alias("n_all"))
+    n_good = good.agg(F.sum("n_docs").alias("n_good"))
+    bad = n_all.crossJoin(n_good).select(
+        F.lit("_corrupt").alias("source"),
+        (F.col("n_all") - F.coalesce("n_good", F.lit(0))).alias("n_docs"),
+        F.lit(None).cast("bigint").alias("first_doc"),
+        F.lit(None).cast("string").alias("content_hash"),
+    )
+    return good.unionByName(bad).orderBy("source")
+
+
+def _f03_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    path = corrupt_jsonl_fixture_dir(sf_dir)
+    # DuckDB's ignore_errors emits one all-NULL row per malformed line
+    # (it does not silently drop them) — so "doc_id IS NULL" is exactly
+    # Spark's quarantine set: every valid line has a doc_id.
+    return f"""
+WITH parsed AS (
+  SELECT * FROM read_json('{path}/part-*.jsonl', format='newline_delimited',
+                          ignore_errors=true,
+                          columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                                    'lang': 'VARCHAR', 'source': 'VARCHAR',
+                                    'n_chars': 'BIGINT'}})
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc, MIN(md5(text)) AS content_hash
+FROM parsed WHERE doc_id IS NOT NULL
+GROUP BY source
+UNION ALL
+SELECT '_corrupt', CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM parsed WHERE doc_id IS NULL
+ORDER BY source
+"""
+
+
 QUERIES = {
     "f01_jsonl_scan": f01_jsonl_scan,
     "f02_csv_scan": f02_csv_scan,
+    "f03_jsonl_corrupt_tolerant": f03_jsonl_corrupt_tolerant,
 }
 
 ORACLE = {
     "f01_jsonl_scan": _f01_sql,
     "f02_csv_scan": _f02_sql,
+    "f03_jsonl_corrupt_tolerant": _f03_sql,
 }

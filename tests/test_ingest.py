@@ -57,3 +57,22 @@ def test_csv_decimal_and_date_round_trip(spark, sf_correctness):
     assert got["n"] == want["n"]
     assert got["total"] == want["total"]
     assert dict(c.dtypes)["o_orderdate"] == "date"
+
+
+def test_f03_quarantines_exactly_the_planted_lines(spark, sf_correctness):
+    """The corrupt row count must equal the number of planted truncated
+    lines (doc_id % CORRUPT_MOD == 2), and good rows must exclude them."""
+    import duckdb
+
+    from big_data_analytics_cse545_spark.operators import ingest
+
+    rows = ingest.f03_jsonl_corrupt_tolerant(spark, sf_correctness).collect()
+    got_corrupt = [r for r in rows if r["source"] == "_corrupt"][0]["n_docs"]
+    con = duckdb.connect()
+    n_total, n_planted = con.execute(
+        f"SELECT COUNT(*), SUM(CASE WHEN doc_id % {ingest.CORRUPT_MOD} = 2 "
+        f"THEN 1 ELSE 0 END) FROM '{sf_correctness}/documents.parquet'"
+    ).fetchone()
+    assert got_corrupt == n_planted
+    n_good = sum(r["n_docs"] for r in rows if r["source"] != "_corrupt")
+    assert n_good == n_total - n_planted
