@@ -104,6 +104,7 @@ _NEW_AWAITING_ROTATION = frozenset(
         "t18_url_canonicalize",
         "st09_stream_incremental_dedup",
         "f03_jsonl_corrupt_tolerant",
+        "f04_partitioned_scan",
     }
 )
 _HELD_OUT = frozenset(

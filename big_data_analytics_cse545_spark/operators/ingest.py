@@ -279,14 +279,81 @@ ORDER BY source
 """
 
 
+PARTITION_LANGS = ("en", "es")  # the partitions f04's read touches
+
+
+def partitioned_parquet_fixture_dir(sf_dir: str) -> str:
+    """documents re-materialized as a hive-partitioned parquet layout
+    (``lang=<v>/part-*.parquet``) — the directory structure a 100 TB
+    table actually uses so that per-partition predicates prune whole
+    directories before any I/O. Written once, atomically (DuckDB's
+    partitioned COPY; deterministic content)."""
+    import duckdb
+
+    def write(tmp: str) -> None:
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT doc_id, text, source, n_chars, lang "
+            f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id) "
+            f"TO '{tmp}' (FORMAT PARQUET, PARTITION_BY (lang), "
+            f"OVERWRITE_OR_IGNORE)"
+        )
+        con.close()
+
+    return ensure_fixture_dir(
+        f"spark_graft_parquet_bylang_{_sf_tag(sf_dir)}", write
+    )
+
+
+def f04_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a hive-partitioned parquet layout:
+    ``lang IN {langs}`` is a PARTITION filter, so Spark's file index
+    never even lists the other languages' directories — at 100 TB the
+    difference between touching 2/5 of the data and all of it, decided
+    before a single row is read (the scan's PartitionFilters are gated
+    in tests/test_sinks_sources.py). Per-lang doc stats with a content
+    hash prove values survive the partitioned round-trip.
+    """.format(langs=list(PARTITION_LANGS))
+    path = partitioned_parquet_fixture_dir(sf_dir)
+    d = spark.read.parquet(path)
+    return (
+        d.filter(F.col("lang").isin(*PARTITION_LANGS))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.min(F.md5(F.col("text"))).alias("content_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _f04_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    path = partitioned_parquet_fixture_dir(sf_dir)
+    langs = ", ".join(f"'{v}'" for v in PARTITION_LANGS)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc,
+       MIN(md5(text)) AS content_hash
+FROM read_parquet('{path}/*/*.parquet', hive_partitioning=1)
+WHERE lang IN ({langs})
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "f01_jsonl_scan": f01_jsonl_scan,
     "f02_csv_scan": f02_csv_scan,
     "f03_jsonl_corrupt_tolerant": f03_jsonl_corrupt_tolerant,
+    "f04_partitioned_scan": f04_partitioned_scan,
 }
 
 ORACLE = {
     "f01_jsonl_scan": _f01_sql,
     "f02_csv_scan": _f02_sql,
     "f03_jsonl_corrupt_tolerant": _f03_sql,
+    "f04_partitioned_scan": _f04_sql,
 }

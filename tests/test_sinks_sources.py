@@ -74,3 +74,24 @@ def test_text_wholetext_and_binary_sources(spark, tmp_path):
     rows = {os.path.basename(r["path"]): r["content"] for r in binary.collect()}
     assert rows["a.txt"] == b"hello world\nsecond line"
     assert rows["b.txt"] == b"third line"
+
+
+def test_f04_filter_becomes_partition_filter(spark, sf_correctness):
+    """f04's lang predicate must prune partitions at the file index —
+    PartitionFilters carries it and DataFilters stays empty (nothing
+    left to evaluate per row)."""
+    from big_data_analytics_cse545_spark.operators import ingest
+
+    plan = (
+        ingest.f04_partitioned_scan(spark, sf_correctness)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan, "expected a parquet FileScan in the plan"
+    line = scan[0]
+    assert "PartitionFilters: [" in line and "lang" in line.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], line
+    assert "DataFilters: []" in line, line
