@@ -105,6 +105,7 @@ _NEW_AWAITING_ROTATION = frozenset(
         "st09_stream_incremental_dedup",
         "f03_jsonl_corrupt_tolerant",
         "f04_partitioned_scan",
+        "x06_leakage_safe_split",
     }
 )
 _HELD_OUT = frozenset(

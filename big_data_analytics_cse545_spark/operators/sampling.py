@@ -422,12 +422,93 @@ ORDER BY lang, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# x06 — leakage-safe split (near-dup clusters stay on one side)
+# ---------------------------------------------------------------------------
+
+def x06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x01's deterministic split with the eval-leakage hole closed: the
+    split key is the near-dup CLUSTER representative (min doc_id of the
+    d04-SimHash / d08-connected-components group; singletons key on
+    themselves), so two near-duplicate documents can never land in
+    train and test — the classic contamination a per-doc random or
+    per-doc hash split cannot prevent.
+
+    Shape at 100 TB: the cluster labeling is d08's min-label propagation
+    (shuffles (id, label) pairs only, diameter-bounded iterations); the
+    split itself stays a narrow projection. Only docs WITH a near-dup
+    pay the join — the left join against the (small) clustered-ids
+    relation broadcasts.
+    """
+    from big_data_analytics_cse545_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(d)
+    cc = connected_components(pairs, "d1", "d2").select(
+        F.col("id").alias("doc_id"), F.col("label")
+    )
+    key = F.coalesce("label", "doc_id")
+    bucket = hash_bucket(key, "split|", mod=100)
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.join(F.broadcast(cc), "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            split.alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _x06_sql() -> str:
+    from big_data_analytics_cse545_spark.operators.dedup import (
+        HAMMING_MAX,
+        _d04_cte_body,
+    )
+
+    key = "COALESCE(l.cluster_id, d.doc_id)"
+    bucket = f"{_sql_hash(key, 'split|')} % 100"
+    return f"""
+WITH RECURSIVE {_d04_cte_body()},
+pairs AS (
+  SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= {HAMMING_MAX}
+),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION
+  SELECT d2 AS u, d1 AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, {key} AS split_key,
+       CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'
+            WHEN {bucket} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "x01_hash_split": x01_hash_split,
     "x02_temperature_mix": x02_temperature_mix,
     "x03_pipeline_stats": x03_pipeline_stats,
     "x04_token_budget_select": x04_token_budget_select,
     "x05_stratified_sample": x05_stratified_sample,
+    "x06_leakage_safe_split": x06_leakage_safe_split,
 }
 
 ORACLE = {
@@ -436,4 +517,6 @@ ORACLE = {
     "x03_pipeline_stats": _X03_SQL,
     "x04_token_budget_select": _X04_SQL,
     "x05_stratified_sample": _X05_SQL,
+    # callable — composes d04/d08's recursive-CTE body lazily
+    "x06_leakage_safe_split": _x06_sql,
 }

@@ -180,3 +180,28 @@ def test_x05_two_phase_equals_naive_window(spark, sf_correctness):
     langs = {k[0] for k in got}
     for lang in langs:
         assert sum(1 for k in got if k[0] == lang) == sampling.STRATUM_K
+
+
+def test_x06_near_dups_never_straddle_the_split(spark, sf_correctness):
+    """The whole point: every near-dup pair (d04 semantics) must land on
+    ONE side of the split, and singletons must match x01's assignment."""
+    from big_data_analytics_cse545_spark.operators import dedup, sampling
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    split = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in sampling.x06_leakage_safe_split(spark, sf_correctness).collect()
+    }
+    d = load_table(spark, sf_correctness, "documents")
+    pairs = dedup.simhash_near_dup_pairs(d).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert split[p["d1"]][1] == split[p["d2"]][1], (p, split[p["d1"]], split[p["d2"]])
+        assert split[p["d1"]][0] == split[p["d2"]][0]
+    x01 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.x01_hash_split(spark, sf_correctness).collect()
+    }
+    for doc, (key, sp) in split.items():
+        if key == doc:  # singleton → identical to the per-doc split
+            assert sp == x01[doc]
