@@ -884,6 +884,38 @@ def incremental_dedup(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame, text_col: str, id_col: str, *, ham_k: int = 3
+) -> DataFrame:
+    """Deterministic train/val/test split (x01's 98/1/1 md5 rule) keyed
+    by the near-dup cluster representative instead of the row id, so no
+    near-duplicate pair ever straddles train and test (the x06 operator
+    on an arbitrary corpus). Appends ``split_key`` and ``split``;
+    singleton docs get exactly ``hash_split``'s assignment."""
+    from big_data_analytics_cse545_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        hash_bucket,
+    )
+
+    cc = dup_clusters(df, text_col, id_col, ham_k=ham_k).select(
+        F.col(id_col).alias("_cid"), F.col("cluster_id").alias("_label")
+    )
+    key = F.coalesce("_label", F.col(id_col))
+    bucket = hash_bucket(key, "split|", mod=100)
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.join(F.broadcast(cc), df[id_col] == cc["_cid"], "left")
+        .withColumn("split_key", key)
+        .withColumn("split", split)
+        .drop("_cid", "_label")
+    )
+
+
 def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     """Keep one row per canonical URL (functions/url.py rules: fragment,
     host case, default ports, www, tracking params, param order,

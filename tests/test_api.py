@@ -369,3 +369,22 @@ def test_url_dedup_collapses_canonical_variants(spark):
     )
     out = api.url_dedup(df, "url", "id").collect()
     assert {r["id"] for r in out} == {1, 3}
+
+
+def test_leakage_safe_split_matches_x06(spark, sf_correctness):
+    """api.leakage_safe_split on the documents table must reproduce the
+    x06 operator's (split_key, split) per doc."""
+    from big_data_analytics_cse545_spark.operators import sampling
+
+    d = load_table(spark, sf_correctness, "documents")
+    got = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in api.leakage_safe_split(d, "text", "doc_id")
+        .select("doc_id", "split_key", "split")
+        .collect()
+    }
+    exp = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in sampling.x06_leakage_safe_split(spark, sf_correctness).collect()
+    }
+    assert got == exp
