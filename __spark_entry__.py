@@ -106,6 +106,7 @@ _NEW_AWAITING_ROTATION = frozenset(
         "f03_jsonl_corrupt_tolerant",
         "f04_partitioned_scan",
         "x06_leakage_safe_split",
+        "q30_sliding_dau",
     }
 )
 _HELD_OUT = frozenset(

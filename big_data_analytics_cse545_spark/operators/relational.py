@@ -1367,6 +1367,73 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q30 — sliding-window distinct users (DAU/WAU) via linear fan-out
+# ---------------------------------------------------------------------------
+
+Q30_WINDOW_DAYS = 7
+
+
+def q30_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day active users (DAU) and trailing-{W}-day active users
+    (WAU) — the ur-metric of event analytics, and a trap at scale:
+    ``COUNT(DISTINCT)`` is not window-frameable in Spark, and the naive
+    spelling (self-join each day against its trailing range) touches
+    each event once per window it falls in *as an event row*.
+
+    The linear rewrite here: collapse events to distinct (user, day)
+    pairs FIRST (one shuffle, output is users×days sized, not
+    events-sized), then fan each pair into the {W} window-ends it
+    supports (narrow explode, ×{W}), then one countDistinct per
+    window-end. At 100 TB of events the expensive cardinality drop
+    happens before any fan-out; everything after is proportional to
+    user-days, independent of how many raw events a hot user generates.
+    """.format(W=Q30_WINDOW_DAYS)
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(Q30_WINDOW_DAYS - 1))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("wday"))
+    wau = (
+        fan.join(days, fan["wday"] == days["day"], "left_semi")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("wday", "day")
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        # ISO string, not DATE: pandas renders SQL DATE as Timestamp,
+        # so a raw date column can never hash-match across engines
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )
+
+
+_Q30_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+fan AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS wday
+  FROM ud CROSS JOIN (SELECT unnest(range(0, {Q30_WINDOW_DAYS})) AS i)
+),
+wau AS (
+  SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+  FROM fan WHERE wday IN (SELECT day FROM days)
+  GROUP BY wday
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+FROM dau d JOIN wau w USING (day)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1397,6 +1464,7 @@ QUERIES = {
     "q27_gap_fill": q27_gap_fill,
     "q28_sessionize": q28_sessionize,
     "q29_skew_safe_distinct": q29_skew_safe_distinct,
+    "q30_sliding_dau": q30_sliding_dau,
 }
 
 ORACLE = {
@@ -1428,4 +1496,5 @@ ORACLE = {
     "q27_gap_fill": _Q27_SQL,
     "q28_sessionize": _Q28_SQL,
     "q29_skew_safe_distinct": _Q29_SQL,
+    "q30_sliding_dau": _Q30_SQL,
 }
