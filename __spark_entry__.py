@@ -107,6 +107,7 @@ _NEW_AWAITING_ROTATION = frozenset(
         "f04_partitioned_scan",
         "x06_leakage_safe_split",
         "q30_sliding_dau",
+        "t19_unicode_normalize",
     }
 )
 _HELD_OUT = frozenset(

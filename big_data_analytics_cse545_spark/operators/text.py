@@ -1217,6 +1217,85 @@ ORDER BY canonical_url
 """
 
 
+# ---------------------------------------------------------------------------
+# t19 — Unicode NFC normalization (Arrow UDF with an EXACT oracle)
+# ---------------------------------------------------------------------------
+
+def t19_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization every text
+    corpus needs before hashing or dedup: visually-identical strings
+    with different codepoint sequences (``é`` composed U+00E9 vs
+    ``e``+combining-acute U+0301) hash differently and silently defeat
+    d01/d03. Mixed forms are planted deterministically (doc_id % 3:
+    decomposed suffix / precomposed suffix / untouched) so the operator
+    provably composes the first and leaves the rest byte-identical.
+
+    Spark has no NFC builtin, so this is an Arrow-batched scalar
+    ``pandas_udf`` over ``unicodedata.normalize`` — notable as the one
+    Python-boundary operator in the suite with an EXACT value-hash
+    oracle (DuckDB ``nfc_normalize`` implements the same Unicode
+    spec; the md5-of-normalized-text column proves byte equality).
+    At 100 TB: a narrow per-row kernel, no shuffle; the Arrow batch
+    transfer is the only cost over a JVM expression, and it pipelines
+    with the scan.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_kernel(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # real class objects, not strings: the module-wide `from __future__
+    # import annotations` would stringify inline hints and break
+    # pandas_udf's eval-type inference
+    _nfc_kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_kernel, "string")
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        # explicit escapes: the suffixes render identically but are different
+        # codepoint sequences (decomposed vs precomposed)
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" caf\u00e9"))
+        .otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", raw.alias("raw"))
+    return (
+        base.select("doc_id", "raw", _nfc(F.col("raw")).alias("norm"))
+        .select(
+            "doc_id",
+            (F.col("raw") != F.col("norm")).alias("changed"),
+            F.length("raw").cast("long").alias("n_raw"),
+            F.length("norm").cast("long").alias("n_norm"),
+            F.md5("norm").alias("content_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T19_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                      WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                      ELSE '' END AS raw
+  FROM documents
+),
+n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM raw)
+SELECT doc_id, (raw <> norm) AS changed,
+       CAST(length(raw) AS BIGINT) AS n_raw,
+       CAST(length(norm) AS BIGINT) AS n_norm,
+       md5(norm) AS content_hash
+FROM n
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -1236,6 +1315,7 @@ QUERIES = {
     "t16_html_strip": t16_html_strip,
     "t17_chunk_overlap": t17_chunk_overlap,
     "t18_url_canonicalize": t18_url_canonicalize,
+    "t19_unicode_normalize": t19_unicode_normalize,
 }
 
 ORACLE = {
@@ -1261,4 +1341,5 @@ ORACLE = {
     "t17_chunk_overlap": _T17_SQL,
     # callable — composes the canonicalizer's SQL twin lazily
     "t18_url_canonicalize": _t18_sql,
+    "t19_unicode_normalize": _T19_SQL,
 }

@@ -187,3 +187,17 @@ def test_canonical_url_sql_twin_matches(spark):
         for u in urls
     ]
     assert spark_out == duck_out
+
+
+def test_t19_composes_exactly_the_decomposed_docs(spark, sf_correctness):
+    """Only the decomposed-suffix docs (doc_id % 3 == 0) change, each
+    shrinking by exactly one codepoint (combining mark folded in); the
+    precomposed docs (% 3 == 1) must already be byte-identical NFC."""
+    from big_data_analytics_cse545_spark.operators import text as t
+
+    rows = t.t19_unicode_normalize(spark, sf_correctness).collect()
+    for r in rows:
+        if r["doc_id"] % 3 == 0:
+            assert r["changed"] and r["n_raw"] - r["n_norm"] == 1
+        else:
+            assert not r["changed"] and r["n_raw"] == r["n_norm"]
