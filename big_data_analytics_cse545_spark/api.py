@@ -804,6 +804,26 @@ def html_strip(df: DataFrame, html_col: str, out_col: str = "text") -> DataFrame
     return df.withColumn(out_col, F.trim(F.regexp_replace(clean, r"\s+", " ")))
 
 
+def nfc_normalize(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Unicode NFC normalization of a text column (Arrow-batched
+    ``unicodedata`` kernel, t19's operator): run before any content-hash
+    dedup so visually-identical but byte-different strings collapse.
+    Overwrites ``text_col`` unless ``out_col`` is given."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_kernel, "string")
+    return df.withColumn(out_col or text_col, udf(F.col(text_col)))
+
+
 # ---------------------------------------------------------------------------
 # incremental ingestion
 # ---------------------------------------------------------------------------

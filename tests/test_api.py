@@ -388,3 +388,13 @@ def test_leakage_safe_split_matches_x06(spark, sf_correctness):
         for r in sampling.x06_leakage_safe_split(spark, sf_correctness).collect()
     }
     assert got == exp
+
+
+def test_nfc_normalize_composes_decomposed_text(spark):
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, None)],
+        "id long, text string",
+    )
+    out = {r["id"]: r["text"] for r in api.nfc_normalize(df, "text").collect()}
+    assert out[1] == out[2] == "caf\u00e9"
+    assert out[3] is None
