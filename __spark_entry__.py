@@ -108,6 +108,7 @@ _NEW_AWAITING_ROTATION = frozenset(
         "x06_leakage_safe_split",
         "q30_sliding_dau",
         "t19_unicode_normalize",
+        "st10_sliding_distinct_users",
     }
 )
 _HELD_OUT = frozenset(

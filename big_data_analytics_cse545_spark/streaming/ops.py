@@ -549,6 +549,58 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# st10 — chained stateful operators: streaming dedup → sliding-window WAU
+# ---------------------------------------------------------------------------
+
+def st10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WAU (distinct users per trailing-7-day window, sliding
+    daily) — q30's standing-query twin, and the suite's demonstration of
+    CHAINED stateful operators (Spark 3.5+): streaming aggregations
+    cannot COUNT(DISTINCT), so the distinct drops in a first stateful
+    stage (``dropDuplicates`` on (user, window) under the watermark) and
+    a plain count aggregates in a second. Append mode is mandatory for
+    multi-stateful queries, so exactly the watermark-CLOSED windows
+    emit — the oracle reproduces that horizon (window_end ≤ max ts − 1 h)
+    the same way st08 reproduces its null-emission horizon.
+
+    State at scale: dedup state holds one row per live (user, window) —
+    bounded by watermark eviction, independent of raw event volume (a
+    hot user's millionth event hits an existing state row); the window
+    agg state is windows×1 counters. This is the streaming counterpart
+    of q30's collapse-before-fan-out rule: drop to user-window
+    granularity BEFORE counting.
+    """
+    e = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    ud = e.select(
+        "user_id", F.window("ts", "7 days", "1 day").alias("w"), "ts"
+    ).dropDuplicates(["user_id", "w"])
+    agg = ud.groupBy("w").agg(F.count(F.lit(1)).alias("wau"))
+    out = _run_to_table(agg, spark, "st10_mem", output_mode="append")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+        F.date_format(F.col("w.end"), "yyyy-MM-dd").alias("window_end"),
+        "wau",
+    ).orderBy("window_start")
+
+
+_ST10_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+fan AS (
+  SELECT user_id, day - CAST(k AS INTEGER) AS wstart
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k)
+),
+wau AS (SELECT wstart, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY wstart)
+SELECT strftime(wstart, '%Y-%m-%d') AS window_start,
+       strftime(wstart + 7, '%Y-%m-%d') AS window_end,
+       wau
+FROM wau
+WHERE CAST(wstart + 7 AS TIMESTAMP) <= (SELECT m - INTERVAL 1 HOUR FROM mx)
+ORDER BY window_start
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
@@ -559,6 +611,7 @@ QUERIES = {
     "st07_stream_static_join": st07_stream_static_join,
     "st08_stream_outer_join": st08_stream_outer_join,
     "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
+    "st10_sliding_distinct_users": st10_sliding_distinct_users,
 }
 
 ORACLE = {
@@ -571,4 +624,5 @@ ORACLE = {
     "st07_stream_static_join": _ST07_SQL,
     "st08_stream_outer_join": _ST08_SQL,
     "st09_stream_incremental_dedup": _ST09_SQL,
+    "st10_sliding_distinct_users": _ST10_SQL,
 }

@@ -141,3 +141,26 @@ def test_st09_drops_planted_corpus_duplicate(spark, tmp_path):
         for r in st.st09_stream_incremental_dedup(spark, d).collect()
     }
     assert got == {"s1": (2, 5)}
+
+
+def test_st10_equals_q30_trailing_windows(spark, sf_correctness):
+    """The streaming sliding-WAU (window [start, end) ending day D+1)
+    must equal the batch q30 WAU for day D on every emitted window —
+    batch/stream parity across two different rewrites of the metric."""
+    import datetime
+
+    from big_data_analytics_cse545_spark.operators import relational
+
+    stream = {
+        r["window_end"]: r["wau"]
+        for r in st.st10_sliding_distinct_users(spark, sf_correctness).collect()
+    }
+    assert stream, "expected emitted windows"
+    batch = {
+        r["day"]: r["wau"]
+        for r in relational.q30_sliding_dau(spark, sf_correctness).collect()
+    }
+    for wend, wau in stream.items():
+        d = datetime.date.fromisoformat(wend) - datetime.timedelta(days=1)
+        if d.isoformat() in batch:  # q30 only reports days with activity
+            assert wau == batch[d.isoformat()], (wend, wau, batch[d.isoformat()])
