@@ -65,3 +65,109 @@ def test_salted_collect_list_matches_plain(spark, sf_correctness):
         for r in d.groupBy("lang").agg(F.collect_list("doc_id").alias("v")).collect()
     }
     assert got == exp
+
+
+# URL-ish generator: scheme/host/port/path/query/fragment fragments that
+# exercise every canonicalization rule, composed randomly.
+_url_strategy = st.builds(
+    lambda scheme, www, host, port, path, slash, params, frag: (
+        scheme
+        + "://"
+        + www
+        + host
+        + port
+        + path
+        + slash
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.sampled_from(["ex.com", "Ex.COM", "a.b.ex.com"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/A/b", "/x"]),
+    slash=st.sampled_from(["", "/", "//"]),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=9", "utm_source=t", "utm_campaign=c",
+             "gclid=g", "fbclid=f", "ref=nav", "referrer=x"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "#f", "#frag/with?stuff"]),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=8, unique=True))
+def test_canonical_url_idempotent_and_sql_equal(spark, urls):
+    """canonical_url must be IDEMPOTENT (canonicalizing a canonical URL
+    changes nothing — the property that makes re-running a crawl
+    pipeline safe) and must agree with its DuckDB twin on arbitrary
+    rule-exercising inputs, not just the hand-picked test cases."""
+    import duckdb
+
+    from big_data_analytics_cse545_spark.functions.url import (
+        canonical_url,
+        sql_canonical_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("url"))
+    got_once = [r["url"] for r in once.collect()]
+    got_twice = [
+        r["url"] for r in once.select(canonical_url(F.col("url")).alias("url")).collect()
+    ]
+    assert got_once == got_twice, "canonicalization must be idempotent"
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "WITH u AS (SELECT ?::VARCHAR AS url) "
+            f"SELECT {sql_canonical_url('url')} FROM u",
+            [u],
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got_once == duck
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abc é́ü̈中ﬁ")
+            ),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_nfc_normalize_idempotent_and_matches_python(spark, texts):
+    """api.nfc_normalize is idempotent and equals unicodedata NFC for
+    arbitrary strings mixing combining marks, precomposed chars, CJK,
+    and ligatures."""
+    import unicodedata
+
+    from big_data_analytics_cse545_spark import api
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    once = {
+        r["id"]: r["text"] for r in api.nfc_normalize(df, "text").collect()
+    }
+    assert once == {i: unicodedata.normalize("NFC", t) for i, t in enumerate(texts)}
+    df2 = spark.createDataFrame(list(once.items()), "id long, text string")
+    twice = {
+        r["id"]: r["text"] for r in api.nfc_normalize(df2, "text").collect()
+    }
+    assert twice == once
