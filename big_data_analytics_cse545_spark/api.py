@@ -829,12 +829,39 @@ def nfc_normalize(df: DataFrame, text_col: str, out_col: str | None = None) -> D
 # ---------------------------------------------------------------------------
 
 
-def incremental_dedup(
-    batch: DataFrame,
+def dedup_index(
     corpus: DataFrame,
     text_col: str,
     id_col: str,
     *,
+    n_hashes: int = 32,
+    band_rows: int = 4,
+    shingle_size: int = 3,
+) -> dict[str, DataFrame]:
+    """Build the corpus-side dedup index ``incremental_dedup`` joins
+    against: ``hashes`` (16-byte md5 content hashes, distinct),
+    ``bands`` (id, band, band_key) and ``shingles``/``counts`` for the
+    exact-Jaccard verify. In production, WRITE these once per ingest
+    cycle (parquet, bucketed by hash/band_key) and hand the loaded
+    tables to ``incremental_dedup(..., index=...)`` — every batch then
+    reuses the index instead of re-scanning the corpus text."""
+    kw = dict(n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size)
+    sh, bands = _shingle_bands(corpus, text_col, id_col, **kw)
+    return {
+        "hashes": corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct(),
+        "bands": bands,
+        "shingles": sh,
+        "counts": sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")),
+    }
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    index: dict[str, DataFrame] | None = None,
     n_hashes: int = 32,
     band_rows: int = 4,
     shingle_size: int = 3,
@@ -850,30 +877,35 @@ def incremental_dedup(
     - ``decision``    — drop_exact > drop_near > keep.
 
     At scale the corpus side's hashes/band keys are computed once per
-    ingest cycle (store them); total join work scales with |batch|, and
-    AQE broadcasts the batch-side build of both joins.
+    ingest cycle — pass a prebuilt (typically persisted/stored)
+    ``index`` from :func:`dedup_index` so successive batches skip the
+    corpus scan entirely; total join work scales with |batch|, and AQE
+    broadcasts the batch-side build of both joins. Exactly one of
+    ``corpus`` / ``index`` must be given.
     """
-    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    if (corpus is None) == (index is None):
+        raise ValueError("pass exactly one of corpus= or index=")
+    kw = dict(n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size)
+    if index is None:
+        index = dedup_index(corpus, text_col, id_col, **kw)
     exact = (
         batch.select(F.col(id_col).alias("_eid"), F.md5(F.col(text_col)).alias("_h"))
-        .join(corpus_hashes, "_h", "left_semi")
+        .join(index["hashes"], "_h", "left_semi")
         .select("_eid")
         .withColumn("_exact", F.lit(True))
     )
-    kw = dict(n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size)
     sh_b, bands_b = _shingle_bands(batch, text_col, id_col, **kw)
-    sh_c, bands_c = _shingle_bands(corpus, text_col, id_col, **kw)
     cand = (
         bands_b.select(F.col("_id").alias("_bid"), "_band", "_key")
-        .join(bands_c.select(F.col("_id").alias("_cid"), "_band", "_key"),
+        .join(index["bands"].select(F.col("_id").alias("_cid"), "_band", "_key"),
               ["_band", "_key"])
         .select("_bid", "_cid")
         .distinct()
     )
     cnt_b = sh_b.groupBy("_id").agg(F.count(F.lit(1)).alias("_n1"))
-    cnt_c = sh_c.groupBy("_id").agg(F.count(F.lit(1)).alias("_n2"))
+    cnt_c = index["counts"].select("_id", F.col("_n").alias("_n2"))
     s1 = sh_b.select(F.col("_id").alias("_bid"), F.col("_sh").alias("_s1"))
-    s2 = sh_c.select(F.col("_id").alias("_scid"), F.col("_sh").alias("_s2"))
+    s2 = index["shingles"].select(F.col("_id").alias("_scid"), F.col("_sh").alias("_s2"))
     inter = (
         cand.join(s1, "_bid")
         .join(s2, (F.col("_cid") == F.col("_scid")) & (F.col("_s1") == F.col("_s2")))

@@ -398,3 +398,36 @@ def test_nfc_normalize_composes_decomposed_text(spark):
     out = {r["id"]: r["text"] for r in api.nfc_normalize(df, "text").collect()}
     assert out[1] == out[2] == "caf\u00e9"
     assert out[3] is None
+
+
+def test_incremental_dedup_index_path_equals_direct(spark, sf_correctness):
+    """A prebuilt dedup_index must yield decisions identical to passing
+    the corpus directly, and one index must serve multiple batches."""
+    from big_data_analytics_cse545_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_correctness, "documents")
+    corpus = d.filter(d["doc_id"] % 4 != 1)
+    idx = api.dedup_index(corpus, "text", "doc_id")
+    for mod_rem in (1, 3):  # two different "daily batches", one index
+        batch = d.filter(d["doc_id"] % 4 == mod_rem)
+        via_index = {
+            r["doc_id"]: (r["exact_dup"], r["near_dup_of"], r["decision"])
+            for r in api.incremental_dedup(
+                batch, text_col="text", id_col="doc_id", index=idx,
+                threshold=dd.JACCARD_THRESHOLD_D10,
+            ).select("doc_id", "exact_dup", "near_dup_of", "decision").collect()
+        }
+        direct = {
+            r["doc_id"]: (r["exact_dup"], r["near_dup_of"], r["decision"])
+            for r in api.incremental_dedup(
+                batch, corpus, "text", "doc_id",
+                threshold=dd.JACCARD_THRESHOLD_D10,
+            ).select("doc_id", "exact_dup", "near_dup_of", "decision").collect()
+        }
+        assert via_index == direct
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.incremental_dedup(d, corpus, "text", "doc_id", index=idx)
+    with _pytest.raises(ValueError):
+        api.incremental_dedup(d, text_col="text", id_col="doc_id")
