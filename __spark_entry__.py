@@ -33,8 +33,8 @@ def _modules():
     Order matters: the driver evaluates queries() in insertion order
     under a 50-entry budget (CORRECTNESS_r01/r02 each recorded exactly
     the first 50). Least-recently-driver-checked families come FIRST —
-    round 3: relational leads because q17–q27 fell outside round 2's
-    budget.
+    round 4: relational/text still lead because q02–q16 and t01–t09
+    rotate back in after sitting out round 3.
     """
     from big_data_analytics_cse545_spark.operators import (
         dedup,
@@ -61,9 +61,10 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 84
-# registered queries we budget deliberately instead of letting the tail
-# fall off silently:
+# The driver hash-checks only the FIRST 50 queries() entries, so with 93
+# registered queries (len(all_queries()) — asserted in
+# tests/test_entry_contract.py) we budget deliberately instead of
+# letting the tail fall off silently:
 #
 # - _TEST_GATED: MLlib alternates of engine operators, permanently
 #   bench/pytest-gated — each is recall/rank-gated against its exact
@@ -95,59 +96,60 @@ _DEMOTED_BASELINES = frozenset(
         "s01_knn_bruteforce",
     }
 )
-# Born after this round's budget was frozen: pytest-oracle-checked now
-# (held_out_oracle_sql → test_entry_contract), first driver row next
-# round when they rotate in against round-3-checked entries.
-_NEW_AWAITING_ROTATION = frozenset(
-    {
-        "d10_incremental_dedup",
-        "t18_url_canonicalize",
-        "st09_stream_incremental_dedup",
-        "f03_jsonl_corrupt_tolerant",
-        "f04_partitioned_scan",
-        "x06_leakage_safe_split",
-        "q30_sliding_dau",
-        "t19_unicode_normalize",
-        "st10_sliding_distinct_users",
-    }
-)
+# No new queries awaiting rotation this round: every round-3 newcomer
+# (d10, t18, t19, st09, st10, f03, f04, x06, q30) takes its FIRST
+# driver row in round 4 below.
+_NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # round-3 hold-out — all green in CORRECTNESS_r02 (or r1 for
-        # entries r2's budget missed; those q17-q27 all rotate IN this
-        # round). Slots freed here fund the first driver rows of the
-        # NEW round-3 queries (d07, d08, f01, f02, t11-t17, q28, q29,
-        # x01-x05, p06, p07, st07, st08). Nothing below was held out
-        # in round 2.
-        "q02_revenue_by_nation",
-        "q03_top_orders",
-        "q11_distinct_and_conditional_agg",
-        "q16_above_avg_lineitems",
-        "t09_pseudo_xml_extract",
-        "p01_dim_stats",
-        "st06_stream_stream_join",
-        "t02_word_set_difference",
-        "q05_customers_without_orders",
-        "q15_json_extract",  # JSON coverage rides on new f01 this round
-        "q12_inlist_filter",
-        "q14_events_by_month_type",
-        "t08_fingerprint",
-        "q09_cube_status_priority",
-        "t01_wordcount",
-        "t04_term_mentions_nested",
-        "t03_term_mentions",
-        "t05_lang_guess",
-        "t07_token_count",
-        "q04_customers_with_orders",
-        "q08_rollup_region_nation",
-        "q10_set_ops",
-        "q13_string_funcs",
-        "m02_video_frame_sample",
-        "p03_pca_topk",
-        "p05_kmeans_iterative",
-        "st01_tumbling_window",
-        "st03_session_window",
-        "st04_streaming_dedup",
+        # round-4 hold-out — all green in CORRECTNESS_r03 (rows+schema+
+        # hash, or no_oracle-by-design for m03). Slots freed here fund
+        # driver rows for ALL 38 queries r3's budget excluded — the 29
+        # r3 hold-outs plus the 9 r3 newcomers — so after this round
+        # every registry entry has a driver row within the last two
+        # rounds. 12 r3-checked entries stay in (q01, q20, d03, d05,
+        # d08, p07, s03, t11, x04, f01, m01, st05): one-plus per
+        # family, biased toward operators changed this round (q20 exact
+        # columns, d08 reliable checkpointing, p07 recall raise).
+        # Nothing below was held out in round 3.
+        "q06_topk_orders_per_customer",
+        "q07_order_running_analytics",
+        "q17_grouping_sets",
+        "q18_asof_join",
+        "q19_range_join",
+        "q21_null_semantics",
+        "q22_retention_cohorts",
+        "q23_event_funnel",
+        "q24_percentiles",
+        "q25_range_frame",
+        "q26_pivot",
+        "q27_gap_fill",
+        "q28_sessionize",
+        "q29_skew_safe_distinct",
+        "t06_quality_score",
+        "t10_wholetext_extract",
+        "t12_pack_sequences",
+        "t13_repetition_filter",
+        "t14_corpus_freq_score",
+        "t15_winnowing_pairs",
+        "t16_html_strip",
+        "t17_chunk_overlap",
+        "x01_hash_split",
+        "x02_temperature_mix",
+        "x03_pipeline_stats",
+        "x05_stratified_sample",
+        "f02_csv_scan",
+        "d01_exact_dedup",
+        "d04_simhash_clusters",
+        "d07_decontaminate",
+        "d09_chunk_dedup",
+        "s02_ann_hyperplane_lsh",
+        "p02_random_projection",
+        "p06_scalar_quantize",
+        "m03_binaryfile_ref_funnel",
+        "st02_sliding_window",
+        "st07_stream_static_join",
+        "st08_stream_outer_join",
     }
 )
 
@@ -168,7 +170,8 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (84 queries) — used by bench.py and pytest so
+    """The FULL registry (93 queries; exact count asserted in
+    tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -943,7 +943,11 @@ def leakage_safe_split(
     by the near-dup cluster representative instead of the row id, so no
     near-duplicate pair ever straddles train and test (the x06 operator
     on an arbitrary corpus). Appends ``split_key`` and ``split``;
-    singleton docs get exactly ``hash_split``'s assignment."""
+    singleton docs get exactly ``hash_split``'s assignment.
+
+    The cluster relation holds one row per doc with any near-dup —
+    corpus-proportional at real dup rates — so the join carries no
+    broadcast hint: AQE broadcasts only when it measures small."""
     from big_data_analytics_cse545_spark.operators.sampling import (
         TRAIN_PCT,
         VAL_PCT,
@@ -961,7 +965,7 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return (
-        df.join(F.broadcast(cc), df[id_col] == cc["_cid"], "left")
+        df.join(cc, df[id_col] == cc["_cid"], "left")
         .withColumn("split_key", key)
         .withColumn("split", split)
         .drop("_cid", "_label")

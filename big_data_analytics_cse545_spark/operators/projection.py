@@ -477,13 +477,13 @@ ORDER BY vec_id, pos
 # p07 — product quantization: train codebooks, encode corpus, ADC top-k
 # ---------------------------------------------------------------------------
 
-PQ_M = 8         # subspaces
+PQ_M = 16        # subspaces (r4: 8 → 16; recall@3 0.8 → 1.0 at sf0.01)
 PQ_DSUB = DIM // PQ_M
-PQ_K = 16        # centroids per subspace → 8×4-bit codes per vector
+PQ_K = 16        # centroids per subspace → 16×4-bit codes per vector
 PQ_TRAIN_CAP = 2048  # absolute training-sample cap (model-sized, not data-sized)
 PQ_ITERS = 10
 PQ_TOPK = 3
-PQ_RERANK = 32   # ADC shortlist size fed to the exact rerank, per batch
+PQ_RERANK = 64   # ADC shortlist size fed to the exact rerank, per batch
 
 
 def _pq_train(train: "object") -> "object":
@@ -511,7 +511,7 @@ def _pq_train(train: "object") -> "object":
 def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the memory-bound scale path of vector
     search (IVF-PQ's PQ half): train per-subspace codebooks, encode every
-    vector as PQ_M 4-bit codes (64 float32 dims → 8 bytes, 32×
+    vector as PQ_M 4-bit codes (64 float32 dims → 8 bytes at M=16, 32×
     compression), then answer top-k by ADC (asymmetric distance
     computation) — each query builds an M×K lookup table once and scores
     a corpus row with M table lookups instead of a 64-dim float kernel.

@@ -858,23 +858,43 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
-# q20 — approximate distinct (HLL sketch) — rows-only (sketches differ
-# between engines by design; accuracy pinned in tests/test_plans.py)
+# q20 — approximate distinct (HLL sketch) — hash-checked since round 4:
+# the exact column is compared value-for-value against DuckDB, and the
+# sketch is checked through a deterministic error-band flag (the oracle
+# asserts the flag as constant truth, so a drifting sketch breaks the
+# hash). Engines' raw sketch values differ by design; the tighter
+# accuracy pin stays in tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
 def q20_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count per
     event_type — the sketch the reference's md5-signature funnel
-    approximates by hand (SURVEY §2.5 'approx/sketch ops')."""
+    approximates by hand (SURVEY §2.5 'approx/sketch ops'). Emits the
+    exact count (oracle-hashable), and the sketch as a 0/1 in-band flag
+    (|approx − exact| ≤ 5% · exact; rsd=0.02 ⇒ 5% ≈ 2.5σ)."""
     e = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            exact.alias("exact_users"),
+            (F.abs(approx - exact) <= 0.05 * exact)
+            .cast("long")
+            .alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+_Q20_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1487,6 +1507,7 @@ ORACLE = {
     "q17_grouping_sets": _Q17_SQL,
     "q18_asof_join": _Q18_SQL,
     "q19_range_join": _Q19_SQL,
+    "q20_approx_distinct": _Q20_SQL,
     "q21_null_semantics": _Q21_SQL,
     "q22_retention_cohorts": _Q22_SQL,
     "q23_event_funnel": _Q23_SQL,

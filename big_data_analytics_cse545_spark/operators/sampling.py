@@ -436,9 +436,12 @@ def x06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: the cluster labeling is d08's min-label propagation
     (shuffles (id, label) pairs only, diameter-bounded iterations); the
-    split itself stays a narrow projection. Only docs WITH a near-dup
-    pay the join — the left join against the (small) clustered-ids
-    relation broadcasts.
+    split itself stays a narrow projection. The clustered-ids relation
+    holds one row per document that has ANY near-duplicate — at
+    web-crawl dup rates (30-50%) that is corpus-proportional, so the
+    join deliberately carries NO broadcast hint: AQE broadcasts it when
+    it measures small and falls back to a shuffled hash join on 16-byte
+    doc_id keys when it doesn't, instead of OOMing on a mandatory hint.
     """
     from big_data_analytics_cse545_spark.operators.dedup import (
         connected_components,
@@ -458,7 +461,7 @@ def x06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return (
-        d.join(F.broadcast(cc), "doc_id", "left")
+        d.join(cc, "doc_id", "left")
         .select(
             "doc_id",
             key.alias("split_key"),

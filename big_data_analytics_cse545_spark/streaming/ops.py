@@ -505,12 +505,16 @@ def st09_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     stream-static LEFT ANTI join, the one streaming join type the
     st-suite didn't yet exercise.
 
-    Scale shape: the static side is only 16-byte hashes (distinct), so
-    it broadcasts; each micro-batch filters against it with no
-    stream-side state at all (unlike st04's dropDuplicates, nothing
-    accumulates), and no shuffle of the stream. At 100 TB/day the hash
-    index refreshes per ingest cycle while the standing query keeps
-    running. Output: kept docs per source (count + first id).
+    Scale shape: the static side is 16-byte hashes (distinct) — small
+    per byte-of-corpus but still one row per corpus doc, so
+    corpus-proportional and NOT hinted for broadcast: AQE broadcasts it
+    while it fits (low-latency micro-batches) and falls back to a
+    shuffled hash join on the 16-byte key when the corpus outgrows the
+    threshold. Each micro-batch filters with no stream-side state at
+    all (unlike st04's dropDuplicates, nothing accumulates). At
+    100 TB/day the hash index refreshes per ingest cycle while the
+    standing query keeps running. Output: kept docs per source
+    (count + first id).
     """
     from big_data_analytics_cse545_spark.sources import load_table
 
@@ -523,7 +527,7 @@ def st09_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     kept = (
         batch.withColumn("h", F.md5("text"))
-        .join(F.broadcast(corpus_hashes), "h", "left_anti")
+        .join(corpus_hashes, "h", "left_anti")
     )
     out = _run_to_table(
         kept.select("doc_id", "source"), spark, "st09_mem", output_mode="append"

@@ -108,8 +108,11 @@ def test_kmeans_converges_and_partitions_corpus(spark, sf_correctness):
 
 
 def test_p07_pq_ann_recall_and_determinism(spark, sf_correctness):
-    """PQ + exact-rerank contract: ≥0.6 recall@3 vs brute force, exact
-    distances monotone per query, self excluded, byte-identical reruns."""
+    """PQ + exact-rerank contract: ≥0.8 recall@3 vs brute force, exact
+    distances monotone per query, self excluded, byte-identical reruns.
+    (r4 raised the gate 0.6 → 0.8 alongside PQ_M 8 → 16 and PQ_RERANK
+    32 → 64; measured recall at sf0.01 is 1.0, the gate keeps slack for
+    other SFs.)"""
     import numpy as np
 
     from big_data_analytics_cse545_spark.sources import load_table
@@ -132,6 +135,6 @@ def test_p07_pq_ann_recall_and_determinism(spark, sf_correctness):
         assert list(sub.sort_values("rank").d2) == sorted(sub.d2)
         hits += len(exact & got)
         tot += projection.PQ_TOPK
-    assert hits / tot >= 0.6, f"recall@{projection.PQ_TOPK} = {hits}/{tot}"
+    assert hits / tot >= 0.8, f"recall@{projection.PQ_TOPK} = {hits}/{tot}"
     again = projection.p07_pq_ann(spark, sf_correctness).toPandas()
     assert df.equals(again), "PQ pipeline must be deterministic"
