@@ -371,13 +371,23 @@ def minhash_dedup(
 
 
 def dup_clusters(
-    df: DataFrame, text_col: str, id_col: str, *, ham_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ham_k: int = 3,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Transitive near-dup clusters over any corpus: 64-bit SimHash
     hamming-banded pairs (d04 semantics) closed into components by
     distributed min-label propagation (d08). Returns one row per doc
     that has at least one near-dup: (id_col, cluster_id, cluster_size),
     cluster_id = min member id.
+
+    ``reliable_checkpoint=True`` writes each CC iteration's labels to
+    the context's checkpoint directory so a long cluster run survives
+    executor loss without replaying the loop (the cluster-grade mode;
+    the default ``localCheckpoint`` is right for local/short jobs).
 
     Unlike ``minhash_dedup``'s per-pair drop (which deletes BOTH ends of
     a chain's tail pairs), keeping ``cluster_id == id`` rows retains
@@ -397,7 +407,9 @@ def dup_clusters(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     pairs = simhash_near_dup_pairs(d, ham_k)
-    cc = connected_components(pairs, "d1", "d2")
+    cc = connected_components(
+        pairs, "d1", "d2", reliable_checkpoint=reliable_checkpoint
+    )
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "label").select(
         F.col("id").alias(id_col),
@@ -809,19 +821,9 @@ def nfc_normalize(df: DataFrame, text_col: str, out_col: str | None = None) -> D
     ``unicodedata`` kernel, t19's operator): run before any content-hash
     dedup so visually-identical but byte-different strings collapse.
     Overwrites ``text_col`` unless ``out_col`` is given."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from big_data_analytics_cse545_spark.functions.unicode import nfc_udf
 
-    def _kernel(s):
-        import unicodedata
-
-        return s.map(
-            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
-        )
-
-    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    udf = pandas_udf(_kernel, "string")
-    return df.withColumn(out_col or text_col, udf(F.col(text_col)))
+    return df.withColumn(out_col or text_col, nfc_udf()(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -844,7 +846,12 @@ def dedup_index(
     exact-Jaccard verify. In production, WRITE these once per ingest
     cycle (parquet, bucketed by hash/band_key) and hand the loaded
     tables to ``incremental_dedup(..., index=...)`` — every batch then
-    reuses the index instead of re-scanning the corpus text."""
+    reuses the index instead of re-scanning the corpus text.
+
+    The build parameters are recorded under ``"params"``;
+    ``incremental_dedup`` refuses an index built with different
+    parameters (mismatched band keys or shingle sizes would silently
+    produce zero candidates and admit every near-duplicate)."""
     kw = dict(n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size)
     sh, bands = _shingle_bands(corpus, text_col, id_col, **kw)
     return {
@@ -852,6 +859,7 @@ def dedup_index(
         "bands": bands,
         "shingles": sh,
         "counts": sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")),
+        "params": kw,
     }
 
 
@@ -888,6 +896,14 @@ def incremental_dedup(
     kw = dict(n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size)
     if index is None:
         index = dedup_index(corpus, text_col, id_col, **kw)
+    elif index.get("params", kw) != kw:
+        # A parameter mismatch would not error — band keys and shingle
+        # sizes simply never collide, every candidate join comes up
+        # empty, and every near-duplicate is admitted as 'keep'.
+        raise ValueError(
+            f"index was built with {index['params']}, but this call uses "
+            f"{kw}; rebuild the index or pass matching kwargs"
+        )
     exact = (
         batch.select(F.col(id_col).alias("_eid"), F.md5(F.col(text_col)).alias("_h"))
         .join(index["hashes"], "_h", "left_semi")

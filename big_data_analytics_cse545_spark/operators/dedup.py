@@ -708,7 +708,12 @@ CC_MAX_ITERS = 25  # safety bound; LSH dup components converge in 2-3
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, *, max_iters: int = CC_MAX_ITERS
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iters: int = CC_MAX_ITERS,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Distributed connected components by iterative min-label
     propagation: ``label(v) ← min(label(v), min over neighbors(v) of
@@ -726,25 +731,38 @@ def connected_components(
     SoCC'14) only pays off on long-chain graphs, which dedup candidate
     graphs are not — documented trade-off, not an oversight.
 
-    Per iteration: one ``localCheckpoint(eager=True)`` truncates the
-    otherwise-quadratic iterative lineage (the same reason p05 collects
-    centroids — but labels are data-sized, so they must stay
-    distributed), and the convergence check is a driver-side count of
-    changed labels (O(1) driver data). On a real cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so label
-    blocks survive executor loss.
+    Per iteration: one checkpoint truncates the otherwise-quadratic
+    iterative lineage (the same reason p05 collects centroids — but
+    labels are data-sized, so they must stay distributed), and the
+    convergence check is a driver-side count of changed labels (O(1)
+    driver data). ``reliable_checkpoint=False`` (default) uses
+    ``localCheckpoint`` — executor-memory blocks, right for local mode
+    and short jobs; ``reliable_checkpoint=True`` writes label blocks to
+    the context's checkpoint directory (``setCheckpointDir``; a scratch
+    dir is assigned if none is set) so an executor loss recomputes from
+    the last iteration's files instead of replaying the full lineage —
+    the cluster-grade setting for long CC runs.
     """
+    sc = edges.sparkSession.sparkContext
+    if reliable_checkpoint and sc._jsc.sc().getCheckpointDir().isEmpty():
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_cc_ckpt_"))
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = (
+    sym = _truncate(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every iteration
+        .distinct()  # reused every iteration
     )
-    labels = (
+    labels = _truncate(
         sym.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -752,7 +770,7 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(nbr_min, labels["id"] == nbr_min["v"], "left")
             .select(
                 "id",
@@ -760,7 +778,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
@@ -840,19 +857,6 @@ D09_BLOCK = 16  # tokens per non-overlapping block
 
 
 def d09_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-document dedup profile: cut every document into
-    non-overlapping {B}-token blocks, hash each block, and report per
-    document how much of it recurs VERBATIM in other documents — the
-    paragraph-level dedup signal (full-doc dedup d01 misses a page whose
-    second half is a boilerplate license; this flags it with
-    dup_ratio ≈ 0.5).
-
-    Plan at scale: block fan-out is narrow (sequence/slice/posexplode,
-    zero shuffle); then only 16-byte md5 keys move — groupBy(hash) for
-    cross-doc counts (hash keys are uniform: skew-free by construction),
-    hash-join back, groupBy(doc_id) for the profile. The text column
-    never shuffles, exactly the d01/d03 key discipline.
-    """.format(B=D09_BLOCK)
     from big_data_analytics_cse545_spark.functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -886,6 +890,23 @@ def d09_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# assigned after the def: a formatted string literal in docstring
+# position is an expression, not a docstring — __doc__ would be None
+d09_chunk_dedup.__doc__ = """Sub-document dedup profile: cut every
+    document into non-overlapping {B}-token blocks, hash each block,
+    and report per document how much of it recurs VERBATIM in other
+    documents — the paragraph-level dedup signal (full-doc dedup d01
+    misses a page whose second half is a boilerplate license; this
+    flags it with dup_ratio ≈ 0.5).
+
+    Plan at scale: block fan-out is narrow (sequence/slice/posexplode,
+    zero shuffle); then only 16-byte md5 keys move — groupBy(hash) for
+    cross-doc counts (hash keys are uniform: skew-free by construction),
+    hash-join back, groupBy(doc_id) for the profile. The text column
+    never shuffles, exactly the d01/d03 key discipline.
+    """.format(B=D09_BLOCK)
 
 
 _D09_SQL = f"""
@@ -932,27 +953,6 @@ D10_BATCH_REM = 1   # newly-ingested batch; the rest are the existing corpus
 
 
 def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingestion dedup: for each document in a NEW batch
-    (doc_id % {M} == {R} stands in for today's crawl), decide keep/drop
-    against the EXISTING corpus (all other documents) without ever
-    comparing corpus docs to each other:
-
-    - ``exact_dup``  — md5(text) collides with some corpus document;
-    - ``near_dup_of`` — the smallest corpus doc_id whose exact shingle
-      Jaccard ≥ {J} among MinHash band-bucket candidates (d03's funnel,
-      restricted to batch×corpus pairs);
-    - ``decision`` — drop_exact > drop_near > keep.
-
-    This is the shape a continuous training-data pipeline actually runs:
-    the corpus's md5 hashes and band keys are computed ONCE (in
-    production they are a stored index, refreshed per ingest), and each
-    new batch joins against them. Cost at 100 TB: both joins are keyed
-    by 16-byte hashes (skew-free by construction); the batch side is
-    tiny relative to the corpus, so AQE broadcasts the batch-side build;
-    corpus text never shuffles — only its hashes and band keys do.
-    Exact-verify shingle traffic is limited to candidate pairs, exactly
-    the d03 discipline (reference funnel: ``a2_ahuja.py:140-170``).
-    """.format(M=D10_BATCH_MOD, R=D10_BATCH_REM, J=JACCARD_THRESHOLD_D10)
     d = load_table(spark, sf_dir, "documents")
     is_batch = d["doc_id"] % D10_BATCH_MOD == D10_BATCH_REM
     batch = d.filter(is_batch)
@@ -1013,6 +1013,31 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# assigned after the def: a formatted string literal in docstring
+# position is an expression, not a docstring — __doc__ would be None
+d10_incremental_dedup.__doc__ = """Incremental ingestion dedup: for
+    each document in a NEW batch (doc_id % {M} == {R} stands in for
+    today's crawl), decide keep/drop against the EXISTING corpus (all
+    other documents) without ever comparing corpus docs to each other:
+
+    - ``exact_dup``  — md5(text) collides with some corpus document;
+    - ``near_dup_of`` — the smallest corpus doc_id whose exact shingle
+      Jaccard ≥ {J} among MinHash band-bucket candidates (d03's funnel,
+      restricted to batch×corpus pairs);
+    - ``decision`` — drop_exact > drop_near > keep.
+
+    This is the shape a continuous training-data pipeline actually runs:
+    the corpus's md5 hashes and band keys are computed ONCE (in
+    production they are a stored index, refreshed per ingest), and each
+    new batch joins against them. Cost at 100 TB: both joins are keyed
+    by 16-byte hashes (skew-free by construction); the batch side is
+    tiny relative to the corpus, so AQE broadcasts the batch-side build;
+    corpus text never shuffles — only its hashes and band keys do.
+    Exact-verify shingle traffic is limited to candidate pairs, exactly
+    the d03 discipline (reference funnel: ``a2_ahuja.py:140-170``).
+    """.format(M=D10_BATCH_MOD, R=D10_BATCH_REM, J=JACCARD_THRESHOLD_D10)
 
 
 _D10_SQL = f"""

@@ -174,13 +174,6 @@ CORRUPT_MOD = 7  # lines whose doc_id % 7 == 2 are truncated mid-object
 
 
 def corrupt_jsonl_fixture_dir(sf_dir: str) -> str:
-    """JSONL shards of the documents table with deterministic corruption
-    planted: every doc with doc_id % {M} == 2 is written as a TRUNCATED
-    JSON object (first half of the line) — invalid syntax, the way real
-    crawl dumps break (killed writers, truncated uploads, bad bytes).
-    Written once, atomically; Spark and the DuckDB oracle read the very
-    same bytes.
-    """.format(M=CORRUPT_MOD)
     import json
 
     import duckdb
@@ -204,6 +197,17 @@ def corrupt_jsonl_fixture_dir(sf_dir: str) -> str:
                     f.write(line + "\n")
 
     return ensure_fixture_dir(f"spark_graft_jsonl_corrupt_{_sf_tag(sf_dir)}", write)
+
+
+# assigned after the def: a formatted string literal in docstring
+# position is an expression, not a docstring — __doc__ would be None
+corrupt_jsonl_fixture_dir.__doc__ = """JSONL shards of the documents
+    table with deterministic corruption planted: every doc with
+    doc_id % {M} == 2 is written as a TRUNCATED JSON object (first half
+    of the line) — invalid syntax, the way real crawl dumps break
+    (killed writers, truncated uploads, bad bytes). Written once,
+    atomically; Spark and the DuckDB oracle read the very same bytes.
+    """.format(M=CORRUPT_MOD)
 
 
 def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,14 +310,6 @@ def partitioned_parquet_fixture_dir(sf_dir: str) -> str:
 
 
 def f04_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-pruned scan over a hive-partitioned parquet layout:
-    ``lang IN {langs}`` is a PARTITION filter, so Spark's file index
-    never even lists the other languages' directories — at 100 TB the
-    difference between touching 2/5 of the data and all of it, decided
-    before a single row is read (the scan's PartitionFilters are gated
-    in tests/test_sinks_sources.py). Per-lang doc stats with a content
-    hash prove values survive the partitioned round-trip.
-    """.format(langs=list(PARTITION_LANGS))
     path = partitioned_parquet_fixture_dir(sf_dir)
     d = spark.read.parquet(path)
     return (
@@ -327,6 +323,19 @@ def f04_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# assigned after the def: a formatted string literal in docstring
+# position is an expression, not a docstring — __doc__ would be None
+f04_partitioned_scan.__doc__ = """Partition-pruned scan over a
+    hive-partitioned parquet layout: ``lang IN {langs}`` is a PARTITION
+    filter, so Spark's file index never even lists the other languages'
+    directories — at 100 TB the difference between touching 2/5 of the
+    data and all of it, decided before a single row is read (the scan's
+    PartitionFilters are gated in tests/test_sinks_sources.py).
+    Per-lang doc stats with a content hash prove values survive the
+    partitioned round-trip.
+    """.format(langs=list(PARTITION_LANGS))
 
 
 def _f04_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:

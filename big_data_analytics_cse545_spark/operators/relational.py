@@ -1395,20 +1395,6 @@ Q30_WINDOW_DAYS = 7
 
 
 def q30_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day active users (DAU) and trailing-{W}-day active users
-    (WAU) — the ur-metric of event analytics, and a trap at scale:
-    ``COUNT(DISTINCT)`` is not window-frameable in Spark, and the naive
-    spelling (self-join each day against its trailing range) touches
-    each event once per window it falls in *as an event row*.
-
-    The linear rewrite here: collapse events to distinct (user, day)
-    pairs FIRST (one shuffle, output is users×days sized, not
-    events-sized), then fan each pair into the {W} window-ends it
-    supports (narrow explode, ×{W}), then one countDistinct per
-    window-end. At 100 TB of events the expensive cardinality drop
-    happens before any fan-out; everything after is proportional to
-    user-days, independent of how many raw events a hot user generates.
-    """.format(W=Q30_WINDOW_DAYS)
     e = load_table(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     days = ud.select("day").distinct()
@@ -1431,6 +1417,25 @@ def q30_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
         .orderBy("day")
     )
+
+
+# assigned after the def: a formatted string literal in docstring
+# position is an expression, not a docstring — __doc__ would be None
+q30_sliding_dau.__doc__ = """Per-day active users (DAU) and
+    trailing-{W}-day active users (WAU) — the ur-metric of event
+    analytics, and a trap at scale: ``COUNT(DISTINCT)`` is not
+    window-frameable in Spark, and the naive spelling (self-join each
+    day against its trailing range) touches each event once per window
+    it falls in *as an event row*.
+
+    The linear rewrite here: collapse events to distinct (user, day)
+    pairs FIRST (one shuffle, output is users×days sized, not
+    events-sized), then fan each pair into the {W} window-ends it
+    supports (narrow explode, ×{W}), then one countDistinct per
+    window-end. At 100 TB of events the expensive cardinality drop
+    happens before any fan-out; everything after is proportional to
+    user-days, independent of how many raw events a hot user generates.
+    """.format(W=Q30_WINDOW_DAYS)
 
 
 _Q30_SQL = f"""

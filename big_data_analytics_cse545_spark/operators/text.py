@@ -1076,18 +1076,6 @@ CHUNK_STRIDE = 24  # stride S (overlap = W - S = 8 tokens)
 
 
 def t17_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split every document into overlapping token windows (W={W},
-    stride={S}) — the chunking step feeding embedding/RAG indexes and
-    fixed-context training examples.
-
-    Pure JVM higher-order expressions: ``sequence`` builds the chunk
-    starts, ``transform``+``slice`` cuts the windows, ``posexplode``
-    fans out 1→⌈n/S⌉ — no Python boundary, and the fan-out is a narrow
-    per-row operation (Spark's UDTF shape, same family as the
-    reference's per-file record extraction ``a1p2b_ahuja.py:30-41``).
-    At 100 TB: chunking shuffles nothing; output partitioning inherits
-    the scan, and downstream dedup/embedding stages key on chunk ids.
-    """.format(W=CHUNK_TOKENS, S=CHUNK_STRIDE)
     from big_data_analytics_cse545_spark.functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -1109,6 +1097,22 @@ def t17_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("n_chunk_tok"),
         F.array_join("chunk", " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# assigned after the def: a formatted string literal in docstring
+# position is an expression, not a docstring — __doc__ would be None
+t17_chunk_overlap.__doc__ = """Split every document into overlapping
+    token windows (W={W}, stride={S}) — the chunking step feeding
+    embedding/RAG indexes and fixed-context training examples.
+
+    Pure JVM higher-order expressions: ``sequence`` builds the chunk
+    starts, ``transform``+``slice`` cuts the windows, ``posexplode``
+    fans out 1→⌈n/S⌉ — no Python boundary, and the fan-out is a narrow
+    per-row operation (Spark's UDTF shape, same family as the
+    reference's per-file record extraction ``a1p2b_ahuja.py:30-41``).
+    At 100 TB: chunking shuffles nothing; output partitioning inherits
+    the scan, and downstream dedup/embedding stages key on chunk ids.
+    """.format(W=CHUNK_TOKENS, S=CHUNK_STRIDE)
 
 
 _T17_SQL = f"""
@@ -1237,23 +1241,12 @@ def t19_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec; the md5-of-normalized-text column proves byte equality).
     At 100 TB: a narrow per-row kernel, no shuffle; the Arrow batch
     transfer is the only cost over a JVM expression, and it pipelines
-    with the scan.
+    with the scan. Kernel shared with ``api.nfc_normalize``
+    (functions/unicode.py).
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from big_data_analytics_cse545_spark.functions.unicode import nfc_udf
 
-    def _nfc_kernel(s):
-        import unicodedata
-
-        return s.map(
-            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
-        )
-
-    # real class objects, not strings: the module-wide `from __future__
-    # import annotations` would stringify inline hints and break
-    # pandas_udf's eval-type inference
-    _nfc_kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    _nfc = pandas_udf(_nfc_kernel, "string")
+    _nfc = nfc_udf()
 
     d = load_table(spark, sf_dir, "documents")
     raw = F.concat(

@@ -98,6 +98,11 @@ def _run_to_table(
 # ---------------------------------------------------------------------------
 
 def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 1-hour watermark:
+    count + value sum per (window, event_type), the baseline stateful
+    streaming aggregation. State holds only open windows (watermark
+    eviction bounds it regardless of stream length); the decimal-cast
+    sum keeps float parity with the oracle."""
     e = _events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -139,6 +144,11 @@ ORDER BY window_start, event_type
 # ---------------------------------------------------------------------------
 
 def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1-hour length, 30-minute slide): each event
+    lands in exactly 2 windows — Spark fans out window instances per
+    event and aggregates per instance, which the oracle mirrors with an
+    explicit 2-start unnest. Same watermark-bounded state story as
+    st01, ×(length/slide) window instances."""
     e = _events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "1 hour")

@@ -431,3 +431,11 @@ def test_incremental_dedup_index_path_equals_direct(spark, sf_correctness):
         api.incremental_dedup(d, corpus, "text", "doc_id", index=idx)
     with _pytest.raises(ValueError):
         api.incremental_dedup(d, text_col="text", id_col="doc_id")
+    # a parameter mismatch would silently produce zero candidates and
+    # admit every near-dup — it must raise instead
+    assert idx["params"] == {"n_hashes": 32, "band_rows": 4, "shingle_size": 3}
+    with _pytest.raises(ValueError, match="built with"):
+        api.incremental_dedup(
+            d.filter(d["doc_id"] % 4 == 1),
+            text_col="text", id_col="doc_id", index=idx, shingle_size=5,
+        )

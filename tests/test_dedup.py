@@ -184,6 +184,36 @@ def test_connected_components_transitive_chain(spark):
     assert got == want
 
 
+def test_connected_components_reliable_checkpoint(spark):
+    """reliable_checkpoint=True must produce identical labels while
+    actually writing label blocks to the checkpoint directory — the
+    cluster-grade mode where an executor loss recomputes from the last
+    iteration's files instead of replaying the full iterative lineage.
+    The returned relation's lineage must be a checkpoint scan (no Join
+    left in the plan), proving a recompute never replays the loop."""
+    import os
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)] + [(30, 31)], ["d1", "d2"]
+    )
+    out = dedup.connected_components(
+        edges, "d1", "d2", reliable_checkpoint=True
+    )
+    got = {(r["id"], r["label"]) for r in out.collect()}
+    want = {(i, 10) for i in range(10, 17)} | {(30, 30), (31, 30)}
+    assert got == want
+    ckpt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert not ckpt.isEmpty(), "reliable mode must assign a checkpoint dir"
+    ckpt_dir = ckpt.get()
+    assert any(os.scandir(ckpt_dir.replace("file:", ""))), (
+        "no checkpoint files written"
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, (
+        "result lineage should be a checkpoint scan, not the CC loop"
+    )
+
+
 def test_d08_clusters_consistent_with_d04_pairs(spark, sf_correctness):
     """Every d04 pair must land in the same d08 cluster, every clustered
     doc must appear in some pair, and cluster_id is the min member."""

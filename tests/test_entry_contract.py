@@ -26,6 +26,17 @@ def test_every_oracle_has_a_query():
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
 
 
+def test_registry_size_and_docstrings():
+    """The registry count documented in __spark_entry__ must be real,
+    and every query must carry a docstring — a formatted string literal
+    in docstring position is an expression (``__doc__`` becomes None),
+    a bug that shipped twice before this gate existed."""
+    full = em.all_queries()
+    assert len(full) == 93, f"registry is {len(full)}, docs say 93"
+    undocumented = [n for n, fn in full.items() if not fn.__doc__]
+    assert not undocumented, f"queries with no docstring: {undocumented}"
+
+
 def test_rotation_budget_is_consistent():
     """_TEST_GATED/_DEMOTED_BASELINES/_HELD_OUT must reference real
     queries, be pairwise disjoint, and together account for the full

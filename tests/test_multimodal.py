@@ -275,6 +275,54 @@ def test_real_codec_decode_when_available():
     assert np.array_equal(decoded, arr)
 
 
+def test_demux_video_fallback_and_validation():
+    """demux_video's raw-tensor fallback (the exercised path in this
+    codec-less container) must reproduce the payload exactly and reject
+    metadata mismatches — the video twin of the I3 zip/codec test."""
+    import pytest
+
+    n, h, w, c = 4, mm.H, mm.W, mm.CHANNELS
+    arr = np.arange(n * h * w * c, dtype=np.uint8).reshape(n, h, w, c)
+    out = mm.demux_video(arr.tobytes(), n, w, h, c)
+    assert np.array_equal(out, arr)
+    assert mm._codec_demux(arr.tobytes()) is None  # raw tensor, no container
+    with pytest.raises(ValueError, match="payload/metadata mismatch"):
+        mm.demux_video(arr.tobytes(), n + 1, w, h, c)
+
+
+def test_real_video_demux_when_available():
+    """When a real demux library is installed (production container),
+    demux_video must take it; skipped here if neither PyAV nor imageio's
+    ffmpeg plugin exists — exactly like the I3 image-codec test."""
+    import io
+
+    import pytest
+
+    try:
+        import av
+    except ImportError:
+        pytest.skip("no video demux library installed in this container")
+    n, h, w, c = 4, 32, 32, 3
+    frames = [
+        np.full((h, w, c), 16 * (f + 1), dtype=np.uint8) for f in range(n)
+    ]
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("libx264rgb", rate=4)
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "rgb24"
+        stream.options = {"qp": "0"}  # lossless so tensors compare exactly
+        for f in frames:
+            for packet in stream.encode(
+                av.VideoFrame.from_ndarray(f, format="rgb24")
+            ):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    decoded = mm.demux_video(buf.getvalue(), n, w, h, c)
+    assert np.array_equal(decoded, np.stack(frames))
+
+
 def test_factor_fork_reuses_persisted_tiles(spark, sf_smoke):
     """The reference's extra-credit fork (a2_ahuja.py:322-406,431-433):
     both pooling factors run off ONE persisted tiles relation — the
