@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 93
+# The driver hash-checks only the FIRST 50 queries() entries, so with 96
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -96,10 +96,18 @@ _DEMOTED_BASELINES = frozenset(
         "s01_knn_bruteforce",
     }
 )
-# No new queries awaiting rotation this round: every round-3 newcomer
-# (d10, t18, t19, st09, st10, f03, f04, x06, q30) takes its FIRST
-# driver row in round 4 below.
-_NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
+# Round-4 newcomers (driver budget already full with the 38-query
+# rotation this round; these take their first driver rows in round 5,
+# oracle-checked in pytest until then via held_out_oracle_sql):
+# d11 SemDeDup-style semantic dedup, x07 DSIR importance selection,
+# t20 BPE pair statistics.
+_NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
+    {
+        "d11_semantic_dedup",
+        "x07_dsir_select",
+        "t20_bpe_pair_stats",
+    }
+)
 _HELD_OUT = frozenset(
     {
         # round-4 hold-out — all green in CORRECTNESS_r03 (rows+schema+
@@ -170,7 +178,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (93 queries; exact count asserted in
+    """The FULL registry (96 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1099,6 +1099,116 @@ ORDER BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d11 — semantic dedup (SemDeDup-style: coarse cells, keep one per
+# semantic group)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_PLANES = 4     # 2^4 = 16 coarse cells at test scale
+SEMDEDUP_TAU = 0.4      # same cosine bar as d05's exact near-dup
+
+
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    coarse-cluster the embedding space, then inside each cell drop every
+    vector that has a semantically-near (cosine ≥ τ) EARLIER vector,
+    keeping one representative per semantic group.
+
+    The paper clusters with k-means; here the coarse partition is the
+    md5-parity hyperplane signature shared with s02
+    (:func:`~big_data_analytics_cse545_spark.operators.similarity.hyperplane_bucket_expr`)
+    — deterministic, engine-portable, and computed as a pure JVM
+    expression during the scan (k-means assignment would be equivalent
+    at this step; the spherical-KMeans learner already exists for
+    api.ivf_join). Greedy min-id retention: a vector is dropped iff some
+    same-cell LOWER-id vector is within τ; its ``dup_of`` is the
+    smallest such id. This is the per-pair greedy form (chains A~B~C
+    drop both B and C) — deterministic under any partitioning.
+
+    Scale shape (100 TB): the all-pairs cosine never runs — the
+    self-join is an equi-join ON the cell id, so exact math touches
+    only intra-cell pairs, O(N²/C) for C cells; raise SEMDEDUP_PLANES
+    so the expected cell size stays bounded (C = 2^planes grows free —
+    the planes are literals, not data). Embeddings shuffle ONCE on the
+    cell key; cell-size skew is the AQE skew-join case. The final
+    left join back to the corpus is on vec_id (no text/embedding
+    movement — the drop verdict relation carries two longs).
+
+    Reference lineage: the funnel is a2's candidates-then-exact-verify
+    (``Assignment 2/a2_ahuja.py:164-170``) with hyperplane cells in
+    place of minhash bands.
+    """
+    from big_data_analytics_cse545_spark.functions.vectors import cosine
+    from big_data_analytics_cse545_spark.operators.similarity import (
+        hyperplane_bucket_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell", hyperplane_bucket_expr(n_planes=SEMDEDUP_PLANES)
+    )
+    left = e.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb1"),
+        F.col("cell").alias("cell1"),
+    )
+    right = e.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("emb2"),
+        F.col("cell").alias("cell2"),
+    )
+    dup_of = (
+        left.join(
+            right,
+            (F.col("cell1") == F.col("cell2")) & (F.col("v1") < F.col("v2")),
+        )
+        .filter(
+            F.round(cosine(F.col("emb1"), F.col("emb2")), 6) >= SEMDEDUP_TAU
+        )
+        .groupBy("v2")
+        .agg(F.min("v1").alias("dup_of"))
+    )
+    return (
+        e.join(dup_of, e["vec_id"] == dup_of["v2"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _d11_sql() -> str:
+    from big_data_analytics_cse545_spark.operators.similarity import (
+        hyperplane_bucket_sql,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {hyperplane_bucket_sql(n_planes=SEMDEDUP_PLANES)} AS cell
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS v1, c.vec_id AS v2,
+         ROUND(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+  FROM b a JOIN b c ON a.cell = c.cell AND a.vec_id < c.vec_id
+),
+dup AS (
+  SELECT v2, MIN(v1) AS dup_of FROM pairs WHERE cos_sim >= {SEMDEDUP_TAU} GROUP BY v2
+)
+SELECT b.vec_id, CAST(b.cell AS INTEGER) AS cell,
+       (dup.dup_of IS NULL) AS kept, dup.dup_of
+FROM b LEFT JOIN dup ON dup.v2 = b.vec_id
+ORDER BY b.vec_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
@@ -1110,6 +1220,7 @@ QUERIES = {
     "d08_dup_clusters": d08_dup_clusters,
     "d09_chunk_dedup": d09_chunk_dedup,
     "d10_incremental_dedup": d10_incremental_dedup,
+    "d11_semantic_dedup": d11_semantic_dedup,
 }
 
 ORACLE = {
@@ -1122,4 +1233,5 @@ ORACLE = {
     "d08_dup_clusters": _d08_sql(),
     "d09_chunk_dedup": _D09_SQL,
     "d10_incremental_dedup": _D10_SQL,
+    "d11_semantic_dedup": _d11_sql,
 }

@@ -505,6 +505,178 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# x07 — DSIR data selection (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024     # hashed-bigram feature space (the paper uses 10^4)
+DSIR_KEEP_DIV = 10      # select the top ⌊n/10⌋ scored documents
+DSIR_HBUCKET = 10_000   # histogram granularity for the distributed top-K
+
+
+def x07_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    hashed-bigram features are under a TARGET distribution than under
+    the RAW corpus distribution, then keep the top ⌊n/10⌋ scorers.
+    The ``lang = 'en'`` slice stands in for the curated target corpus
+    (in production: Wikipedia/books vs the whole crawl).
+
+    Exactly the paper's estimator, made engine-deterministic:
+
+    - features: token bigrams hashed into ``DSIR_BUCKETS`` cells with
+      the repo's md5 ``hash_bucket`` (SQL-portable);
+    - bucket weights: add-one-smoothed log-likelihood ratio
+      ``ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))``, ROUNDED TO INTEGER
+      MICRO-NATS — per-doc scores are then exact BIGINT sums, immune
+      to float-summation order (no cross-engine drift by construction);
+    - selection: the x04 histogram-offset pattern instead of a global
+      ORDER BY — per-score-band counts (histogram-sized), running
+      offsets over that tiny relation, and a row_number window
+      partitioned by band. No single-reducer stage anywhere.
+
+    Scale shape (100 TB): two WordCount-shaped aggregations (bigram →
+    bucket counts is map-side combined on ≤ B distinct keys; per-doc
+    score sums combine map-side on doc_id), one broadcast of the
+    B-row weight table (fixed-size by construction, NOT
+    corpus-proportional), and the histogram select. Text never
+    shuffles; the widest shuffled row is (doc_id, lang, bkt).
+    """
+    from pyspark.sql.window import Window
+
+    from big_data_analytics_cse545_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("ts"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ts) >= 2 THEN "
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1))) "
+                    "ELSE cast(array() AS array<string>) END"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            hash_bucket(F.col("bg"), "dsir", DSIR_BUCKETS).alias("bkt"),
+        )
+    )
+    cnt = bg.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("r_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_n"),
+    )
+    tot = cnt.agg(F.sum("r_n").alias("big_r"), F.sum("t_n").alias("big_t"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("t_n") + 1.0) / (F.col("big_t") + DSIR_BUCKETS))
+                - F.log((F.col("r_n") + 1.0) / (F.col("big_r") + DSIR_BUCKETS))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    scored = (
+        bg.join(F.broadcast(w), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum("w_micro").alias("dsir_score"))
+    )
+    mn = scored.agg(F.min("dsir_score").alias("mn"))
+    s = scored.crossJoin(F.broadcast(mn)).select(
+        "doc_id",
+        "dsir_score",
+        F.expr(f"(dsir_score - mn) DIV {DSIR_HBUCKET}").alias("hbkt"),
+    )
+    hist = s.groupBy("hbkt").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.orderBy(F.desc("hbkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = hist.select(
+        "hbkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    ktab = scored.agg(
+        F.floor(F.count(F.lit(1)) / DSIR_KEEP_DIV).alias("keep_k")
+    )
+    w_in = Window.partitionBy("hbkt").orderBy(F.desc("dsir_score"), "doc_id")
+    return (
+        s.join(F.broadcast(offs), "hbkt")
+        .withColumn("rn", F.row_number().over(w_in))
+        .crossJoin(F.broadcast(ktab))
+        .filter(F.col("off") + F.col("rn") <= F.col("keep_k"))
+        .select("doc_id", "dsir_score")
+        .orderBy("doc_id")
+    )
+
+
+_X07_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i+1])) AS bg
+  FROM tok
+),
+b AS (
+  SELECT doc_id, lang, {_sql_hash('bg', 'dsir')} % {DSIR_BUCKETS} AS bkt FROM bg
+),
+cnt AS (
+  SELECT bkt, COUNT(*) AS r_n,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_n
+  FROM b GROUP BY bkt
+),
+tot AS (SELECT SUM(r_n) AS big_r, SUM(t_n) AS big_t FROM cnt),
+w AS (
+  SELECT bkt,
+         CAST(ROUND((ln((t_n + 1.0) / (big_t + {DSIR_BUCKETS}))
+                   - ln((r_n + 1.0) / (big_r + {DSIR_BUCKETS}))) * 1e6) AS BIGINT)
+           AS w_micro
+  FROM cnt, tot
+),
+scored AS (
+  -- cast: DuckDB SUM(BIGINT) widens to HUGEINT (float64 via pandas),
+  -- which would kind-mismatch Spark's exact BIGINT in the value hash
+  SELECT doc_id, CAST(SUM(w_micro) AS BIGINT) AS dsir_score
+  FROM b JOIN w USING (bkt) GROUP BY doc_id
+),
+mn AS (SELECT MIN(dsir_score) AS mn FROM scored),
+s AS (
+  SELECT doc_id, dsir_score, (dsir_score - mn) // {DSIR_HBUCKET} AS hbkt
+  FROM scored, mn
+),
+hist AS (SELECT hbkt, COUNT(*) AS n FROM s GROUP BY hbkt),
+offs AS (
+  SELECT hbkt,
+         COALESCE(SUM(n) OVER (ORDER BY hbkt DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM hist
+),
+ktab AS (
+  SELECT CAST(FLOOR(COUNT(*) / {DSIR_KEEP_DIV}.0) AS BIGINT) AS keep_k FROM scored
+),
+sel AS (
+  SELECT s.doc_id, s.dsir_score, o.off,
+         ROW_NUMBER() OVER (PARTITION BY s.hbkt
+             ORDER BY s.dsir_score DESC, s.doc_id) AS rn
+  FROM s JOIN offs o USING (hbkt)
+)
+SELECT doc_id, dsir_score FROM sel, ktab
+WHERE off + rn <= keep_k
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "x01_hash_split": x01_hash_split,
     "x02_temperature_mix": x02_temperature_mix,
@@ -512,6 +684,7 @@ QUERIES = {
     "x04_token_budget_select": x04_token_budget_select,
     "x05_stratified_sample": x05_stratified_sample,
     "x06_leakage_safe_split": x06_leakage_safe_split,
+    "x07_dsir_select": x07_dsir_select,
 }
 
 ORACLE = {
@@ -522,4 +695,5 @@ ORACLE = {
     "x05_stratified_sample": _X05_SQL,
     # callable — composes d04/d08's recursive-CTE body lazily
     "x06_leakage_safe_split": _x06_sql,
+    "x07_dsir_select": _X07_SQL,
 }

@@ -100,15 +100,24 @@ def _plane_sign(p: int, d: int) -> int:
     return 1 if nib % 2 == 0 else -1
 
 
-def _bucket_expr():
+def hyperplane_bucket_expr(
+    emb_col: str = "embedding", n_planes: int = N_PLANES, dim: int = DIM
+):
     """Signature bucket = Σ_p [dot(plane_p, emb) > 0]·2^p as one JVM
-    expression tree (plane entries are literals — no shuffle, no UDF)."""
+    expression tree (plane entries are literals — no shuffle, no UDF).
+
+    Public: also the coarse-partition step of d11 semantic dedup
+    (operators/dedup.py), which needs the identical md5-parity planes so
+    its DuckDB oracle can regenerate the cells."""
     bucket = F.lit(0)
-    for p in range(N_PLANES):
-        signs = F.array(*[F.lit(float(_plane_sign(p, d))) for d in range(DIM)])
-        proj = dot(signs, F.col("embedding"))
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(float(_plane_sign(p, d))) for d in range(dim)])
+        proj = dot(signs, F.col(emb_col))
         bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
     return bucket
+
+
+_bucket_expr = hyperplane_bucket_expr
 
 
 def s02_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,18 +150,25 @@ def s02_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql() -> str:
+def hyperplane_bucket_sql(
+    emb_sql: str = "embedding", n_planes: int = N_PLANES, dim: int = DIM
+) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket_expr` (same md5-parity
+    planes, same power-of-two packing)."""
     terms = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         signs = ", ".join(
-            str(float(_plane_sign(p, d))) for d in range(DIM)
+            str(float(_plane_sign(p, d))) for d in range(dim)
         )
         terms.append(
-            f"CASE WHEN list_sum(list_transform(range(1, {DIM} + 1), "
-            f"i -> ([{signs}])[i] * CAST(embedding[i] AS DOUBLE))) > 0 "
+            f"CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> ([{signs}])[i] * CAST({emb_sql}[i] AS DOUBLE))) > 0 "
             f"THEN {2 ** p} ELSE 0 END"
         )
     return " + ".join(terms)
+
+
+_bucket_sql = hyperplane_bucket_sql
 
 
 def _s02_sql() -> str:

@@ -1289,6 +1289,98 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t20 — BPE pair statistics (the inner loop of tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+def t20_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies over the word
+    dictionary — one merge-selection step of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
+    BPE repeatedly merges the most frequent adjacent symbol pair; this
+    operator computes that frequency table and returns the top
+    ``BPE_TOP_PAIRS`` merge candidates.
+
+    Two WordCount-shaped reductions, both map-side combined:
+
+    1. corpus → word frequencies (key space = vocabulary, NOT corpus);
+    2. per-word character pairs (a pure JVM ``transform`` over the
+       word — no explode of the corpus text, only of the vocab-sized
+       word dictionary), weighted by word frequency → pair counts
+       (key space = symbol-pair alphabet, tiny).
+
+    The final ranking window runs over the aggregated PAIR relation —
+    bounded by the squared character alphabet, result-sized, not
+    data-sized — so the global ORDER BY single-reducer trap (x04
+    docstring) does not apply. At 100 TB this is exactly how you train
+    a tokenizer on the full corpus without sampling: nothing wider
+    than (word, count) ever shuffles, and the reference's in-mapper
+    combine discipline (``Assignment 1/a1p1_ahuja.py:184-196``)
+    becomes Spark's partial aggregation for free.
+    """
+    from pyspark.sql.window import Window
+
+    from big_data_analytics_cse545_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair"),
+            "wf",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+    )
+    w_rk = Window.orderBy(F.desc("pair_count"), "pair")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+        .filter(F.col("rk") <= BPE_TOP_PAIRS)
+        .select("rk", "pair", "pair_count")
+        .orderBy("rk")
+    )
+
+
+_T20_SQL = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wf
+  FROM (
+    SELECT unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+),
+pairs AS (
+  SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair,
+           wf
+    FROM words WHERE length(w) >= 2
+  )
+  GROUP BY pair
+),
+ranked AS (
+  SELECT pair, pair_count,
+         ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rk
+  FROM pairs
+)
+SELECT rk, pair, pair_count FROM ranked
+WHERE rk <= {BPE_TOP_PAIRS}
+ORDER BY rk
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -1309,6 +1401,7 @@ QUERIES = {
     "t17_chunk_overlap": t17_chunk_overlap,
     "t18_url_canonicalize": t18_url_canonicalize,
     "t19_unicode_normalize": t19_unicode_normalize,
+    "t20_bpe_pair_stats": t20_bpe_pair_stats,
 }
 
 ORACLE = {
@@ -1335,4 +1428,5 @@ ORACLE = {
     # callable — composes the canonicalizer's SQL twin lazily
     "t18_url_canonicalize": _t18_sql,
     "t19_unicode_normalize": _T19_SQL,
+    "t20_bpe_pair_stats": _T20_SQL,
 }

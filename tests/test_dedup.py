@@ -314,3 +314,44 @@ def test_d10_planted_exact_and_near_dup(spark):
     assert got[1]["decision"] == "drop_exact" and got[1]["exact_dup"]
     assert got[5]["decision"] == "drop_near" and got[5]["near_dup_of"] == 0
     assert got[9]["decision"] == "keep" and got[9]["near_dup_of"] is None
+
+
+def test_d11_semantic_verdicts_match_numpy(spark, sf_correctness):
+    """Independent numpy recomputation of every SemDeDup verdict: same
+    md5-parity cells, exact all-pairs cosine, greedy min-id retention.
+    Catches anything the (structurally similar) DuckDB oracle might
+    share with the Spark plan."""
+    import numpy as np
+
+    from big_data_analytics_cse545_spark.operators.similarity import (
+        DIM,
+        _plane_sign,
+    )
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"], r["dup_of"])
+        for r in dedup.d11_semantic_dedup(spark, sf_correctness).collect()
+    }
+    rows = load_table(spark, sf_correctness, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cells = np.zeros(len(ids), dtype=np.int64)
+    for p in range(dedup.SEMDEDUP_PLANES):
+        plane = np.array([_plane_sign(p, j) for j in range(DIM)], dtype=np.float64)
+        cells += ((x @ plane) > 0).astype(np.int64) << p
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = np.round(xn @ xn.T, 6)
+    n_dropped = 0
+    for i, vid in enumerate(ids):
+        near_earlier = (
+            (cells == cells[i]) & (ids < vid) & (sims[i] >= dedup.SEMDEDUP_TAU)
+        )
+        exp_dup = int(ids[near_earlier].min()) if near_earlier.any() else None
+        cell, kept, dup_of = got[int(vid)]
+        assert cell == cells[i], f"vec {vid}: cell {cell} != {cells[i]}"
+        assert dup_of == exp_dup and kept == (exp_dup is None), (
+            f"vec {vid}: got ({kept}, {dup_of}), expected dup_of={exp_dup}"
+        )
+        n_dropped += exp_dup is not None
+    assert n_dropped > 0, "fixture must contain semantic near-dups"

@@ -205,3 +205,33 @@ def test_x06_near_dups_never_straddle_the_split(spark, sf_correctness):
     for doc, (key, sp) in split.items():
         if key == doc:  # singleton → identical to the per-doc split
             assert sp == x01[doc]
+
+
+def test_x07_quota_and_partition_invariance(spark, sf_correctness):
+    """DSIR selection must (a) fill exactly ⌊n_scored/10⌋ slots, where
+    n_scored = docs with ≥ 2 tokens (≥ 1 bigram), and (b) return the
+    identical set under a different shuffle-partition count — the
+    histogram-offset top-K may not depend on physical partitioning."""
+    from big_data_analytics_cse545_spark.functions.text import token_count
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    a = sorted(
+        (r["doc_id"], r["dsir_score"])
+        for r in sampling.x07_dsir_select(spark, sf_correctness).collect()
+    )
+    n_scored = (
+        load_table(spark, sf_correctness, "documents")
+        .filter(token_count(F.col("text")) >= 2)
+        .count()
+    )
+    assert len(a) == n_scored // sampling.DSIR_KEEP_DIV
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(
+            (r["doc_id"], r["dsir_score"])
+            for r in sampling.x07_dsir_select(spark, sf_correctness).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b

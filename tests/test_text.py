@@ -201,3 +201,28 @@ def test_t19_composes_exactly_the_decomposed_docs(spark, sf_correctness):
             assert r["changed"] and r["n_raw"] - r["n_norm"] == 1
         else:
             assert not r["changed"] and r["n_raw"] == r["n_norm"]
+
+
+def test_t20_matches_pure_python_bpe_counts(spark, sf_smoke):
+    """Golden check: the top merge candidates equal a pure-Python BPE
+    pair count over the same tokenization."""
+    import re
+    from collections import Counter
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    wf: Counter = Counter()
+    for r in load_table(spark, sf_smoke, "documents").select("text").collect():
+        for w in re.split(r"[^a-z0-9]+", r["text"].lower()):
+            if w:
+                wf[w] += 1
+    pc: Counter = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += f
+    exp = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[: text.BPE_TOP_PAIRS]
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in text.t20_bpe_pair_stats(spark, sf_smoke).orderBy("rk").collect()
+    ]
+    assert got == exp
