@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 96
+# The driver hash-checks only the FIRST 50 queries() entries, so with 100
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -100,12 +100,17 @@ _DEMOTED_BASELINES = frozenset(
 # rotation this round; these take their first driver rows in round 5,
 # oracle-checked in pytest until then via held_out_oracle_sql):
 # d11 SemDeDup-style semantic dedup, x07 DSIR importance selection,
-# t20 BPE pair statistics.
+# t20 BPE pair statistics, t21 BM25 relevance scoring, t22 unigram-LM
+# perplexity gate, d12 content-defined-chunking dedup, f05 ORC scan.
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
     {
         "d11_semantic_dedup",
         "x07_dsir_select",
         "t20_bpe_pair_stats",
+        "t21_bm25_score",
+        "t22_unigram_nll",
+        "d12_cdc_chunk_dedup",
+        "f05_orc_scan",
     }
 )
 _HELD_OUT = frozenset(
@@ -178,7 +183,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (96 queries; exact count asserted in
+    """The FULL registry (100 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1209,6 +1209,142 @@ ORDER BY b.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# d12 — content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+CDC_W = 8     # rolling-window width (chars) fed to the boundary hash
+CDC_DIV = 64  # boundary when window-hash % CDC_DIV == 0 → E[chunk] ≈ 64 chars
+
+
+def cdc_chunks(df: DataFrame) -> DataFrame:
+    """(doc_id, chunk) — content-defined chunks of ``text``. Boundaries
+    are per-position predicates of their own CDC_W-char window (no
+    sequential state), so the whole cut computation is one narrow JVM
+    expression. Exposed for the shift-invariance property test and for
+    pipeline reuse on arbitrary DataFrames."""
+    cuts = df.filter(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"""
+            concat(
+              CASE WHEN length(text) >= {CDC_W} THEN
+                filter(
+                  transform(sequence({CDC_W}, length(text)),
+                    i -> IF(CAST(conv(substr(md5(substring(text, i - {CDC_W} + 1,
+                                  {CDC_W})), 1, 8), 16, 10) AS BIGINT)
+                            % {CDC_DIV} = 0 AND i < length(text), i, -1)),
+                  x -> x != -1)
+              ELSE cast(array() AS array<int>) END,
+              array(length(text)))
+            """
+        ).alias("cuts"),
+    )
+    return cuts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(1, size(cuts)),
+                  j -> substring(text,
+                         IF(j = 1, 0, element_at(cuts, j - 1)) + 1,
+                         element_at(cuts, j)
+                           - IF(j = 1, 0, element_at(cuts, j - 1))))
+                """
+            )
+        ).alias("chunk"),
+    )
+
+
+def d12_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    chunks = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    hashed = chunks.select(
+        "doc_id", F.md5("chunk").alias("chunk_hash"), F.length("chunk").alias("clen")
+    )
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("clen").alias("chunk_len"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("chunk_hash")
+    )
+
+
+d12_cdc_chunk_dedup.__doc__ = """Content-defined chunking dedup: cut
+    every document at positions where a {W}-char rolling window hashes
+    to 0 mod {D} (boundaries depend only on LOCAL content), hash each
+    chunk, and report every chunk stored more than once — the
+    shift-robust storage/dedup shape (FastCDC, LBFS): inserting one
+    character into a document moves every d09 fixed-block boundary
+    after the edit, but here only the O(1) chunks touching the edit
+    change, so the rest of the document still dedups against its
+    previous version.
+
+    No min/max chunk clamp on purpose: classic CDC's min-size rule
+    suppresses a boundary within MIN bytes of the previous one, which
+    makes the cut sequence inherently SEQUENTIAL per document; without
+    it every boundary is an independent predicate of its own {W}-char
+    window, so the whole cut computation is one embarrassingly parallel
+    JVM expression (transform/filter over positions) — no Python, no
+    shuffle. Expected chunk length is geometric with mean {D}.
+
+    The window hash here is md5 (bit-identical in DuckDB, so the oracle
+    is exact); a production deployment swaps in a gear/Rabin rolling
+    hash for O(1)-per-position cost — the plan shape (narrow fan-out →
+    16-byte-key shuffle) is unchanged. After the fan-out only
+    (doc_id, chunk_hash, len) shuffles — d01/d09's key discipline; the
+    text column never leaves the scan stage.
+    """.format(W=CDC_W, D=CDC_DIV)
+
+
+_D12_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) > 0
+),
+cuts AS (
+  SELECT doc_id, text,
+         list_concat(
+           CASE WHEN length(text) >= {CDC_W} THEN
+             list_filter(
+               list_transform(range({CDC_W}, length(text) + 1),
+                 i -> CASE WHEN CAST(concat('0x',
+                             substr(md5(substr(text, i - {CDC_W} + 1, {CDC_W})),
+                                    1, 8)) AS BIGINT) % {CDC_DIV} = 0
+                            AND i < length(text)
+                       THEN i ELSE -1 END),
+               x -> x <> -1)
+           ELSE [] END,
+           [length(text)]) AS cuts
+  FROM base
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(cuts) + 1),
+           j -> substr(text,
+                  (CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) + 1,
+                  cuts[j] - CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END)))
+           AS chunk
+  FROM cuts
+)
+SELECT md5(chunk) AS chunk_hash,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(length(chunk)) AS chunk_len,
+       MIN(doc_id) AS first_doc
+FROM chunks
+GROUP BY md5(chunk)
+HAVING COUNT(*) > 1
+ORDER BY chunk_hash
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
@@ -1221,6 +1357,7 @@ QUERIES = {
     "d09_chunk_dedup": d09_chunk_dedup,
     "d10_incremental_dedup": d10_incremental_dedup,
     "d11_semantic_dedup": d11_semantic_dedup,
+    "d12_cdc_chunk_dedup": d12_cdc_chunk_dedup,
 }
 
 ORACLE = {
@@ -1234,4 +1371,5 @@ ORACLE = {
     "d09_chunk_dedup": _D09_SQL,
     "d10_incremental_dedup": _D10_SQL,
     "d11_semantic_dedup": _d11_sql,
+    "d12_cdc_chunk_dedup": _D12_SQL,
 }

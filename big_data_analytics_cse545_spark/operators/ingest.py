@@ -170,6 +170,92 @@ ORDER BY o_orderstatus, month
 """
 
 
+# ---------------------------------------------------------------------------
+# f05 — ORC ingestion (columnar round-trip beyond parquet)
+# ---------------------------------------------------------------------------
+
+_ORC_SCHEMA = (
+    "l_orderkey BIGINT, l_returnflag STRING, "
+    "l_extendedprice DECIMAL(12,2), l_shipdate DATE"
+)
+
+
+def orc_fixture_dir(sf_dir: str) -> str:
+    """lineitem re-materialized as N_SHARDS ORC files (pyarrow's ORC
+    writer) with an exact DECIMAL money column and a DATE column —
+    the same round-trip traps as f02's CSV, but in the OTHER mainstream
+    columnar format: a Hive/Hadoop estate's existing tables are ORC,
+    and an engine claiming drop-in ingestion must read them natively
+    (Spark's built-in orc source), not via a convert step."""
+    import duckdb
+    import pyarrow.orc as orc
+
+    def write(tmp: str) -> None:
+        con = duckdb.connect()
+        for i in range(N_SHARDS):
+            t = con.execute(
+                f"SELECT l_orderkey, l_returnflag, "
+                f"CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice, "
+                f"CAST(l_shipdate AS DATE) AS l_shipdate "
+                f"FROM '{sf_dir}/lineitem.parquet' "
+                f"WHERE l_orderkey % {N_SHARDS} = {i} "
+                f"ORDER BY l_orderkey, l_extendedprice"
+            ).arrow()
+            orc.write_table(t, os.path.join(tmp, f"part-{i}.orc"))
+        con.close()
+
+    return ensure_fixture_dir(f"graft-orc-{_sf_tag(sf_dir)}", write)
+
+
+def f05_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup straight off ORC files: by (returnflag, ship
+    year), count, exact-DECIMAL revenue sum (cast to double only at the
+    end — module float-parity policy), and the date range. Proves the
+    full ORC round-trip: BIGINT/VARCHAR/DECIMAL(12,2)/DATE written by
+    one Arrow-based writer, read back bit-exactly by Spark's native
+    orc source and hash-matched against DuckDB computing the same
+    rollup from the SOURCE parquet — any decimal rescale or date
+    timezone shift in the ORC path flips the compare.
+
+    Explicit schema as always (ORC carries its own schema, but pinning
+    it rejects silent widenings). ORC is a splittable columnar format
+    with predicate pushdown and column pruning — same steady-state
+    properties as parquet, so unlike f01/f02 this is NOT convert-first
+    ingestion: Spark can run the whole pipeline over the estate's ORC
+    tables directly, at scan parallelism = stripes.
+    """
+    path = orc_fixture_dir(sf_dir)
+    d = spark.read.schema(_ORC_SCHEMA).orc(path)
+    return (
+        d.withColumn("ship_year", F.year("l_shipdate"))
+        .groupBy("l_returnflag", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_extendedprice").cast("double").alias("revenue"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        )
+        .orderBy("l_returnflag", "ship_year")
+    )
+
+
+def _f05_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # DuckDB has no ORC reader — the oracle recomputes the rollup from
+    # the SOURCE parquet with the identical casts, so the compare
+    # certifies the whole write-ORC → read-ORC chain end to end.
+    orc_fixture_dir(sf_dir)  # ensure the fixture exists for the Spark side
+    return """
+SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       strftime(MIN(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS first_ship,
+       strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, ship_year
+ORDER BY l_returnflag, ship_year
+"""
+
+
 CORRUPT_MOD = 7  # lines whose doc_id % 7 == 2 are truncated mid-object
 
 
@@ -358,6 +444,7 @@ QUERIES = {
     "f02_csv_scan": f02_csv_scan,
     "f03_jsonl_corrupt_tolerant": f03_jsonl_corrupt_tolerant,
     "f04_partitioned_scan": f04_partitioned_scan,
+    "f05_orc_scan": f05_orc_scan,
 }
 
 ORACLE = {
@@ -365,4 +452,5 @@ ORACLE = {
     "f02_csv_scan": _f02_sql,
     "f03_jsonl_corrupt_tolerant": _f03_sql,
     "f04_partitioned_scan": _f04_sql,
+    "f05_orc_scan": _f05_sql,
 }

@@ -1381,6 +1381,238 @@ ORDER BY rk
 """
 
 
+# ---------------------------------------------------------------------------
+# t21 — BM25 relevance scoring (corpus search / retrieval selection)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2   # term-frequency saturation (Robertson/Spärck Jones defaults)
+BM25_B = 0.75   # document-length normalization strength
+
+
+def t21_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against the TERM_DICT
+    query — the ranking function behind retrieval-based data selection
+    (pick training documents most relevant to a target query/domain)
+    and every classic search stack (Robertson et al., TREC-3; the
+    Lucene-default scoring formula).
+
+    Per matched (doc, term): idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with the Lucene BM25 idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Determinism discipline (same as x07): each per-term contribution is
+    rounded to integer MICRO-units and the per-doc score is an exact
+    BIGINT sum — immune to float-summation order under any parallelism,
+    so the oracle hash-compare is stable. ln() feeds a ×1e6 round, so a
+    platform-libm ULP difference cannot flip the result except exactly
+    on a .5 micro boundary.
+
+    Plan at scale: tokens are filtered to the query terms BEFORE any
+    shuffle (the dictionary is a literal isin — codegen, no join), so
+    the shuffled relation is (doc_id, term) hits only. Corpus stats
+    (N, avgdl) and the per-term df table are result-sized and broadcast.
+    The text column never shuffles. Two partial+final aggs + one
+    broadcast join — the retrieval score over 100 TB costs one corpus
+    scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("dl").alias("total_len"),
+    )
+    hits = (
+        tok.filter(F.col("word").isin(*TERM_DICT))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = hits.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs_total").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs_total") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    contrib = idf * (
+        tfd
+        * (BM25_K1 + 1.0)
+        / (
+            tfd
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    return (
+        hits.join(F.broadcast(df_t), "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(contrib * 1e6).cast("long").alias("c_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("c_micro").alias("bm25_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T21_TERMS_SQL = ", ".join(f"'{t}'" for t in TERM_DICT)
+_T21_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs_total, CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM doclen
+),
+hits AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok
+  WHERE word IN ({_T21_TERMS_SQL})
+  GROUP BY doc_id, word
+),
+df_t AS (SELECT word, COUNT(*) AS df FROM hits GROUP BY word),
+contrib AS (
+  SELECT h.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (s.n_docs_total - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(h.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+              / (CAST(h.tf AS DOUBLE)
+                 + {BM25_K1} * (1.0 - {BM25_B}
+                     + {BM25_B} * CAST(l.dl AS DOUBLE)
+                       / (CAST(s.total_len AS DOUBLE)
+                          / CAST(s.n_docs_total AS DOUBLE)))))
+           * 1e6) AS BIGINT) AS c_micro
+  FROM hits h
+  JOIN df_t d USING (word)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+       CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+FROM contrib
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t22 — unigram-LM perplexity filter (CCNet-style quality gate)
+# ---------------------------------------------------------------------------
+
+# CCNet buckets documents by LM perplexity into head/middle/tail and
+# trains preferentially on head+middle (Wenzek et al. 2020,
+# arXiv:1911.00359). CCNet calibrates its cutoffs OFFLINE per language
+# from the corpus perplexity distribution; these are calibrated the
+# same way against the synthetic fixture corpus (mean NLL ≈ 3.38–3.70
+# nats — tight, because the generator's vocabulary is small). What the
+# operator proves is the distributed NLL computation, which is exact
+# and order-insensitive regardless of where the cutoffs sit.
+PPL_HEAD_MICRO = 3_402_000   # mean NLL < 3.402 nats → 'head'
+PPL_MIDDLE_MICRO = 3_406_000  # < 3.406 nats → 'middle', else 'tail'
+
+
+def t22_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-one-
+    smoothed corpus unigram LM, bucketed CCNet-style into
+    head/middle/tail — the perplexity quality gate of web-crawl
+    pipelines (low NLL ≈ typical fluent text; high NLL ≈ gibberish,
+    which t14's linear-frequency mass under-penalizes because one
+    stopword can mask twenty hapaxes; the log domain can't be masked).
+
+    nll(w) = −ln((count(w) + 1) / (T + V)) with T = corpus token count,
+    V = vocabulary size. Each token's NLL is rounded to integer
+    micro-nats and summed as BIGINT (x07 discipline) — the per-doc sum
+    is exact under any partitioning, so mean_nll (one final division of
+    exact integers) hash-matches the oracle.
+
+    Plan at scale: pass 1 is WordCount (vocab-keyed partial+final agg);
+    pass 2 joins the vocab table back on `word` — Zipf-skewed on
+    stopword keys, exactly t14's AQE-skew-split case — then reduces to
+    (doc_id, BIGINT). Text never shuffles; the LM itself is the
+    vocab-sized relation, which Catalyst broadcasts when stats allow.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("big_t"), F.count(F.lit(1)).alias("big_v")
+    )
+    nll = (
+        F.round(
+            -F.log(
+                (F.col("cnt") + 1.0)
+                / (F.col("big_t") + F.col("big_v")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("nll_micro")
+    )
+    lm = vocab.crossJoin(F.broadcast(tot)).select("word", nll)
+    scored = (
+        tok.join(lm, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("nll_micro").alias("sum_nll_micro"),
+        )
+    )
+    mean_nll = F.col("sum_nll_micro").cast("double") / (
+        F.col("n_tok").cast("double") * 1e6
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "sum_nll_micro",
+        F.when(
+            F.col("sum_nll_micro") < PPL_HEAD_MICRO * F.col("n_tok"), "head"
+        )
+        .when(
+            F.col("sum_nll_micro") < PPL_MIDDLE_MICRO * F.col("n_tok"),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+        F.round(mean_nll, 6).alias("mean_nll"),
+    ).orderBy("doc_id")
+
+
+_T22_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS big_t, COUNT(*) AS big_v FROM vocab
+),
+lm AS (
+  SELECT word,
+         CAST(ROUND(-ln((cnt + 1.0) / CAST(big_t + big_v AS DOUBLE)) * 1e6)
+              AS BIGINT) AS nll_micro
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tok,
+         CAST(SUM(nll_micro) AS BIGINT) AS sum_nll_micro
+  FROM tok JOIN lm USING (word)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tok, sum_nll_micro,
+       CASE WHEN sum_nll_micro < {PPL_HEAD_MICRO} * n_tok THEN 'head'
+            WHEN sum_nll_micro < {PPL_MIDDLE_MICRO} * n_tok THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       ROUND(CAST(sum_nll_micro AS DOUBLE)
+             / (CAST(n_tok AS DOUBLE) * 1e6), 6) AS mean_nll
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -1402,6 +1634,8 @@ QUERIES = {
     "t18_url_canonicalize": t18_url_canonicalize,
     "t19_unicode_normalize": t19_unicode_normalize,
     "t20_bpe_pair_stats": t20_bpe_pair_stats,
+    "t21_bm25_score": t21_bm25_score,
+    "t22_unigram_nll": t22_unigram_nll,
 }
 
 ORACLE = {
@@ -1429,4 +1663,6 @@ ORACLE = {
     "t18_url_canonicalize": _t18_sql,
     "t19_unicode_normalize": _T19_SQL,
     "t20_bpe_pair_stats": _T20_SQL,
+    "t21_bm25_score": _T21_SQL,
+    "t22_unigram_nll": _T22_SQL,
 }

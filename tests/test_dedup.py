@@ -355,3 +355,42 @@ def test_d11_semantic_verdicts_match_numpy(spark, sf_correctness):
         )
         n_dropped += exp_dup is not None
     assert n_dropped > 0, "fixture must contain semantic near-dups"
+
+
+def test_d12_cdc_shift_invariance(spark):
+    """The CDC property fixed-block chunking (d09) lacks: prepending an
+    edit only changes the chunks that touch it. Every original chunk
+    after the first boundary must reappear verbatim in the chunking of
+    the prefixed document."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seventeen astonished penguins catalogue every stone "
+        "along the winding river path before the autumn rain arrives "
+        "and the market closes early on thursdays during harvest"
+    ) * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, "EDITED-PREFIX-0123456789 " + base)],
+        "doc_id bigint, text string",
+    )
+    got = dedup.cdc_chunks(df).collect()
+    orig = [r["chunk"] for r in got if r["doc_id"] == 1]
+    pref = [r["chunk"] for r in got if r["doc_id"] == 2]
+    # chunking must be a partition of the text (coverage, order preserved)
+    assert "".join(orig) == base
+    assert "".join(pref) == "EDITED-PREFIX-0123456789 " + base
+    assert len(orig) > 3, "fixture text must produce several chunks"
+    # all original chunks past the first boundary survive the edit
+    missing = [c for c in orig[1:] if c not in pref]
+    assert not missing, f"chunks lost after prefix edit: {missing[:2]}"
+    # and the first (edit-touching) chunk is the only one allowed to differ
+    assert orig[1:] == pref[-(len(orig) - 1):]
+
+
+def test_d12_empty_and_short_docs(spark):
+    """Empty text yields no chunks; text shorter than the window is one
+    whole-text chunk."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "abc")], "doc_id bigint, text string"
+    )
+    got = dedup.cdc_chunks(df).collect()
+    assert [(r["doc_id"], r["chunk"]) for r in got] == [(2, "abc")]

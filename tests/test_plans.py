@@ -165,3 +165,30 @@ def test_x03_pipeline_shuffles_hash_not_text(spark, sf_correctness):
     hash_ex = [e for e in ex if e.startswith("hashpartitioning")]
     assert len(hash_ex) <= 2, ex
     assert all("text" not in e for e in ex), ex
+
+
+def test_f05_orc_scan_prunes_and_pushes(spark, sf_correctness):
+    """ORC is a pushdown-capable columnar source like parquet: a filter
+    over the fixture must reach the ORC scan as a pushed filter, and an
+    aggregate over two columns must not read the other two."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.operators.ingest import (
+        _ORC_SCHEMA,
+        orc_fixture_dir,
+    )
+    from big_data_analytics_cse545_spark.plans import (
+        pushed_filters,
+        scan_read_schema,
+    )
+
+    d = spark.read.schema(_ORC_SCHEMA).orc(orc_fixture_dir(sf_correctness))
+    df = (
+        d.filter(F.col("l_orderkey") < 1000)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    filters = " ".join(pushed_filters(df))
+    assert "l_orderkey" in filters, f"orc filter not pushed: {filters}"
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas), schemas

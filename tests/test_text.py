@@ -226,3 +226,31 @@ def test_t20_matches_pure_python_bpe_counts(spark, sf_smoke):
         for r in text.t20_bpe_pair_stats(spark, sf_smoke).orderBy("rk").collect()
     ]
     assert got == exp
+
+
+def test_t21_bm25_bounds(spark, sf_correctness):
+    """Per-doc hit count is bounded by the dictionary size; scores of
+    matching docs are positive (every idf > 0 because df < N/2 here),
+    and every scored doc actually contains a query term."""
+    rows = text.t21_bm25_score(spark, sf_correctness).collect()
+    assert rows, "query terms must match some documents"
+    assert all(1 <= r["n_terms_hit"] <= len(text.TERM_DICT) for r in rows)
+    assert all(r["bm25_micro"] > 0 for r in rows)
+
+
+def test_t22_bucket_matches_thresholds(spark, sf_correctness):
+    """ppl_bucket must be a pure function of (sum_nll_micro, n_tok) —
+    recomputed row-by-row — and every document gets scored."""
+    rows = text.t22_unigram_nll(spark, sf_correctness).collect()
+    assert len(rows) == 500  # sf0.01 documents with ≥1 token
+    for r in rows:
+        if r["sum_nll_micro"] < text.PPL_HEAD_MICRO * r["n_tok"]:
+            exp = "head"
+        elif r["sum_nll_micro"] < text.PPL_MIDDLE_MICRO * r["n_tok"]:
+            exp = "middle"
+        else:
+            exp = "tail"
+        assert r["ppl_bucket"] == exp, r
+    assert {r["ppl_bucket"] for r in rows} >= {"head", "middle"}, (
+        "thresholds should split the corpus into at least two buckets"
+    )
