@@ -1003,3 +1003,144 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_curl", "_rn")
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: tuple[str, ...] | list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every row against ``terms`` (t21
+    semantics over arbitrary data): (id, n_terms_hit, bm25_micro) for
+    rows matching ≥1 term, with per-term contributions rounded to
+    integer micro-units and summed as BIGINT — deterministic under any
+    parallelism. The term dictionary is a literal ``isin`` filter
+    BEFORE any shuffle; corpus stats and the df table are result-sized
+    and broadcast, so the text column never leaves the scan."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("_w"),
+    )
+    doclen = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_tl")
+    )
+    hits = (
+        tok.filter(F.col("_w").isin(*terms))
+        .groupBy("_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    df_t = hits.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    avgdl = F.col("_tl").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tfd = F.col("_tf").cast("double")
+    contrib = idf * (
+        tfd * (k1 + 1.0)
+        / (tfd + k1 * (1.0 - b + b * F.col("_dl").cast("double") / avgdl))
+    )
+    return (
+        hits.join(F.broadcast(df_t), "_w")
+        .join(doclen, "_id")
+        .crossJoin(F.broadcast(stats))
+        .select("_id", F.round(contrib * 1e6).cast("long").alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("_c").alias("bm25_micro"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def perplexity_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    head_micro: int,
+    middle_micro: int,
+) -> DataFrame:
+    """CCNet-style unigram-LM perplexity bucketing (t22 semantics over
+    arbitrary data): fit the add-one-smoothed corpus unigram LM in one
+    WordCount pass, score each row's mean NLL in exact integer
+    micro-nats, and bucket by the caller's offline-calibrated cutoffs.
+    Returns (id, n_tok, sum_nll_micro, ppl_bucket, mean_nll)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("_w"),
+    )
+    vocab = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = vocab.agg(F.sum("_cnt").alias("_t"), F.count(F.lit(1)).alias("_v"))
+    lm = vocab.crossJoin(F.broadcast(tot)).select(
+        "_w",
+        F.round(
+            -F.log((F.col("_cnt") + 1.0) / (F.col("_t") + F.col("_v")).cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("_nll"),
+    )
+    scored = (
+        tok.join(lm, "_w")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("_nll").alias("sum_nll_micro"),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_tok",
+        "sum_nll_micro",
+        F.when(F.col("sum_nll_micro") < head_micro * F.col("n_tok"), "head")
+        .when(F.col("sum_nll_micro") < middle_micro * F.col("n_tok"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+        F.round(
+            F.col("sum_nll_micro").cast("double")
+            / (F.col("n_tok").cast("double") * 1e6),
+            6,
+        ).alias("mean_nll"),
+    )
+
+
+def cdc_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content-defined-chunking duplicate report over arbitrary rows
+    (d12 semantics): (chunk_hash, n_copies, n_docs, chunk_len,
+    first_doc) for every chunk stored more than once. Boundary = 8-char
+    window-hash ≡ 0 mod 64; every boundary is an independent local
+    predicate, so chunking is one parallel JVM expression and a prefix
+    edit invalidates only the chunk it touches."""
+    from big_data_analytics_cse545_spark.operators.dedup import cdc_chunks
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    hashed = cdc_chunks(src).select(
+        "doc_id", F.md5("chunk").alias("chunk_hash"), F.length("chunk").alias("_l")
+    )
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("_l").alias("chunk_len"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

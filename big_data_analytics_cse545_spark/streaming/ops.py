@@ -615,6 +615,176 @@ ORDER BY window_start
 """
 
 
+# ---------------------------------------------------------------------------
+# st11 — transformWithState: typed multi-variable state (Spark 4 API)
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """transformWithState requires the RocksDB state store provider —
+    pin it for the run, always restoring the caller's provider (the
+    HDFS-backed default) so st01–st10 keep their existing stores."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _tws_runtime_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over
+    protobuf — its Python runner dies at init when ``google.protobuf``
+    is absent/broken (this container), so probe the exact import the
+    runner performs and fall back BEFORE starting a doomed query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_ST11_OUT_SCHEMA = "user_id bigint, n_events bigint, n_types bigint"
+
+
+def _st11_profile_tws(e: DataFrame) -> DataFrame:
+    """Production path: a StatefulProcessor with two TYPED state
+    variables per user (ValueState counter + MapState distinct-type
+    set) — the layered per-key state the old single-tuple GroupState
+    forces you to serialize by hand."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EngagementProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.cnt = handle.getValueState("cnt", "n bigint")
+            self.types = handle.getMapState("types", "t string", "seen boolean")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.cnt.get()[0] if self.cnt.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t in pdf["event_type"]:
+                    self.types.updateValue((str(t),), (True,))
+            self.cnt.update((n,))
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "n_types": [n_types]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return e.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EngagementProcessor(),
+        outputStructType=_ST11_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _st11_profile_groupstate(e: DataFrame) -> DataFrame:
+    """Fallback path (this container): the SAME per-user state machine
+    hand-packed into one GroupState tuple — the counter as bigint, the
+    distinct-type set serialized as a sorted '|'-joined string — i.e.
+    exactly the manual serialization the typed-state API exists to
+    remove. Bit-identical output by construction."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def profile(key, pdfs, state: GroupState):
+        if state.exists:
+            n, packed = state.get
+            seen = set(packed.split("|")) if packed else set()
+        else:
+            n, seen = 0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            seen.update(str(t) for t in pdf["event_type"])
+        state.update((n, "|".join(sorted(seen))))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_types": [len(seen)]}
+        )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        profile,
+        _ST11_OUT_SCHEMA,
+        "n bigint, packed string",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def st11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement profile via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API (SPARK-46815, successor
+    to the applyInPandasWithState/GroupState API used by st05): a
+    ``StatefulProcessor`` holding TWO typed state variables per user —
+    a ValueState running event count and a MapState of distinct event
+    types seen. State lives in RocksDB (the provider the new API
+    requires), which is also the 100 TB posture: state spills to local
+    SST files + changelog checkpointing instead of capping at executor
+    heap.
+
+    The new API's Python runner requires ``google.protobuf``, which
+    this container lacks — so, exactly like the image-codec story (I3 /
+    decode_image) and video demux (m02), the operator PROBES the real
+    path and falls back to a GroupState twin that hand-serializes the
+    same state machine (``_st11_profile_groupstate``); the production
+    path is zero-edit where protobuf exists, and
+    tests/test_streaming.py pins both paths to the same result schema.
+
+    With AvailableNow over the single events file, the final state per
+    user equals the batch aggregate, so the reduced histogram —
+    distinct-type count → (user count, total events) — has an exact
+    SQL oracle regardless of which path ran.
+    """
+    e = _events_stream(spark, sf_dir)
+    with _rocksdb_state_store(spark):
+        if _tws_runtime_available():
+            profile = _st11_profile_tws(e)
+        else:
+            profile = _st11_profile_groupstate(e)
+        out = _run_to_table(profile, spark, "st11_mem", output_mode="update")
+    # update-mode sink: one row per state update; counts only grow, so
+    # the per-user max is the final state (same reduction as st05).
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+        )
+        .groupBy("n_types", F.expr("n_events DIV 10").alias("events_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("sum_events"),
+        )
+        .orderBy("n_types", "events_decade")
+    )
+
+
+_ST11_SQL = """
+SELECT n_types, n_events // 10 AS events_decade,
+       COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS sum_events
+FROM (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id
+)
+GROUP BY n_types, events_decade ORDER BY n_types, events_decade
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
@@ -626,6 +796,7 @@ QUERIES = {
     "st08_stream_outer_join": st08_stream_outer_join,
     "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
     "st10_sliding_distinct_users": st10_sliding_distinct_users,
+    "st11_transform_with_state": st11_transform_with_state,
 }
 
 ORACLE = {
@@ -639,4 +810,5 @@ ORACLE = {
     "st08_stream_outer_join": _ST08_SQL,
     "st09_stream_incremental_dedup": _ST09_SQL,
     "st10_sliding_distinct_users": _ST10_SQL,
+    "st11_transform_with_state": _ST11_SQL,
 }

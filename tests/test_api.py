@@ -439,3 +439,61 @@ def test_incremental_dedup_index_path_equals_direct(spark, sf_correctness):
             d.filter(d["doc_id"] % 4 == 1),
             text_col="text", id_col="doc_id", index=idx, shingle_size=5,
         )
+
+
+def test_bm25_score_matches_t21(spark, sf_correctness):
+    """api.bm25_score on the documents table with the same dictionary
+    must reproduce t21 exactly (same micro-rounding discipline)."""
+    from big_data_analytics_cse545_spark.operators import text as text_ops
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["bm25_micro"])
+        for r in api.bm25_score(
+            d, "text", "doc_id", text_ops.TERM_DICT
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["n_terms_hit"], r["bm25_micro"])
+        for r in text_ops.t21_bm25_score(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_perplexity_gate_matches_t22(spark, sf_correctness):
+    from big_data_analytics_cse545_spark.operators import text as text_ops
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["sum_nll_micro"], r["ppl_bucket"])
+        for r in api.perplexity_gate(
+            d,
+            "text",
+            "doc_id",
+            text_ops.PPL_HEAD_MICRO,
+            text_ops.PPL_MIDDLE_MICRO,
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]: (r["n_tok"], r["sum_nll_micro"], r["ppl_bucket"])
+        for r in text_ops.t22_unigram_nll(spark, sf_correctness).collect()
+    }
+    assert got == exp
+
+
+def test_cdc_dedup_matches_d12(spark, sf_correctness):
+    from big_data_analytics_cse545_spark.operators import dedup as dedup_ops
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    got = {
+        r["chunk_hash"]: (r["n_copies"], r["n_docs"], r["chunk_len"], r["first_doc"])
+        for r in api.cdc_dedup(d, "text", "doc_id").collect()
+    }
+    exp = {
+        r["chunk_hash"]: (r["n_copies"], r["n_docs"], r["chunk_len"], r["first_doc"])
+        for r in dedup_ops.d12_cdc_chunk_dedup(spark, sf_correctness).collect()
+    }
+    assert got == exp

@@ -164,3 +164,51 @@ def test_st10_equals_q30_trailing_windows(spark, sf_correctness):
         d = datetime.date.fromisoformat(wend) - datetime.timedelta(days=1)
         if d.isoformat() in batch:  # q30 only reports days with activity
             assert wau == batch[d.isoformat()], (wend, wau, batch[d.isoformat()])
+
+
+def test_st11_fallback_equals_batch_and_restores_conf(spark, sf_correctness):
+    """st11 must (a) produce the exact batch aggregate through whichever
+    stateful path ran, (b) leave the state-store provider conf exactly
+    as it found it, and (c) fall back (not crash) when the
+    transformWithState protobuf runtime is absent — which is the case
+    in this container, so this test exercises the fallback for real."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources import load_table
+    from big_data_analytics_cse545_spark.streaming import ops
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    got = {
+        (r["n_types"], r["events_decade"]): (r["n_users"], r["sum_events"])
+        for r in ops.st11_transform_with_state(spark, sf_correctness).collect()
+    }
+    assert spark.conf.get(key) == prev, "state-store provider conf leaked"
+    e = load_table(spark, sf_correctness, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    exp = {
+        (r["n_types"], r["events_decade"]): (r["n_users"], r["sum_events"])
+        for r in per_user.groupBy(
+            "n_types", F.expr("n_events DIV 10").alias("events_decade")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("sum_events"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_st11_state_packing_roundtrip():
+    """The fallback's hand-packed GroupState layout must be lossless:
+    sorted '|'-join of the type set parses back to the same set (the
+    serialization the typed MapState path makes unnecessary)."""
+    seen = {"view", "click", "purchase"}
+    packed = "|".join(sorted(seen))
+    assert set(packed.split("|")) == seen
+    assert "|".join(sorted(set(packed.split("|")))) == packed
+    assert set("".split("|")) == {""}  # why the empty-string guard exists
