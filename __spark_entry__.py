@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 101
+# The driver hash-checks only the FIRST 50 queries() entries, so with 103
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -112,6 +112,8 @@ _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
         "d12_cdc_chunk_dedup",
         "f05_orc_scan",
         "st11_transform_with_state",
+        "q31_variant_json",
+        "x08_prep_pipeline",
     }
 )
 _HELD_OUT = frozenset(
@@ -184,7 +186,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (101 queries; exact count asserted in
+    """The FULL registry (103 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1144,3 +1144,40 @@ def cdc_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def save_dedup_index(index: dict, path: str) -> None:
+    """Persist a :func:`dedup_index` to ``path`` (one parquet directory
+    per relation + a one-row ``params`` parquet) so successive ingest
+    batches — possibly in different jobs, days apart — reuse one corpus
+    index without re-scanning corpus text. This is the durable half of
+    the continuous-ingestion shape: build once per ingest cycle, load
+    per batch. On a real deployment ``path`` is S3/HDFS and the hashes/
+    bands relations would be written ``bucketBy(hash/band_key)`` via
+    ``saveAsTable`` for co-located joins; plain parquet keeps this
+    filesystem-agnostic."""
+    import json
+
+    spark = index["hashes"].sparkSession
+    for name in ("hashes", "bands", "shingles", "counts"):
+        index[name].write.mode("overwrite").parquet(f"{path}/{name}")
+    spark.createDataFrame(
+        [(json.dumps(index["params"]),)], "params string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_dedup_index(spark, path: str) -> dict:
+    """Load a persisted dedup index. The stored build parameters come
+    back with it, so :func:`incremental_dedup`'s parameter-mismatch
+    guard keeps protecting loaded indexes exactly like fresh ones."""
+    import json
+
+    return {
+        **{
+            name: spark.read.parquet(f"{path}/{name}")
+            for name in ("hashes", "bands", "shingles", "counts")
+        },
+        "params": json.loads(
+            spark.read.parquet(f"{path}/params").collect()[0]["params"]
+        ),
+    }

@@ -1459,6 +1459,74 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# q31 — VARIANT semi-structured analytics (Spark 4 open variant type)
+# ---------------------------------------------------------------------------
+
+def q31_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured telemetry through Spark 4's VARIANT type: build
+    the event envelope a real pipeline receives (nested user/payload
+    object), ``parse_json`` it ONCE into a variant, then do every
+    extraction with typed ``variant_get`` paths — the parse-once /
+    extract-many pattern that replaces q15's per-path
+    ``get_json_object`` re-parsing (each get_json_object call re-parses
+    the string; variant parses to a binary encoding and each path is an
+    O(fields) lookup). At 100 TB the difference is one JSON parse per
+    row vs one per row PER EXTRACTED FIELD.
+
+    The round-trip is the check: envelope fields are derived from typed
+    columns, so the DuckDB oracle computes the same aggregate from the
+    raw columns directly — any loss in construct→parse→extract
+    (integer widening, key reordering, null mangling) flips the hash.
+    Integer-only payload on purpose: float-to-JSON rendering is not
+    canonical across engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    env = e.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("user_id").alias("id"),
+                        (F.col("user_id") % 7).alias("segment"),
+                    ).alias("user"),
+                    F.col("event_type").alias("kind"),
+                    F.get_json_object("props", "$.k")
+                    .cast("int")
+                    .alias("k"),
+                )
+            )
+        ).alias("v")
+    )
+    return (
+        env.select(
+            F.expr("variant_get(v, '$.kind', 'string')").alias("kind"),
+            F.expr("variant_get(v, '$.user.segment', 'bigint')").alias("segment"),
+            F.expr("variant_get(v, '$.user.id', 'bigint')").alias("uid"),
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("kind", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("uid").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("kind", "segment")
+    )
+
+
+_Q31_SQL = """
+SELECT event_type AS kind, user_id % 7 AS segment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k
+FROM events
+GROUP BY kind, segment
+ORDER BY kind, segment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1490,6 +1558,7 @@ QUERIES = {
     "q28_sessionize": q28_sessionize,
     "q29_skew_safe_distinct": q29_skew_safe_distinct,
     "q30_sliding_dau": q30_sliding_dau,
+    "q31_variant_json": q31_variant_json,
 }
 
 ORACLE = {
@@ -1523,4 +1592,5 @@ ORACLE = {
     "q28_sessionize": _Q28_SQL,
     "q29_skew_safe_distinct": _Q29_SQL,
     "q30_sliding_dau": _Q30_SQL,
+    "q31_variant_json": _Q31_SQL,
 }

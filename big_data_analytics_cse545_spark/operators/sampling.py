@@ -677,6 +677,166 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# x08 — composed LLM-data prep pipeline v2 (LM gate → Gopher gate → dedup)
+# ---------------------------------------------------------------------------
+
+def x08_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second-generation prep funnel, composed as ONE lazy plan:
+
+    1. unigram-LM perplexity gate (t22): drop 'tail' documents;
+    2. Gopher repetition gate (t13): drop documents whose duplicate-
+       token fraction or top-bigram share exceeds the MassiveText
+       bounds;
+    3. exact dedup (d01 key discipline): survivor = min doc_id per
+       md5(text);
+    4. corpus stats per (lang, ppl_bucket): documents and token mass.
+
+    x03 chains *structural* stages (quality → dedup → split); this
+    chains the *model-based* gates a modern pipeline layers on top —
+    and because every stage is a DataFrame transformation, Catalyst
+    fuses the whole funnel: the LM build and the repetition signals
+    each read the corpus once, every verdict joins back on doc_id, and
+    the only data-sized shuffles are keyed by doc_id/md5/word — the
+    text column itself never leaves its scan stage. Every gate's
+    arithmetic is exact (integer micro-nats, integer token counts,
+    correctly-rounded single divisions), so the full four-stage funnel
+    still hash-matches DuckDB end to end.
+    """
+    from big_data_analytics_cse545_spark.functions.text import tokens
+    from big_data_analytics_cse545_spark.operators.text import (
+        DUP_TOKEN_MAX,
+        PPL_HEAD_MICRO,
+        PPL_MIDDLE_MICRO,
+        TOP_BIGRAM_MAX,
+    )
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", F.md5("text").alias("h"), tokens(F.col("text")).alias("ts")
+    ).withColumn("n_tok", F.size("ts").cast("long"))
+    tok = base.select("doc_id", F.explode("ts").alias("word"))
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("big_t"), F.count(F.lit(1)).alias("big_v"))
+    lm = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            -F.log((F.col("cnt") + 1.0) / (F.col("big_t") + F.col("big_v")).cast("double")) * 1e6
+        ).cast("long").alias("nll"),
+    )
+    scored = tok.join(lm, "word").groupBy("doc_id").agg(
+        F.sum("nll").alias("sum_nll")
+    )
+    top = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_n"))
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("ts")).cast("double") / F.col("n_tok").cast("double")
+    top_frac = F.coalesce(
+        F.col("top_n").cast("double") / (F.col("n_tok") - F.lit(1)).cast("double"),
+        F.lit(0.0),
+    )
+    bucket = (
+        F.when(F.col("sum_nll") < PPL_HEAD_MICRO * F.col("n_tok"), "head")
+        .when(F.col("sum_nll") < PPL_MIDDLE_MICRO * F.col("n_tok"), "middle")
+        .otherwise("tail")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    survivors = (
+        base.join(scored, "doc_id")
+        .join(top, "doc_id", "left")
+        .withColumn("ppl_bucket", bucket)
+        .filter(F.col("ppl_bucket") != "tail")
+        .filter(~((dup_frac > DUP_TOKEN_MAX) | (top_frac > TOP_BIGRAM_MAX)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        survivors.groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("lang", "ppl_bucket")
+    )
+
+
+def _x08_sql() -> str:
+    from big_data_analytics_cse545_spark.operators.text import (
+        DUP_TOKEN_MAX,
+        PPL_HEAD_MICRO,
+        PPL_MIDDLE_MICRO,
+        TOP_BIGRAM_MAX,
+        _SQL_TOKENS,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, md5(text) AS h, {_SQL_TOKENS} AS ts
+  FROM documents
+),
+b2 AS (SELECT *, len(ts) AS n_tok FROM base),
+tok AS (SELECT doc_id, unnest(ts) AS word FROM base),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS big_t, COUNT(*) AS big_v FROM vocab),
+lm AS (
+  SELECT word,
+         CAST(ROUND(-ln((cnt + 1.0) / CAST(big_t + big_v AS DOUBLE)) * 1e6)
+              AS BIGINT) AS nll
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(nll) AS BIGINT) AS sum_nll
+  FROM tok JOIN lm USING (word) GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_n
+  FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM base
+    )
+    GROUP BY doc_id, bg
+  )
+  GROUP BY doc_id
+),
+verdicts AS (
+  SELECT b.doc_id, b.lang, b.h, b.n_tok,
+         CASE WHEN s.sum_nll < {PPL_HEAD_MICRO} * b.n_tok THEN 'head'
+              WHEN s.sum_nll < {PPL_MIDDLE_MICRO} * b.n_tok THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket,
+         1.0 - CAST(len(list_distinct(b.ts)) AS DOUBLE) / CAST(b.n_tok AS DOUBLE) AS dup_frac,
+         coalesce(CAST(t.top_n AS DOUBLE) / CAST(b.n_tok - 1 AS DOUBLE), 0.0) AS top_frac
+  FROM b2 b JOIN scored s USING (doc_id) LEFT JOIN top t USING (doc_id)
+),
+survivors AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM verdicts
+  WHERE ppl_bucket <> 'tail'
+    AND NOT (dup_frac > {DUP_TOKEN_MAX} OR top_frac > {TOP_BIGRAM_MAX})
+)
+SELECT lang, ppl_bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM survivors WHERE rn = 1
+GROUP BY lang, ppl_bucket
+ORDER BY lang, ppl_bucket
+"""
+
+
 QUERIES = {
     "x01_hash_split": x01_hash_split,
     "x02_temperature_mix": x02_temperature_mix,
@@ -685,6 +845,7 @@ QUERIES = {
     "x05_stratified_sample": x05_stratified_sample,
     "x06_leakage_safe_split": x06_leakage_safe_split,
     "x07_dsir_select": x07_dsir_select,
+    "x08_prep_pipeline": x08_prep_pipeline,
 }
 
 ORACLE = {
@@ -696,4 +857,6 @@ ORACLE = {
     # callable — composes d04/d08's recursive-CTE body lazily
     "x06_leakage_safe_split": _x06_sql,
     "x07_dsir_select": _X07_SQL,
+    # callable — pulls thresholds from operators.text lazily
+    "x08_prep_pipeline": _x08_sql,
 }

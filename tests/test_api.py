@@ -497,3 +497,32 @@ def test_cdc_dedup_matches_d12(spark, sf_correctness):
         for r in dedup_ops.d12_cdc_chunk_dedup(spark, sf_correctness).collect()
     }
     assert got == exp
+
+
+def test_dedup_index_save_load_roundtrip(spark, sf_correctness, tmp_path):
+    """Persisted-index path must make the same keep/drop decisions as
+    the in-memory index, and the stored params must keep enforcing the
+    mismatch guard after a reload."""
+    import pytest
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    idx = api.dedup_index(corpus, "text", "doc_id")
+    path = str(tmp_path / "dedup_index")
+    api.save_dedup_index(idx, path)
+    loaded = api.load_dedup_index(spark, path)
+    assert loaded["params"] == idx["params"]
+    direct = {
+        r["doc_id"]: (r["decision"], r["near_dup_of"])
+        for r in api.incremental_dedup(batch, index=idx).collect()
+    }
+    reloaded = {
+        r["doc_id"]: (r["decision"], r["near_dup_of"])
+        for r in api.incremental_dedup(batch, index=loaded).collect()
+    }
+    assert direct == reloaded and direct
+    with pytest.raises(ValueError, match="built with"):
+        api.incremental_dedup(batch, index=loaded, n_hashes=16)
