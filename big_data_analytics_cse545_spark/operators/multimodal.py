@@ -852,10 +852,36 @@ def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("video_id", "frame_no")
 
 
+def m04_audio_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end as a registry query: synthetic PCM
+    clips (``audios_df`` — the typed-metadata stand-in for a binaryFile
+    .wav scan) → windowed RMS/ZCR features (``audio_features``, Arrow-
+    batched numpy) → per-clip profile (frame count, mean RMS, mean ZCR,
+    rounded for determinism). Rows-only at the driver (binary payloads
+    have no DuckDB twin); the feature math itself is golden-tested
+    against straight numpy in tests/test_multimodal.py.
+
+    Scale shape: 1→⌈(n−frame)/hop⌉+1 fan-out inside one mapInPandas
+    (constant memory per task), then a per-clip partial+final agg on
+    the clip key — no shuffle carries PCM bytes.
+    """
+    feats = audio_features(audios_df(spark, sf_dir))
+    return (
+        feats.groupBy("audio_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.avg("rms"), 6).alias("mean_rms"),
+            F.round(F.avg("zcr"), 6).alias("mean_zcr"),
+        )
+        .orderBy("audio_id")
+    )
+
+
 QUERIES = {
     "m01_image_similarity_funnel": m01_image_similarity_funnel,
     "m02_video_frame_sample": m02_video_frame_sample,
     "m03_binaryfile_ref_funnel": m03_binaryfile_ref_funnel,
+    "m04_audio_feature_profile": m04_audio_feature_profile,
 }
 
 # No SQL oracle: binary tensors + md5-of-int-list are not expressible in

@@ -490,7 +490,7 @@ def test_cdc_dedup_matches_d12(spark, sf_correctness):
     d = load_table(spark, sf_correctness, "documents")
     got = {
         r["chunk_hash"]: (r["n_copies"], r["n_docs"], r["chunk_len"], r["first_doc"])
-        for r in api.cdc_dedup(d, "text", "doc_id").collect()
+        for r in api.cdc_dedup(d, "text", "doc_id", hash="md5").collect()
     }
     exp = {
         r["chunk_hash"]: (r["n_copies"], r["n_docs"], r["chunk_len"], r["first_doc"])

@@ -394,3 +394,36 @@ def test_d12_empty_and_short_docs(spark):
     )
     got = dedup.cdc_chunks(df).collect()
     assert [(r["doc_id"], r["chunk"]) for r in got] == [(2, "abc")]
+
+
+def test_d12_xx_variant_density_and_shift_invariance(spark, sf_correctness):
+    """The xxhash64 production variant must keep CDC's two contracts:
+    boundary density ≈ 1/CDC_DIV (mean chunk length in a sane band
+    around 64) and locality (chunking is a partition of the text;
+    per-doc chunks deterministic across two runs)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents").limit(200)
+    chunks = dedup.cdc_chunks(d, hash="xx")
+    stats = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("chunk")).alias("tot")
+    )
+    rows = stats.collect()
+    mean_len = sum(r["tot"] for r in rows) / sum(r["n"] for r in rows)
+    assert 30 < mean_len < 140, f"mean chunk length {mean_len} out of band"
+    # determinism across plans
+    again = {
+        (r["doc_id"], r["n"], r["tot"])
+        for r in dedup.cdc_chunks(d, hash="xx")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("chunk")).alias("tot"))
+        .collect()
+    }
+    assert {(r["doc_id"], r["n"], r["tot"]) for r in rows} == again
+    # partition-of-text: chunk lengths sum to doc length
+    lens = {r["doc_id"]: r["tot"] for r in rows}
+    for r in d.select("doc_id", F.length("text").alias("l")).collect():
+        if r["l"] > 0:
+            assert lens[r["doc_id"]] == r["l"]
