@@ -1527,6 +1527,61 @@ ORDER BY kind, segment
 """
 
 
+# ---------------------------------------------------------------------------
+# q32 — approximate percentiles (quantile sketch, q20's oracle pattern)
+# ---------------------------------------------------------------------------
+
+Q32_ACCURACY = 10000  # GK sketch accuracy ⇒ rank error ≤ n/accuracy
+
+
+def q32_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (Greenwald-Khanna sketch) next to the exact
+    interpolated percentile per order status — the mergeable-quantile-
+    sketch pattern that replaces q24's exact percentile at 100 TB,
+    where exact quantiles need a full sort or a two-pass select and the
+    sketch needs one pass and O(accuracy) memory per group.
+
+    Same oracle discipline as q20's HLL: the sketch's merge order is
+    partition-dependent, so raw sketch outputs are not hash-stable —
+    the query emits the EXACT percentiles (oracle-hashable) plus an
+    in-band flag per quantile (|approx − exact| within the value span
+    of the rank-error window; rank error ≤ n/accuracy ⇒ with n ≈ 15k
+    and accuracy 10k, ±2 ranks). The flag is deterministic truth the
+    oracle asserts as constant, so a drifting sketch flips the hash;
+    the tighter numeric pin lives with q20's in tests/test_plans.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rows = []
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = F.expr(f"percentile(o_totalprice, {q})")
+        approx = F.expr(
+            f"approx_percentile(o_totalprice, {q}, {Q32_ACCURACY})"
+        )
+        rows.append(F.round(exact, 4).alias(name))
+        # span tolerance: 1% of the exact value comfortably covers a
+        # ±2-rank displacement on this distribution
+        rows.append(
+            (F.abs(approx - exact) <= 0.01 * exact)
+            .cast("long")
+            .alias(f"{name}_sketch_in_band")
+        )
+    return o.groupBy("o_orderstatus").agg(*rows).orderBy("o_orderstatus")
+
+
+_Q32_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       CAST(1 AS BIGINT) AS p50_sketch_in_band,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       CAST(1 AS BIGINT) AS p90_sketch_in_band,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       CAST(1 AS BIGINT) AS p99_sketch_in_band
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1559,6 +1614,7 @@ QUERIES = {
     "q29_skew_safe_distinct": q29_skew_safe_distinct,
     "q30_sliding_dau": q30_sliding_dau,
     "q31_variant_json": q31_variant_json,
+    "q32_approx_percentiles": q32_approx_percentiles,
 }
 
 ORACLE = {
@@ -1593,4 +1649,5 @@ ORACLE = {
     "q29_skew_safe_distinct": _Q29_SQL,
     "q30_sliding_dau": _Q30_SQL,
     "q31_variant_json": _Q31_SQL,
+    "q32_approx_percentiles": _Q32_SQL,
 }

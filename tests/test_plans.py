@@ -192,3 +192,40 @@ def test_f05_orc_scan_prunes_and_pushes(spark, sf_correctness):
     assert "l_orderkey" in filters, f"orc filter not pushed: {filters}"
     schemas = scan_read_schema(df)
     assert schemas and all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_q32_approx_percentile_accuracy(spark, sf_correctness):
+    """GK sketch at accuracy 10000 must land within 0.1% of the exact
+    percentile on this distribution — a 10× tighter pin than the 1%
+    in-band flag the driver oracle hashes."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.operators.relational import Q32_ACCURACY
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    rows = relational.q32_approx_percentiles(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        for name in ("p50", "p90", "p99"):
+            assert r[f"{name}_sketch_in_band"] == 1, r
+    raw = (
+        load_table(spark, sf_correctness, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            *[
+                c
+                for q, n in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+                for c in (
+                    F.expr(f"percentile(o_totalprice, {q})").alias(f"{n}_exact"),
+                    F.expr(
+                        f"approx_percentile(o_totalprice, {q}, {Q32_ACCURACY})"
+                    ).alias(f"{n}_approx"),
+                )
+            ]
+        )
+        .collect()
+    )
+    for r in raw:
+        for n in ("p50", "p90", "p99"):
+            err = abs(r[f"{n}_approx"] - r[f"{n}_exact"]) / r[f"{n}_exact"]
+            assert err <= 0.001, f"{r['o_orderstatus']} {n}: off by {err:.3%}"
