@@ -171,3 +171,24 @@ def test_nfc_normalize_idempotent_and_matches_python(spark, texts):
         r["id"]: r["text"] for r in api.nfc_normalize(df2, "text").collect()
     }
     assert twice == once
+
+
+def test_freq_items_superset_guarantee(spark, sf_correctness):
+    """DataFrame.freqItems (Karp/Misra-Gries heavy hitters) must return
+    a SUPERSET of the items whose true frequency exceeds the support —
+    the one guarantee the sketch makes (false positives allowed, false
+    negatives never), verified against exact counts."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = load_table(spark, sf_correctness, "events")
+    support = 0.1
+    got = set(e.freqItems(["event_type"], support).collect()[0][0])
+    n = e.count()
+    exact = {
+        r["event_type"]
+        for r in e.groupBy("event_type").count().collect()
+        if r["count"] > support * n
+    }
+    assert exact <= got, f"missing heavy hitters: {exact - got}"
