@@ -256,6 +256,85 @@ ORDER BY l_returnflag, ship_year
 """
 
 
+# ---------------------------------------------------------------------------
+# f06 — custom Python data source (Spark 4 connector API) with pushdown
+# ---------------------------------------------------------------------------
+
+F06_EPOCH_MIN_I = 1000  # query keeps fetch_epoch ≥ EPOCH0 + 17·this
+F06_HOST = 7
+
+
+def f06_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-mix report off the ``graftcrawl`` CUSTOM Python data
+    source (sources/pysource.py — Spark 4's ``pyspark.sql.datasource``
+    connector API): the engine's answer for systems with no built-in
+    source (internal crawl services, feature stores, ticket APIs).
+
+    The two predicates exercise both pushdown layers the connector
+    implements: ``fetch_epoch ≥ …`` maps to an i-range that PRUNES
+    whole partitions before they are scheduled (the Python-connector
+    twin of f04's hive PartitionFilters), and ``host_id = 7`` is
+    absorbed into the source's row generation so non-matching rows are
+    never shipped. The source is deterministic integer arithmetic, so
+    the DuckDB oracle regenerates it from ``range()`` and the driver
+    hash-compare certifies the whole connector chain — partitioning,
+    pushdown, generation — end to end. ``sf_dir`` is unused (the
+    source IS the data); the signature stays uniform for the registry.
+    """
+    from big_data_analytics_cse545_spark.sources import pysource
+
+    pysource.register(spark)
+    # runtime-settable; required for the source's pushFilters to plan
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    d = spark.read.format("graftcrawl").load()
+    return (
+        d.filter(
+            (F.col("fetch_epoch")
+             >= pysource.CRAWL_EPOCH0 + pysource.CRAWL_EPOCH_STEP * F06_EPOCH_MIN_I)
+            & (F.col("host_id") == F06_HOST)
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.min("i").alias("first_i"),
+            F.max("i").alias("last_i"),
+            F.min("url").alias("first_url"),
+        )
+        .orderBy("status")
+    )
+
+
+def _f06_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from big_data_analytics_cse545_spark.sources.pysource import (
+        CRAWL_EPOCH0,
+        CRAWL_EPOCH_STEP,
+        CRAWL_HOSTS,
+        CRAWL_N_ROWS,
+    )
+
+    return f"""
+WITH crawl AS (
+  SELECT i,
+         'https://site' || ((i * 37 + 11) % {CRAWL_HOSTS}) || '.example/p/' || i AS url,
+         (i * 37 + 11) % {CRAWL_HOSTS} AS host_id,
+         CASE WHEN i % 13 = 0 THEN 404
+              WHEN i % 13 = 1 THEN 301 ELSE 200 END AS status,
+         (i * 7919) % 100000 AS n_bytes,
+         {CRAWL_EPOCH0} + {CRAWL_EPOCH_STEP} * i AS fetch_epoch
+  FROM (SELECT unnest(range({CRAWL_N_ROWS})) AS i)
+)
+SELECT status, COUNT(*) AS n_pages,
+       CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       MIN(i) AS first_i, MAX(i) AS last_i, MIN(url) AS first_url
+FROM crawl
+WHERE fetch_epoch >= {CRAWL_EPOCH0} + {CRAWL_EPOCH_STEP} * {F06_EPOCH_MIN_I}
+  AND host_id = {F06_HOST}
+GROUP BY status
+ORDER BY status
+"""
+
+
 CORRUPT_MOD = 7  # lines whose doc_id % 7 == 2 are truncated mid-object
 
 
@@ -445,6 +524,7 @@ QUERIES = {
     "f03_jsonl_corrupt_tolerant": f03_jsonl_corrupt_tolerant,
     "f04_partitioned_scan": f04_partitioned_scan,
     "f05_orc_scan": f05_orc_scan,
+    "f06_python_datasource_scan": f06_python_datasource_scan,
 }
 
 ORACLE = {
@@ -453,4 +533,5 @@ ORACLE = {
     "f03_jsonl_corrupt_tolerant": _f03_sql,
     "f04_partitioned_scan": _f04_sql,
     "f05_orc_scan": _f05_sql,
+    "f06_python_datasource_scan": _f06_sql,
 }

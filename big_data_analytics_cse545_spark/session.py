@@ -48,6 +48,9 @@ def get_spark(
         # Arrow for every JVM<->Python boundary (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Custom Python data sources with pushFilters refuse to plan
+        # unless this is on (sources/pysource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Local-mode memory headroom; on a real cluster the submitter sets this.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -72,6 +75,10 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Custom Python data sources (sources/pysource.py) implement
+    # pushFilters; Spark refuses to plan them unless pushdown is
+    # explicitly enabled (off by default in 4.x).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # A vanilla session defaults to 200 shuffle partitions — at test SF
     # that is pure scheduling overhead (and for stateful streaming, 200
     # state-store instances). Size to the environment like get_spark().

@@ -1,0 +1,169 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API) —
+the connector story for systems Spark has no built-in source for.
+
+The reference ingests by listing files on the driver and parallelizing
+(``Assignment 1/a1p2a_ahuja.py:21-24``); the modern engine form is a
+DataSource that Spark schedules: ``partitions()`` declares the split
+units, each ``read(partition)`` runs ON AN EXECUTOR, and
+``pushFilters`` lets the source drop rows (or whole partitions) before
+they are ever shipped — which is the difference between a connector
+that works and one that works at 100 TB: a remote API/scan source that
+cannot prune server-side ships the whole estate through the network on
+every query.
+
+``CrawlLogDataSource`` simulates a remote crawl-log service with a
+DETERMINISTIC integer-derived row set, so an exact DuckDB oracle can
+regenerate it with ``range()`` arithmetic (f06). Pushdown implemented:
+
+* row filters on ``host_id`` (=, <, <=, >, >=) are absorbed by the
+  source (applied during generation, never shipped) — Spark re-applies
+  nothing for them;
+* range filters on ``fetch_epoch`` PRUNE PARTITIONS: rows are laid out
+  contiguously in ``i`` and ``fetch_epoch = EPOCH0 + 17·i`` is
+  monotone, so an epoch bound maps to an ``i`` bound and partitions
+  wholly outside it are never scheduled (the Python-connector
+  equivalent of f04's hive PartitionFilters).
+
+Everything else is returned to Spark unchanged (the contract of
+``pushFilters``: yield what you did NOT handle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+CRAWL_N_ROWS = 4000
+CRAWL_N_PARTS = 8
+CRAWL_EPOCH0 = 1_700_000_000
+CRAWL_EPOCH_STEP = 17
+CRAWL_HOSTS = 50
+
+_SCHEMA = (
+    "i bigint, url string, host_id bigint, status bigint, "
+    "n_bytes bigint, fetch_epoch bigint"
+)
+
+
+def _row(i: int) -> tuple:
+    """The deterministic generator — MUST stay in lockstep with the
+    DuckDB twin in operators/ingest.py::_f06_sql (integer arithmetic
+    only, so both engines produce bit-identical rows)."""
+    host = (i * 37 + 11) % CRAWL_HOSTS
+    m = i % 13
+    status = 404 if m == 0 else (301 if m == 1 else 200)
+    return (
+        i,
+        f"https://site{host}.example/p/{i}",
+        host,
+        status,
+        (i * 7919) % 100_000,
+        CRAWL_EPOCH0 + CRAWL_EPOCH_STEP * i,
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        super().__init__((start, end))
+        self.start, self.end = start, end
+
+
+class CrawlLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n_rows", CRAWL_N_ROWS))
+        self.n_parts = int(options.get("n_parts", CRAWL_N_PARTS))
+        # i-range narrowed by pushed fetch_epoch bounds (partition pruning)
+        self.lo, self.hi = 0, self.n
+        # residual host_id predicates applied during generation
+        self._host_preds: list[tuple[str, int]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            attr = f.attribute[0] if getattr(f, "attribute", None) else None
+            if attr == "host_id" and isinstance(
+                f, (EqualTo, LessThan, LessThanOrEqual, GreaterThan, GreaterThanOrEqual)
+            ):
+                op = {
+                    EqualTo: "==", LessThan: "<", LessThanOrEqual: "<=",
+                    GreaterThan: ">", GreaterThanOrEqual: ">=",
+                }[type(f)]
+                self._host_preds.append((op, int(f.value)))
+            elif attr == "fetch_epoch" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                # epoch is monotone in i: map the bound to an i-bound
+                v = int(f.value)
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, -((CRAWL_EPOCH0 - v) // CRAWL_EPOCH_STEP))
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(
+                        self.lo, -((CRAWL_EPOCH0 - v - 1) // CRAWL_EPOCH_STEP)
+                    )
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, (v - CRAWL_EPOCH0) // CRAWL_EPOCH_STEP + 1)
+                else:  # LessThan
+                    self.hi = min(
+                        self.hi, (v - 1 - CRAWL_EPOCH0) // CRAWL_EPOCH_STEP + 1
+                    )
+            else:
+                yield f  # not handled here — Spark keeps evaluating it
+
+    def partitions(self) -> list[InputPartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = max(1, -(-self.n // self.n_parts))  # fixed layout: n/parts
+        parts = []
+        for p in range(self.n_parts):
+            s, e = p * span, min((p + 1) * span, self.n)
+            s2, e2 = max(s, lo), min(e, hi)
+            if s2 < e2:  # wholly-out-of-range partitions are never scheduled
+                parts.append(_RangePartition(s2, e2))
+        return parts or [_RangePartition(0, 0)]
+
+    def _host_ok(self, host: int) -> bool:
+        for op, v in self._host_preds:
+            if op == "==" and host != v:
+                return False
+            if op == "<" and not host < v:
+                return False
+            if op == "<=" and not host <= v:
+                return False
+            if op == ">" and not host > v:
+                return False
+            if op == ">=" and not host >= v:
+                return False
+        return True
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            row = _row(i)
+            if self._host_ok(row[2]):
+                yield row
+
+
+class CrawlLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "graftcrawl"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> CrawlLogReader:
+        return CrawlLogReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering overwrites, which is
+    fine — the class is stateless between reads)."""
+    spark.dataSource.register(CrawlLogDataSource)

@@ -76,3 +76,56 @@ def test_f03_quarantines_exactly_the_planted_lines(spark, sf_correctness):
     assert got_corrupt == n_planted
     n_good = sum(r["n_docs"] for r in rows if r["source"] != "_corrupt")
     assert n_good == n_total - n_planted
+
+
+def test_f06_reader_pushdown_and_partition_pruning():
+    """Connector-level contracts without Spark in the loop: host_id
+    filters are absorbed (not returned), epoch bounds prune whole
+    partitions, and read() honors the absorbed predicates."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from big_data_analytics_cse545_spark.sources.pysource import (
+        CRAWL_EPOCH0,
+        CRAWL_EPOCH_STEP,
+        CrawlLogReader,
+    )
+
+    r = CrawlLogReader({"n_rows": "4000", "n_parts": "8"})
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("host_id",), 7),
+                GreaterThanOrEqual(("fetch_epoch",), CRAWL_EPOCH0 + CRAWL_EPOCH_STEP * 1000),
+                EqualTo(("status",), 200),  # unsupported → must come back
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]
+    assert leftover[0].attribute == ("status",)
+    parts = r.partitions()
+    assert len(parts) == 6, "first 1000 rows span 2 of 8 partitions — pruned"
+    assert parts[0].start == 1000
+    rows = [row for p in parts for row in r.read(p)]
+    assert rows and all(row[2] == 7 for row in rows)
+    assert all(row[5] >= CRAWL_EPOCH0 + CRAWL_EPOCH_STEP * 1000 for row in rows)
+    # unfiltered reader sees every row exactly once
+    r2 = CrawlLogReader({"n_rows": "4000", "n_parts": "8"})
+    all_i = [row[0] for p in r2.partitions() for row in r2.read(p)]
+    assert sorted(all_i) == list(range(4000))
+
+
+def test_f06_spark_plan_carries_no_reapplied_host_filter(spark, sf_correctness):
+    """End-to-end through Spark: the source must produce exactly the
+    oracle row set with the pushed filters applied at the source (row
+    counts prove absorption — a broken pushFilters that dropped rows
+    AND got re-filtered would still pass parity, so check totals)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.operators.ingest import (
+        f06_python_datasource_scan,
+    )
+
+    got = f06_python_datasource_scan(spark, sf_correctness)
+    tot = got.agg(F.sum("n_pages").alias("n")).collect()[0]["n"]
+    # hosts cycle with period 50 over i≥1000 ⇒ 3000/50 = 60 rows
+    assert tot == 60
