@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 106
+# The driver hash-checks only the FIRST 50 queries() entries, so with 107
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -117,6 +117,7 @@ _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
         "m04_audio_feature_profile",
         "q32_approx_percentiles",
         "f06_python_datasource_scan",
+        "st12_python_stream_source",
     }
 )
 _HELD_OUT = frozenset(
@@ -189,7 +190,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (106 queries; exact count asserted in
+    """The FULL registry (107 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -35,6 +35,7 @@ from collections.abc import Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -162,8 +163,57 @@ class CrawlLogDataSource(DataSource):
     def reader(self, schema) -> CrawlLogReader:
         return CrawlLogReader(self.options)
 
+    def streamReader(self, schema):
+        return CrawlLogStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration (re-registering overwrites, which is
     fine — the class is stateless between reads)."""
     spark.dataSource.register(CrawlLogDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming half — microbatch offsets over the same deterministic rows
+# ---------------------------------------------------------------------------
+
+class CrawlLogStreamReader(DataSourceStreamReader):
+    """DataSourceStreamReader over the same generator: offsets are row
+    indices ({"i": k}). ``latestOffset`` reports everything the
+    "service" currently has (``n_rows`` — a tailing deployment would
+    return the live high-water mark), each microbatch's (start, end)
+    maps to the same range partitions the batch reader uses, and Spark
+    CHECKPOINTS the offsets: a restarted query resumes from the
+    committed ``i``, so rows are processed exactly once across runs
+    (pinned by tests/test_streaming_sink.py — run 1 stops at 2000,
+    run 2 over the grown source emits only 2000..4000). ``commit`` is
+    the source's post-batch cleanup hook, a no-op for a stateless
+    generator."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n_rows", CRAWL_N_ROWS))
+        self.n_parts = int(options.get("n_parts", CRAWL_N_PARTS))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        return {"i": self.n}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["i"], end["i"]
+        span = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            _RangePartition(s, min(s + span, hi))
+            for s in range(lo, hi, span)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass

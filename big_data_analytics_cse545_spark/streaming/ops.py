@@ -785,6 +785,62 @@ GROUP BY n_types, events_decade ORDER BY n_types, events_decade
 """
 
 
+# ---------------------------------------------------------------------------
+# st12 — streaming custom Python data source (connector API, stream half)
+# ---------------------------------------------------------------------------
+
+def st12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-mix aggregation over the ``graftcrawl`` source read AS A
+    STREAM — Spark 4's ``DataSourceStreamReader`` half of the custom
+    connector (f06 is the batch half): the source reports its
+    high-water mark in ``latestOffset``, Spark checkpoints committed
+    offsets (exactly-once resume is pinned in
+    tests/test_streaming_sink.py by restarting over a grown source),
+    and each microbatch fans out to the same executor-side range
+    partitions as the batch reader.
+
+    The row set is the same deterministic integer generator, so the
+    complete-mode aggregate equals the batch oracle — the DuckDB
+    ``range()`` twin certifies the streaming connector end to end.
+    ``sf_dir`` is unused (the source IS the data).
+    """
+    from big_data_analytics_cse545_spark.sources import pysource
+
+    pysource.register(spark)
+    stream = spark.readStream.format("graftcrawl").load()
+    agg = (
+        stream.groupBy("status", (F.col("host_id") % 10).alias("host_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_bytes").alias("sum_bytes"),
+        )
+    )
+    out = _run_to_table(agg, spark, "st12_mem", output_mode="complete")
+    return out.orderBy("status", "host_bucket")
+
+
+def _st12_sql() -> str:
+    from big_data_analytics_cse545_spark.sources.pysource import (
+        CRAWL_HOSTS,
+        CRAWL_N_ROWS,
+    )
+
+    return f"""
+WITH crawl AS (
+  SELECT (i * 37 + 11) % {CRAWL_HOSTS} AS host_id,
+         CASE WHEN i % 13 = 0 THEN 404
+              WHEN i % 13 = 1 THEN 301 ELSE 200 END AS status,
+         (i * 7919) % 100000 AS n_bytes
+  FROM (SELECT unnest(range({CRAWL_N_ROWS})) AS i)
+)
+SELECT status, host_id % 10 AS host_bucket, COUNT(*) AS n_pages,
+       CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
+FROM crawl
+GROUP BY status, host_bucket
+ORDER BY status, host_bucket
+"""
+
+
 QUERIES = {
     "st01_tumbling_window": st01_tumbling_window,
     "st02_sliding_window": st02_sliding_window,
@@ -797,6 +853,7 @@ QUERIES = {
     "st09_stream_incremental_dedup": st09_stream_incremental_dedup,
     "st10_sliding_distinct_users": st10_sliding_distinct_users,
     "st11_transform_with_state": st11_transform_with_state,
+    "st12_python_stream_source": st12_python_stream_source,
 }
 
 ORACLE = {
@@ -811,4 +868,6 @@ ORACLE = {
     "st09_stream_incremental_dedup": _ST09_SQL,
     "st10_sliding_distinct_users": _ST10_SQL,
     "st11_transform_with_state": _ST11_SQL,
+    # callable — pulls generator constants from sources.pysource lazily
+    "st12_python_stream_source": _st12_sql,
 }

@@ -114,3 +114,39 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_smoke, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2 * n1, "restart must append exactly the new file"
     assert got.select("event_id").distinct().count() == 2 * n1, "duplicate ids"
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """The custom streaming connector's exactly-once contract: run 1
+    drains the source at high-water mark 2000 into a parquet sink; the
+    'service' then grows to 4000 rows; run 2 over the SAME checkpoint
+    must emit exactly rows 2000..3999 — the committed offset, not the
+    initial one, is the restart point."""
+    from big_data_analytics_cse545_spark.sources import pysource
+
+    pysource.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run(n_rows: int):
+        q = (
+            spark.readStream.format("graftcrawl")
+            .option("n_rows", str(n_rows))
+            .load()
+            .select("i", "status")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run(2000)
+    assert spark.read.parquet(out).count() == 2000
+    run(4000)
+    got = spark.read.parquet(out)
+    assert got.count() == 4000, "restart must emit only the new rows"
+    ids = sorted(r["i"] for r in got.select("i").collect())
+    assert ids == list(range(4000)), "gap or duplicate in resumed stream"
