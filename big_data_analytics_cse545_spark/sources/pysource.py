@@ -40,9 +40,11 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    DataSourceWriter,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 CRAWL_N_ROWS = 4000
@@ -217,3 +219,92 @@ class CrawlLogStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# writer half — a JSONL sink with the two-phase commit protocol
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """The write half of the connector API, with the contract that
+    matters: TASKS STAGE, THE DRIVER COMMITS. Each task writes its rows
+    to a uniquely named ``.staged-*`` file and returns a commit message;
+    only ``commit`` (driver-side, after every task succeeded) renames
+    the staged files into place and writes a ``_SUCCESS`` manifest with
+    the total row count. A failed/duplicate task attempt never
+    publishes: its staged file is either absent from the winning
+    message set (speculative duplicates) or removed by ``abort`` — the
+    same visibility protocol every production file sink runs.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graftjsonl writer requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        staged = _os.path.join(
+            self.path, f".staged-{pid}-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), ensure_ascii=False) + "\n")
+                n += 1
+        return _JsonlCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        total, files = 0, []
+        for m in messages:
+            if m is None:
+                continue
+            final = _os.path.join(
+                self.path, _os.path.basename(m.staged_path).removeprefix(".staged-")
+            )
+            _os.replace(m.staged_path, final)
+            total += m.n_rows
+            files.append(_os.path.basename(final))
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            _json.dump({"n_rows": total, "files": sorted(files)}, fh)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged_path):
+                _os.remove(m.staged_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "graftjsonl"
+
+    def schema(self) -> str:  # pragma: no cover - writer-only source
+        return "placeholder string"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -95,3 +95,33 @@ def test_f04_filter_becomes_partition_filter(spark, sf_correctness):
         "PartitionFilters:"
     )[1].split("]")[0], line
     assert "DataFilters: []" in line, line
+
+
+def test_python_custom_writer_two_phase_commit(spark, sf_smoke, tmp_path):
+    """Custom Python sink (sources/pysource.py graftjsonl): tasks stage,
+    the driver commits — after save() the directory holds only
+    published files plus a _SUCCESS manifest whose row count matches,
+    no .staged-* leftovers, and the data round-trips exactly."""
+    import json
+    import os
+
+    from big_data_analytics_cse545_spark.sources import load_table, pysource
+
+    pysource.register_sink(spark)
+    out = str(tmp_path / "jsonl_sink")
+    d = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(3)
+    )
+    n = d.count()
+    d.write.format("graftjsonl").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == n
+    assert len(manifest["files"]) == 3
+    assert not [f for f in os.listdir(out) if f.startswith(".staged-")]
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(out)
+    assert back.count() == n
+    assert (
+        back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
+    ), "round-trip mismatch"
