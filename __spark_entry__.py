@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 107
+# The driver hash-checks only the FIRST 50 queries() entries, so with 108
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -102,6 +102,21 @@ _DEMOTED_BASELINES = frozenset(
 # d11 SemDeDup-style semantic dedup, x07 DSIR importance selection,
 # t20 BPE pair statistics, t21 BM25 relevance scoring, t22 unigram-LM
 # perplexity gate, d12 content-defined-chunking dedup, f05 ORC scan.
+#
+# ROUND-5 ROTATION PLAN (the arithmetic must be settled now): the 38
+# r4-held-out entries (last driver row r3) plus these 15 newcomers
+# need 53 slots against a 50 budget. Resolution:
+#   1. m03 (held-out) and m04 (newcomer) move to _TEST_GATED — both
+#      are no_oracle rows-only queries whose real checks are pytest
+#      invariant/golden gates (the d06/s04/p04 rationale), so their
+#      driver rows carry no hard signal. 53 → 51.
+#   2. x03_pipeline_stats takes one extra pytest-only round: every one
+#      of its stages is independently driver-checked in r5 via its
+#      stage twins (quality gate ↔ t06, exact dedup ↔ d01, split ↔
+#      x01, and the composed-plan shape via x08), and its own DuckDB
+#      oracle stays hash-checked every pytest run. 51 → 50, and the
+#      single cadence exception is named, reasoned, and temporary
+#      (x03 re-enters in round 6).
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
     {
         "d11_semantic_dedup",
@@ -118,6 +133,7 @@ _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
         "q32_approx_percentiles",
         "f06_python_datasource_scan",
         "st12_python_stream_source",
+        "s05_filtered_ann",
     }
 )
 _HELD_OUT = frozenset(
@@ -190,7 +206,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (107 queries; exact count asserted in
+    """The FULL registry (108 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

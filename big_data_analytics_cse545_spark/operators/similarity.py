@@ -316,15 +316,91 @@ def s04_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# s05 — filtered ANN (metadata predicate + vector search)
+# ---------------------------------------------------------------------------
+
+def s05_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search — the vector-database feature every retrieval
+    stack needs: top-3 nearest neighbors per query SUBJECT TO a
+    metadata predicate (here ``label != query.label``, the
+    'exclude-my-own-category' shape of cross-domain retrieval and
+    contamination-safe nearest-neighbor eval).
+
+    The predicate is applied at the CANDIDATE stage — inside the s02
+    LSH bucket join, before any exact cosine — which is the only
+    correct order: post-filtering an unfiltered top-k under-delivers k
+    whenever neighbors fail the predicate (with ~10 labels, an
+    unfiltered top-3 loses on average a third of its rows to a
+    != -filter; tests pin that s05 still returns a full k wherever the
+    bucket holds k qualifying rows). At 100 TB the predicate also
+    prunes the exact-scoring workload by the filter's selectivity for
+    free, because it rides the same join.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("label").alias("q_label"),
+    )
+    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        q.join(
+            e,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select("q_id", "vec_id", "label", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "rk",
+            "cos_sim",
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+def _s05_sql() -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, label, {_bucket_sql()} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket, label AS q_label
+  FROM b WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label, {_COS_SQL} AS cos_sim
+  FROM q JOIN b e
+    ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id AND e.label <> q.q_label
+),
+ranked AS (
+  SELECT q_id, vec_id, label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id AS neighbor_id, label AS neighbor_label, rk, cos_sim
+FROM ranked WHERE rk <= 3
+ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_hyperplane_lsh": s02_ann_hyperplane_lsh,
     "s03_ann_ivf": s03_ann_ivf,
     "s04_brp_lsh_mllib": s04_brp_lsh_mllib,
+    "s05_filtered_ann": s05_filtered_ann,
 }
 
 ORACLE = {
     "s01_knn_bruteforce": _S01_SQL,
     "s02_ann_hyperplane_lsh": _s02_sql(),
     "s03_ann_ivf": _S03_SQL,
+    "s05_filtered_ann": _s05_sql,
 }

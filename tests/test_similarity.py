@@ -57,3 +57,32 @@ def test_brp_lsh_recalls_exact_euclidean_top1(spark, sf_correctness):
         cands.setdefault(r["q_id"], set()).add(r["neighbor_id"])
     hits = sum(1 for q, n in exact_top1.items() if n in cands.get(q, set()))
     assert hits / len(exact_top1) >= 0.6, f"recall {hits}/{len(exact_top1)}"
+
+
+def test_s05_prefilter_beats_postfilter(spark, sf_correctness):
+    """The reason the predicate must ride the candidate join: every s05
+    result row satisfies the predicate AND delivers full k wherever the
+    bucket holds k qualifying candidates, while post-filtering s02's
+    unfiltered top-3 loses rows (measurably, on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    s05 = similarity.s05_filtered_ann(spark, sf_correctness).collect()
+    assert s05
+    for r in s05:
+        assert labels[r["neighbor_id"]] != labels[r["q_id"]]
+    # post-filter baseline: drop same-label rows from the unfiltered ANN
+    s02 = similarity.s02_ann_hyperplane_lsh(spark, sf_correctness).collect()
+    post = [r for r in s02 if labels[r["neighbor_id"]] != labels[r["q_id"]]]
+    from collections import Counter
+
+    per_q_pre = Counter(r["q_id"] for r in s05)
+    per_q_post = Counter(r["q_id"] for r in post)
+    assert sum(per_q_pre.values()) > sum(per_q_post.values()), (
+        "pre-filtering should deliver more qualifying neighbors than "
+        "post-filtering the unfiltered top-k"
+    )
+    assert all(per_q_post[q] <= per_q_pre[q] for q in per_q_pre)
