@@ -229,3 +229,29 @@ def test_q32_approx_percentile_accuracy(spark, sf_correctness):
         for n in ("p50", "p90", "p99"):
             err = abs(r[f"{n}_approx"] - r[f"{n}_exact"]) / r[f"{n}_exact"]
             assert err <= 0.001, f"{r['o_orderstatus']} {n}: off by {err:.3%}"
+
+
+def test_observation_metrics_without_second_scan(spark, sf_correctness):
+    """Pipeline observability the production way: df.observe() attaches
+    metric aggregates that are computed DURING the action — corpus
+    volume and gate pass-rate come back on the Observation without a
+    second scan (counting stages separately would double-read 100 TB)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.functions.text import token_count
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    obs = Observation("prep")
+    gated = (
+        d.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum((token_count(F.col("text")) >= 20).cast("long")).alias("n_pass"),
+        )
+        .filter(token_count(F.col("text")) >= 20)
+    )
+    n_out = gated.count()
+    assert obs.get["n_in"] == 500
+    assert obs.get["n_pass"] == n_out, "observed gate rate must match output"
