@@ -1582,6 +1582,64 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# q33 — SQL-text surface: correlated EXISTS + scalar subquery + LATERAL
+# ---------------------------------------------------------------------------
+
+def q33_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-TEXT surface: a query submitted as ANSI SQL via
+    ``spark.sql`` (every other q-query is DataFrame API; a drop-in
+    engine must take both), exercising the three subquery shapes
+    Catalyst must decorrelate: a correlated EXISTS (→ left-semi join),
+    a correlated scalar subquery (per-customer max order), and a
+    LATERAL derived table (per-customer top order by value). None of
+    these survive as row-at-a-time subplans — Catalyst rewrites all
+    three into joins/windows, which is why the same text that times out
+    on a naive executor runs at scan speed here.
+
+    The oracle is *near-identical SQL* (DuckDB shares the ANSI forms),
+    making this also a portability check on the SQL dialect core.
+    """
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"q33_{name}")
+    return spark.sql(
+        """
+        WITH big AS (SELECT * FROM q33_orders WHERE o_totalprice > 150000)
+        SELECT c.c_custkey,
+               c.c_name,
+               (SELECT MAX(o.o_totalprice) FROM q33_orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_order,
+               t.top_orderkey
+        FROM q33_customer c,
+             LATERAL (SELECT o.o_orderkey AS top_orderkey
+                        FROM q33_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                       LIMIT 1) t
+        WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+_Q33_SQL = """
+WITH big AS (SELECT * FROM orders WHERE o_totalprice > 150000)
+SELECT c.c_custkey,
+       c.c_name,
+       (SELECT MAX(o.o_totalprice) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_order,
+       t.top_orderkey
+FROM customer c,
+     LATERAL (SELECT o.o_orderkey AS top_orderkey
+                FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+               LIMIT 1) t
+WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1615,6 +1673,7 @@ QUERIES = {
     "q30_sliding_dau": q30_sliding_dau,
     "q31_variant_json": q31_variant_json,
     "q32_approx_percentiles": q32_approx_percentiles,
+    "q33_sql_subqueries": q33_sql_subqueries,
 }
 
 ORACLE = {
@@ -1650,4 +1709,5 @@ ORACLE = {
     "q30_sliding_dau": _Q30_SQL,
     "q31_variant_json": _Q31_SQL,
     "q32_approx_percentiles": _Q32_SQL,
+    "q33_sql_subqueries": _Q33_SQL,
 }
