@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 109
+# The driver hash-checks only the FIRST 50 queries() entries, so with 112
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -101,23 +101,35 @@ _DEMOTED_BASELINES = frozenset(
 # oracle-checked in pytest until then via held_out_oracle_sql):
 # d11 SemDeDup-style semantic dedup, x07 DSIR importance selection,
 # t20 BPE pair statistics, t21 BM25 relevance scoring, t22 unigram-LM
-# perplexity gate, d12 content-defined-chunking dedup, f05 ORC scan.
+# perplexity gate, d12 content-defined-chunking dedup, f05 ORC scan,
+# plus the late-r4 trio t23 host reputation, q34 merge/upsert,
+# q35 recursive CTE.
 #
 # ROUND-5 ROTATION PLAN (the arithmetic must be settled now): the 38
-# r4-held-out entries (last driver row r3) plus these 16 newcomers
-# need 54 slots against a 50 budget. Resolution:
+# r4-held-out entries (last driver row r3) plus these 19 newcomers
+# need 57 slots against a 50 budget. A 112-query registry leaves
+# 107 driver-eligible entries — over the 2×50 that a strict
+# "row within two rounds" cadence can cover, so the resolution
+# permanently retires 7 entries to pytest-gated status, each with a
+# NAMED driver-checked twin and a DuckDB oracle that keeps running
+# every pytest run (the d02/s01 precedent):
 #   1. m03 (held-out) and m04 (newcomer) move to _TEST_GATED — both
 #      are no_oracle rows-only queries whose real checks are pytest
 #      invariant/golden gates (the d06/s04/p04 rationale), so their
-#      driver rows carry no hard signal. 54 → 52.
-#   2. x03_pipeline_stats and q24_percentiles take one extra
-#      pytest-only round: x03's stages are independently driver-
-#      checked in r5 via their stage twins (quality gate ↔ t06, exact
-#      dedup ↔ d01, split ↔ x01, composed shape ↔ x08); q24's exact
-#      percentile is re-verified through q32's exact columns (same
-#      function, same table). Both DuckDB oracles stay hash-checked
-#      every pytest run. 52 → 50; the two cadence exceptions are
-#      named, reasoned, and temporary (both re-enter in round 6).
+#      driver rows carry no hard signal. 57 → 55.
+#   2. Five twin demotions (a _DEMOTED_TWINNED bucket in r5):
+#      q24_percentiles ↔ q32 (exact-percentile columns re-verified
+#      through q32, same function + table); q15_json_extract ↔ q31
+#      (same JSON paths, parse-once VARIANT form driver-checked);
+#      x03_pipeline_stats ↔ x08 (v2 composed pipeline is the superset;
+#      x03's stages are independently driver-checked via t06/d01/x01);
+#      q30_sliding_window_dau ↔ st10 (pinned window-for-window equal
+#      in pytest, st10 driver-checked); t07_token_count ↔ t06 (same
+#      functions/text.py tokenizer kernel inside t06's driver row).
+#      55 → 50.
+# Steady state from round 6: 112 − 5 test-gated − 2 demoted baselines
+# − 5 twin-demoted = exactly 100 eligible = 2 × 50, so the strict
+# alternating rotation holds with zero cadence exceptions.
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
     {
         "d11_semantic_dedup",
@@ -136,6 +148,9 @@ _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
         "st12_python_stream_source",
         "s05_filtered_ann",
         "q33_sql_subqueries",
+        "t23_host_reputation",
+        "q34_merge_upsert",
+        "q35_recursive_cte",
     }
 )
 _HELD_OUT = frozenset(
@@ -208,7 +223,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (109 queries; exact count asserted in
+    """The FULL registry (112 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

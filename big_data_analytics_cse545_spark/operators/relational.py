@@ -1640,6 +1640,162 @@ ORDER BY c.c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q34 — MERGE / upsert semantics (snapshot ⊕ change batch)
+# ---------------------------------------------------------------------------
+
+def q34_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over a snapshot + change batch — the
+    Delta/Iceberg upsert every incrementally-maintained table needs,
+    expressed the way those engines execute it: ONE full-outer equi-join
+    on the merge key, then a row-wise CASE routing each key to
+    inserted / updated / deleted / unchanged. No per-row lookups, no
+    driver loop — the merge is a single shuffle keyed on o_orderkey.
+
+    The change batch is derived deterministically from the snapshot
+    itself (reproducible input): keys ≡1 (mod 10) get a price update
+    (+1000, exact in binary), keys ≡2 (mod 10) a delete, and keys
+    ≡3 (mod 10) spawn an insert under key+1_000_000 at half price
+    (exact /2). Deletes vanish from the output; every surviving row
+    carries its ``action`` so the result doubles as the merge audit.
+
+    At 100 TB: the join is keyed on the snapshot's primary key, so the
+    shuffle is data-proportional ONCE (in production the snapshot side
+    is already bucketed/clustered on the key and doesn't re-shuffle);
+    the change batch is ingest-sized, so AQE broadcasts its side — the
+    same batch-vs-corpus asymmetry as d10. No mandatory broadcast hint.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 10
+    updates = o.where(mod == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + 1000.0).alias("new_price"),
+        F.lit("update").alias("op"),
+    )
+    deletes = o.where(mod == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit("delete").alias("op"),
+    )
+    inserts = o.where(mod == 3).select(
+        (F.col("o_orderkey") + 1000000).alias("k"),
+        (F.col("o_totalprice") / 2.0).alias("new_price"),
+        F.lit("insert").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = o.join(changes, o.o_orderkey == changes.k, "full_outer")
+    return (
+        merged.where((F.col("op").isNull()) | (F.col("op") != "delete"))
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("k")).alias("o_orderkey"),
+            F.when(F.col("op") == "update", F.col("new_price"))
+            .when(F.col("op") == "insert", F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.coalesce(F.col("op"), F.lit("unchanged")).alias("action"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_Q34_SQL = """
+WITH changes AS (
+  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS new_price,
+         'update' AS op
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS new_price,
+         'delete' AS op
+  FROM orders WHERE o_orderkey % 10 = 2
+  UNION ALL
+  SELECT o_orderkey + 1000000 AS k, o_totalprice / 2.0 AS new_price,
+         'insert' AS op
+  FROM orders WHERE o_orderkey % 10 = 3
+)
+SELECT COALESCE(o.o_orderkey, c.k) AS o_orderkey,
+       CASE WHEN c.op IN ('update', 'insert') THEN c.new_price
+            ELSE o.o_totalprice END AS o_totalprice,
+       COALESCE(c.op, 'unchanged') AS action
+FROM orders o
+FULL OUTER JOIN changes c ON o.o_orderkey = c.k
+WHERE c.op IS NULL OR c.op <> 'delete'
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q35 — recursive CTE (WITH RECURSIVE hierarchy walk, Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+def q35_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` on the SQL-text surface (Spark 4 executes the
+    ANSI recursive-CTE form natively) — the declarative spelling of the
+    iterative fixpoint d08's connected-components loop hand-builds.
+    A synthetic tree over customers (parent(c) = c DIV 7, custkey 0 the
+    root) is walked from the root, accumulating per-customer depth and
+    the exact BIGINT sum of ancestor keys along the path; the recursion
+    is bounded at ⌈log₇(max_custkey)⌉ ≈ 4 levels, so the fixpoint
+    terminates in a handful of iterations regardless of corpus size.
+
+    The oracle is near-verbatim SQL (DuckDB shares WITH RECURSIVE), so
+    this doubles as a dialect-portability pin like q33.
+
+    At 100 TB: each recursion level is ONE equi-join keyed on the
+    parent key (children shuffle on c_custkey DIV 7) — per-level cost
+    is a data-proportional keyed shuffle exactly like d08's CC rounds,
+    and the level count grows logarithmically (tree depth), not with
+    rows. The accumulated column is integer-exact, so results are
+    independent of join order and parallelism.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q35_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk (c_custkey, depth, path_key_sum) AS (
+          SELECT CAST(0 AS BIGINT), 0, CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT c.c_custkey,
+                 w.depth + 1,
+                 w.path_key_sum + c.c_custkey
+          FROM q35_customer c
+          JOIN walk w ON c.c_custkey DIV 7 = w.c_custkey
+          WHERE c.c_custkey <> 0
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(path_key_sum) AS BIGINT) AS sum_path_keys,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+               CAST(MAX(c_custkey) AS BIGINT) AS max_key
+        FROM walk
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+_Q35_SQL = """
+WITH RECURSIVE walk (c_custkey, depth, path_key_sum) AS (
+  SELECT CAST(0 AS BIGINT), 0, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT c.c_custkey,
+         w.depth + 1,
+         w.path_key_sum + c.c_custkey
+  FROM customer c
+  JOIN walk w ON c.c_custkey // 7 = w.c_custkey
+  WHERE c.c_custkey <> 0
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(path_key_sum) AS BIGINT) AS sum_path_keys,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM walk
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1674,6 +1830,8 @@ QUERIES = {
     "q31_variant_json": q31_variant_json,
     "q32_approx_percentiles": q32_approx_percentiles,
     "q33_sql_subqueries": q33_sql_subqueries,
+    "q34_merge_upsert": q34_merge_upsert,
+    "q35_recursive_cte": q35_recursive_cte,
 }
 
 ORACLE = {
@@ -1710,4 +1868,6 @@ ORACLE = {
     "q31_variant_json": _Q31_SQL,
     "q32_approx_percentiles": _Q32_SQL,
     "q33_sql_subqueries": _Q33_SQL,
+    "q34_merge_upsert": _Q34_SQL,
+    "q35_recursive_cte": _Q35_SQL,
 }

@@ -1613,6 +1613,99 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t23 — host/domain reputation filter (C4 / RefinedWeb per-domain stage)
+# ---------------------------------------------------------------------------
+
+# A host is dropped when at least this fraction of its docs is junk
+# (junk = shorter than T23_JUNK_CHARS chars): junk*4 >= n ⇔ ≥25%.
+T23_JUNK_CHARS = 200
+T23_MIN_SUPPORT = 4
+
+
+def t23_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host (domain) reputation filtering — the crawl-pipeline stage
+    that C4/RefinedWeb run before any per-document work: aggregate
+    quality signals BY HOST, then drop entire hosts that are majority
+    junk or too thin to judge. A host-level verdict catches spam/SEO
+    farms whose individual pages each pass per-doc filters.
+
+    The documents table has no host column, so each doc derives a
+    deterministic host from its own fields (t18's construction
+    discipline — the derivation is reproducible input, the host-level
+    aggregation+verdict is the operator under test). Verdict rules are
+    pure integer arithmetic (no float thresholds): ``low_support`` when
+    n_docs < {S}, ``junky`` when junk_docs*4 >= n_docs (≥25% of docs
+    under {J} chars), else ``keep``; mean_chars_x100 uses integer
+    ``div`` so the oracle hash is exact.
+
+    At 100 TB: stage 1 is a partial+final agg keyed by host over
+    (host, n_chars)-sized rows — doc TEXT never shuffles, and hot hosts
+    cannot skew it because combining happens map-side. The output
+    relation is hosts (millions, not billions) — in production it
+    broadcast-joins back onto the doc scan as the keep/drop gate, the
+    same small-verdict-relation shape as d07's decontamination list.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hosted = d.select(
+        F.concat(
+            F.col("source"),
+            F.lit("-h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "n_chars",
+    )
+    stats = hosted.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("n_chars") < T23_JUNK_CHARS).cast("bigint")
+        ).alias("junk_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return stats.select(
+        "host",
+        "n_docs",
+        "junk_docs",
+        F.expr("(sum_chars * 100) div n_docs").alias("mean_chars_x100"),
+        F.when(F.col("n_docs") < T23_MIN_SUPPORT, "low_support")
+        .when(F.col("junk_docs") * 4 >= F.col("n_docs"), "junky")
+        .otherwise("keep")
+        .alias("verdict"),
+    ).orderBy("host")
+
+
+t23_host_reputation.__doc__ = t23_host_reputation.__doc__.format(
+    S=T23_MIN_SUPPORT, J=T23_JUNK_CHARS
+)
+
+
+_T23_SQL = f"""
+WITH hosted AS (
+  SELECT source || '-h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+           AS host,
+         n_chars
+  FROM documents
+),
+stats AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_chars < {T23_JUNK_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS junk_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM hosted
+  GROUP BY host
+)
+SELECT host, n_docs, junk_docs,
+       (sum_chars * 100) // n_docs AS mean_chars_x100,
+       CASE WHEN n_docs < {T23_MIN_SUPPORT} THEN 'low_support'
+            WHEN junk_docs * 4 >= n_docs THEN 'junky'
+            ELSE 'keep' END AS verdict
+FROM stats
+ORDER BY host
+"""
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -1636,6 +1729,7 @@ QUERIES = {
     "t20_bpe_pair_stats": t20_bpe_pair_stats,
     "t21_bm25_score": t21_bm25_score,
     "t22_unigram_nll": t22_unigram_nll,
+    "t23_host_reputation": t23_host_reputation,
 }
 
 ORACLE = {
@@ -1665,4 +1759,5 @@ ORACLE = {
     "t20_bpe_pair_stats": _T20_SQL,
     "t21_bm25_score": _T21_SQL,
     "t22_unigram_nll": _T22_SQL,
+    "t23_host_reputation": _T23_SQL,
 }

@@ -54,3 +54,53 @@ def test_q30_wau_equals_naive_trailing_window(spark, sf_smoke):
         assert dau == len(by_day[d])
         assert wau == len(naive)
         assert wau >= dau
+
+
+def test_q34_merge_audit_balances(spark, sf_correctness):
+    """MERGE bookkeeping: output = base − deletes + inserts; no delete
+    rows survive; updates are exactly base+1000; inserts live in the
+    shifted key range at half the source price."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    base = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in load_table(spark, sf_correctness, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    n_upd = sum(1 for k in base if k % 10 == 1)
+    n_del = sum(1 for k in base if k % 10 == 2)
+    n_ins = sum(1 for k in base if k % 10 == 3)
+    rows = relational.q34_merge_upsert(spark, sf_correctness).collect()
+    assert len(rows) == len(base) - n_del + n_ins
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], []).append(r)
+        assert r["action"] != "delete"
+    assert len(by_action["update"]) == n_upd
+    assert len(by_action["insert"]) == n_ins
+    # keys ≡3 (mod 10) SPAWN inserts under shifted keys; their own base
+    # rows pass through unchanged — only updates/deletes touch base rows.
+    assert len(by_action["unchanged"]) == len(base) - n_upd - n_del
+    for r in by_action["update"]:
+        assert r["o_totalprice"] == base[r["o_orderkey"]] + 1000.0
+    for r in by_action["insert"]:
+        src = r["o_orderkey"] - 1000000
+        assert src % 10 == 3 and r["o_totalprice"] == base[src] / 2.0
+
+
+def test_q35_recursion_is_bounded_and_total(spark, sf_correctness):
+    """The hierarchy walk must reach EVERY customer exactly once
+    (partition of the table across depths), start from a single root,
+    and terminate within the ⌈log₇(max_custkey)⌉ bound the 100 TB
+    argument relies on."""
+    import math
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    c = load_table(spark, sf_correctness, "customer")
+    n, kmax = c.count(), c.agg({"c_custkey": "max"}).collect()[0][0]
+    rows = relational.q35_recursive_cte(spark, sf_correctness).collect()
+    assert rows[0]["depth"] == 0 and rows[0]["n_customers"] == 1
+    assert sum(r["n_customers"] for r in rows) == n
+    assert max(r["depth"] for r in rows) <= math.ceil(math.log(kmax, 7))

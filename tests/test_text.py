@@ -254,3 +254,22 @@ def test_t22_bucket_matches_thresholds(spark, sf_correctness):
     assert {r["ppl_bucket"] for r in rows} >= {"head", "middle"}, (
         "thresholds should split the corpus into at least two buckets"
     )
+
+
+def test_t23_verdicts_are_pure_functions_of_stats(spark, sf_correctness):
+    """Each host's verdict must be recomputable row-by-row from its own
+    (n_docs, junk_docs), and the fixture must exercise ALL THREE verdicts
+    — a reputation filter that never fires is untested."""
+    rows = text.t23_host_reputation(spark, sf_correctness).collect()
+    assert len(rows) == 140  # 20 sources × 7 derived hosts
+    for r in rows:
+        if r["n_docs"] < text.T23_MIN_SUPPORT:
+            exp = "low_support"
+        elif r["junk_docs"] * 4 >= r["n_docs"]:
+            exp = "junky"
+        else:
+            exp = "keep"
+        assert r["verdict"] == exp, r
+        assert 0 <= r["junk_docs"] <= r["n_docs"]
+        assert r["mean_chars_x100"] > 0
+    assert {r["verdict"] for r in rows} == {"keep", "junky", "low_support"}
