@@ -1646,56 +1646,57 @@ ORDER BY c.c_custkey
 
 def q34_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics over a snapshot + change batch — the
-    Delta/Iceberg upsert every incrementally-maintained table needs,
-    expressed the way those engines execute it: ONE full-outer equi-join
-    on the merge key, then a row-wise CASE routing each key to
-    inserted / updated / deleted / unchanged. No per-row lookups, no
-    driver loop — the merge is a single shuffle keyed on o_orderkey.
+    Delta/Iceberg upsert every incrementally-maintained table needs.
+    The GENERAL merge is one full-outer join on the key (the oracle
+    keeps that spelling, so the hash-compare doubles as a
+    cross-formulation equivalence proof); this implementation lowers to
+    the scalable special case every upsert-by-key protocol permits:
+    matched ops (update/delete) via LEFT JOIN, not-matched inserts via
+    UNION ALL — valid because insert keys are disjoint from the
+    snapshot by construction. The distinction matters at scale: Spark
+    cannot broadcast EITHER side of a full-outer join (both sides
+    would shuffle the snapshot), but the LEFT-join form lets AQE
+    broadcast the ingest-sized change batch so the snapshot NEVER
+    shuffles — the d10 batch-vs-corpus asymmetry. No forced hint.
 
     The change batch is derived deterministically from the snapshot
     itself (reproducible input): keys ≡1 (mod 10) get a price update
     (+1000, exact in binary), keys ≡2 (mod 10) a delete, and keys
-    ≡3 (mod 10) spawn an insert under key+1_000_000 at half price
-    (exact /2). Deletes vanish from the output; every surviving row
-    carries its ``action`` so the result doubles as the merge audit.
-
-    At 100 TB: the join is keyed on the snapshot's primary key, so the
-    shuffle is data-proportional ONCE (in production the snapshot side
-    is already bucketed/clustered on the key and doesn't re-shuffle);
-    the change batch is ingest-sized, so AQE broadcasts its side — the
-    same batch-vs-corpus asymmetry as d10. No mandatory broadcast hint.
+    ≡3 (mod 10) spawn an insert under key+10^8 (collision-free at any
+    SF) at half price (exact /2). Deletes vanish from the output; every
+    surviving row carries its ``action`` as the merge audit.
     """
     o = load_table(spark, sf_dir, "orders")
     mod = F.col("o_orderkey") % 10
-    updates = o.where(mod == 1).select(
-        F.col("o_orderkey").alias("k"),
-        (F.col("o_totalprice") + 1000.0).alias("new_price"),
-        F.lit("update").alias("op"),
-    )
-    deletes = o.where(mod == 2).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit(None).cast("double").alias("new_price"),
-        F.lit("delete").alias("op"),
+    matched = (
+        o.where(mod.isin(1, 2))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(mod == 1, F.col("o_totalprice") + 1000.0).alias(
+                "new_price"
+            ),
+            F.when(mod == 1, F.lit("update"))
+            .otherwise(F.lit("delete"))
+            .alias("op"),
+        )
     )
     inserts = o.where(mod == 3).select(
-        (F.col("o_orderkey") + 1000000).alias("k"),
-        (F.col("o_totalprice") / 2.0).alias("new_price"),
-        F.lit("insert").alias("op"),
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        (F.col("o_totalprice") / 2.0).alias("o_totalprice"),
+        F.lit("insert").alias("action"),
     )
-    changes = updates.unionByName(deletes).unionByName(inserts)
-    merged = o.join(changes, o.o_orderkey == changes.k, "full_outer")
-    return (
-        merged.where((F.col("op").isNull()) | (F.col("op") != "delete"))
+    upserted = (
+        o.join(matched, o.o_orderkey == matched.k, "left")
+        .where((F.col("op").isNull()) | (F.col("op") != "delete"))
         .select(
-            F.coalesce(F.col("o_orderkey"), F.col("k")).alias("o_orderkey"),
+            "o_orderkey",
             F.when(F.col("op") == "update", F.col("new_price"))
-            .when(F.col("op") == "insert", F.col("new_price"))
             .otherwise(F.col("o_totalprice"))
             .alias("o_totalprice"),
             F.coalesce(F.col("op"), F.lit("unchanged")).alias("action"),
         )
-        .orderBy("o_orderkey")
     )
+    return upserted.unionByName(inserts).orderBy("o_orderkey")
 
 
 _Q34_SQL = """
@@ -1708,7 +1709,7 @@ WITH changes AS (
          'delete' AS op
   FROM orders WHERE o_orderkey % 10 = 2
   UNION ALL
-  SELECT o_orderkey + 1000000 AS k, o_totalprice / 2.0 AS new_price,
+  SELECT o_orderkey + 100000000 AS k, o_totalprice / 2.0 AS new_price,
          'insert' AS op
   FROM orders WHERE o_orderkey % 10 = 3
 )

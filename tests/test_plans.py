@@ -255,3 +255,25 @@ def test_observation_metrics_without_second_scan(spark, sf_correctness):
     n_out = gated.count()
     assert obs.get["n_in"] == 500
     assert obs.get["n_pass"] == n_out, "observed gate rate must match output"
+
+
+def test_q34_merge_broadcasts_changes_snapshot_never_shuffles(spark, sf_correctness):
+    """The MERGE lowering must keep the snapshot shuffle-free: the
+    matched-ops join broadcasts the change batch (LEFT JOIN form — a
+    FULL OUTER join could broadcast neither side and would shuffle the
+    snapshot twice). The only exchange allowed is the final
+    result-ordering sort."""
+    from big_data_analytics_cse545_spark.plans import (
+        explain_str,
+        shuffle_exchanges,
+    )
+
+    df = relational.q34_merge_upsert(spark, sf_correctness)
+    assert "FullOuter" not in explain_str(df), (
+        "merge regressed to full-outer join"
+    )
+    assert has_broadcast_join(df), "change batch should broadcast"
+    shuffles = shuffle_exchanges(df)
+    assert len(shuffles) <= 1 and all(
+        s.startswith("rangepartitioning") for s in shuffles
+    ), f"snapshot shuffles beyond the result sort: {shuffles}"
