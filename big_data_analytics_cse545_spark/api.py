@@ -1150,6 +1150,106 @@ def cdc_dedup(
     )
 
 
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    *,
+    op_col: str = "op",
+    assume_disjoint_inserts: bool = False,
+    with_action: bool = False,
+) -> DataFrame:
+    """Generic MERGE INTO over arbitrary DataFrames (q34 semantics,
+    operators/relational.py): ``changes`` carries the merge key, an
+    ``op`` column ('update' | 'delete' | 'insert'), and the FULL
+    non-key payload (same column names as ``snapshot``). Matched
+    updates replace the row, matched deletes drop it, inserts append
+    WHEN NOT MATCHED (keys already in the snapshot are ignored, ANSI
+    MERGE's not-matched contract).
+
+    Scale shape: matched ops go through a LEFT join the planner can
+    broadcast (ingest-sized batch vs corpus-sized snapshot — Spark can
+    broadcast neither side of the FULL OUTER spelling, which is why
+    the lowering matters); the not-matched check is a LEFT ANTI join
+    that shuffles only the key column of the snapshot. When the change
+    protocol guarantees insert keys are new (staging IDs, monotonic
+    keys), pass ``assume_disjoint_inserts=True`` to skip that anti
+    join entirely — then the snapshot side never shuffles at all.
+    """
+    payload = [c for c in snapshot.columns if c != key_col]
+    missing = [c for c in [key_col, op_col, *payload] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    op = F.col(f"__c.{op_col}")
+    matched = changes.where(F.col(op_col) != "insert").alias("__c")
+    merged = (
+        snapshot.alias("__s")
+        .join(matched, F.col(f"__s.{key_col}") == F.col(f"__c.{key_col}"), "left")
+        .where(op.isNull() | (op != "delete"))
+        .select(
+            F.col(f"__s.{key_col}").alias(key_col),
+            *[
+                F.when(op == "update", F.col(f"__c.{c}"))
+                .otherwise(F.col(f"__s.{c}"))
+                .alias(c)
+                for c in payload
+            ],
+            F.coalesce(op, F.lit("unchanged")).alias("__action"),
+        )
+    )
+    inserts = changes.where(F.col(op_col) == "insert")
+    if not assume_disjoint_inserts:
+        inserts = inserts.join(
+            snapshot.select(key_col), on=key_col, how="left_anti"
+        )
+    inserts = inserts.select(
+        key_col, *payload, F.lit("insert").alias("__action")
+    )
+    out = merged.unionByName(inserts)
+    if with_action:
+        return out.withColumnRenamed("__action", "action")
+    return out.drop("__action")
+
+
+def host_reputation(
+    df: DataFrame,
+    host_col: str,
+    junk_col: str,
+    *,
+    min_support: int = 4,
+    junk_frac: float = 0.25,
+) -> DataFrame:
+    """Per-host (domain) reputation verdicts over arbitrary rows (t23
+    semantics, operators/text.py): aggregate a caller-supplied boolean
+    junk signal BY HOST and return one row per host — (host, n_docs,
+    junk_docs, verdict) with verdict ∈ {'low_support', 'junky',
+    'keep'}. Join the 'keep' hosts back onto the corpus as the
+    drop-entire-domains gate C4/RefinedWeb apply before any per-doc
+    filtering; the verdict relation is hosts-sized (millions, not
+    billions), so that join broadcasts.
+
+    One partial+final aggregation keyed by host; only (host, junk)
+    pairs shuffle, never document payloads.
+    """
+    stats = (
+        df.select(F.col(host_col).alias("host"), F.col(junk_col).alias("__junk"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__junk").cast("bigint")).alias("junk_docs"),
+        )
+    )
+    return stats.select(
+        "host",
+        "n_docs",
+        "junk_docs",
+        F.when(F.col("n_docs") < min_support, "low_support")
+        .when(F.col("junk_docs") >= F.col("n_docs") * F.lit(junk_frac), "junky")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
 def save_dedup_index(index: dict, path: str) -> None:
     """Persist a :func:`dedup_index` to ``path`` (one parquet directory
     per relation + a one-row ``params`` parquet) so successive ingest

@@ -526,3 +526,99 @@ def test_dedup_index_save_load_roundtrip(spark, sf_correctness, tmp_path):
     assert direct == reloaded and direct
     with pytest.raises(ValueError, match="built with"):
         api.incremental_dedup(batch, index=loaded, n_hashes=16)
+
+
+def test_merge_upsert_matches_q34(spark, sf_correctness):
+    """api.merge_upsert with q34's change batch must reproduce q34's
+    merged snapshot exactly, via BOTH the anti-join general path and
+    the disjoint-inserts fast path."""
+    from big_data_analytics_cse545_spark.operators import relational
+
+    o = load_table(spark, sf_correctness, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mod = F.col("o_orderkey") % 10
+    changes = (
+        o.where(mod == 1)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            F.lit("update").alias("op"),
+        )
+        .unionByName(
+            o.where(mod == 2).select(
+                "o_orderkey", "o_totalprice", F.lit("delete").alias("op")
+            )
+        )
+        .unionByName(
+            o.where(mod == 3).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                (F.col("o_totalprice") / 2.0).alias("o_totalprice"),
+                F.lit("insert").alias("op"),
+            )
+        )
+    )
+    exp = sorted(
+        (r["o_orderkey"], r["o_totalprice"], r["action"])
+        for r in relational.q34_merge_upsert(spark, sf_correctness).collect()
+    )
+    for disjoint in (False, True):
+        got = sorted(
+            (r["o_orderkey"], r["o_totalprice"], r["action"])
+            for r in api.merge_upsert(
+                o,
+                changes,
+                "o_orderkey",
+                assume_disjoint_inserts=disjoint,
+                with_action=True,
+            ).collect()
+        )
+        assert got == exp, f"disjoint={disjoint}"
+
+
+def test_merge_upsert_ignores_matched_inserts_and_validates_schema(spark):
+    """ANSI not-matched contract: an insert whose key already exists in
+    the snapshot is a no-op (general path); missing payload columns in
+    the change batch fail loudly."""
+    import pytest
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    ch = spark.createDataFrame(
+        [(2, "colliding", "insert"), (3, "new", "insert")], ["k", "v", "op"]
+    )
+    out = {
+        r["k"]: (r["v"], r["action"])
+        for r in api.merge_upsert(snap, ch, "k", with_action=True).collect()
+    }
+    assert out == {1: ("a", "unchanged"), 2: ("b", "unchanged"), 3: ("new", "insert")}
+    with pytest.raises(ValueError, match="missing columns"):
+        api.merge_upsert(snap, ch.drop("v"), "k")
+
+
+def test_host_reputation_matches_t23(spark, sf_correctness):
+    """api.host_reputation with t23's derived host + junk signal and
+    thresholds must assign identical verdicts."""
+    d = load_table(spark, sf_correctness, "documents").select(
+        F.concat(
+            F.col("source"),
+            F.lit("-h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        (F.col("n_chars") < text_ops.T23_JUNK_CHARS).alias("is_junk"),
+    )
+    got = {
+        r["host"]: (r["n_docs"], r["junk_docs"], r["verdict"])
+        for r in api.host_reputation(
+            d,
+            "host",
+            "is_junk",
+            min_support=text_ops.T23_MIN_SUPPORT,
+            junk_frac=0.25,
+        ).collect()
+    }
+    exp = {
+        r["host"]: (r["n_docs"], r["junk_docs"], r["verdict"])
+        for r in text_ops.t23_host_reputation(spark, sf_correctness).collect()
+    }
+    assert got == exp
