@@ -277,3 +277,24 @@ def test_q34_merge_broadcasts_changes_snapshot_never_shuffles(spark, sf_correctn
     assert len(shuffles) <= 1 and all(
         s.startswith("rangepartitioning") for s in shuffles
     ), f"snapshot shuffles beyond the result sort: {shuffles}"
+
+
+def test_x06_cluster_relation_carries_no_broadcast_hint(spark, sf_correctness):
+    """Round-3 scale flag, pinned closed: x06 (and api.leakage_safe_split)
+    must not FORCE-broadcast the near-dup cluster relation — it is
+    corpus-proportional at real dup rates, and a mandatory hint bypasses
+    Spark's size check (OOM at scale instead of degrading to a shuffle
+    join). AQE may still *choose* a broadcast when the relation fits;
+    what this gate forbids is the hint."""
+    from big_data_analytics_cse545_spark import api
+    from big_data_analytics_cse545_spark.operators import sampling
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    assert hints(sampling.x06_leakage_safe_split(spark, sf_correctness)) == 0
+    docs = load_table(spark, sf_correctness, "documents")
+    assert hints(api.leakage_safe_split(docs, "text", "doc_id")) == 0
