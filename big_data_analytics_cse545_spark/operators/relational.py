@@ -1746,7 +1746,13 @@ def q35_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a data-proportional keyed shuffle exactly like d08's CC rounds,
     and the level count grows logarithmically (tree depth), not with
     rows. The accumulated column is integer-exact, so results are
-    independent of join order and parallelism.
+    independent of join order and parallelism. Production gotcha, pinned
+    in tests/test_relational.py: Spark guards runaway recursion with
+    ``spark.sql.cteRecursionLevelLimit`` (default 100 — ample here) AND
+    ``spark.sql.cteRecursionRowLimit`` (default 1 000 000 TOTAL rows
+    across all levels) — a corpus-sized walk emits one row per entity,
+    so at scale the row limit must be raised to ≥ N (or -1) or the
+    query fails mid-flight by design, not silently truncates.
     """
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "q35_customer"

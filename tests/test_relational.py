@@ -104,3 +104,24 @@ def test_q35_recursion_is_bounded_and_total(spark, sf_correctness):
     assert rows[0]["depth"] == 0 and rows[0]["n_customers"] == 1
     assert sum(r["n_customers"] for r in rows) == n
     assert max(r["depth"] for r in rows) <= math.ceil(math.log(kmax, 7))
+
+
+def test_q35_row_limit_guard_fails_loudly_not_truncates(spark, sf_correctness):
+    """Spark bounds recursive CTEs by TOTAL emitted rows
+    (spark.sql.cteRecursionRowLimit, default 1e6) — at corpus scale the
+    walk emits one row per entity, so operators must raise the limit or
+    fail. Pin the failure mode: a too-small limit ERRORS (no silent
+    truncation), and restoring the limit restores the full result."""
+    import pytest
+
+    key = "spark.sql.cteRecursionRowLimit"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10")
+        with pytest.raises(Exception, match="(?i)recursion|limit"):
+            relational.q35_recursive_cte(spark, sf_correctness).collect()
+        spark.conf.set(key, orig)
+        rows = relational.q35_recursive_cte(spark, sf_correctness).collect()
+        assert sum(r["n_customers"] for r in rows) == 1500
+    finally:
+        spark.conf.set(key, orig)
