@@ -1250,6 +1250,72 @@ def host_reputation(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    tau: float = 0.4,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Production form of d11's SemDeDup-style semantic dedup
+    (operators/dedup.py): same hyperplane cells, same greedy min-id
+    retention, but the intra-cell cosine runs as ONE BLAS matmul per
+    cell inside an Arrow-batched ``applyInPandas`` kernel instead of a
+    per-pair JVM expression tree. Decision-equal to d11 on the fixture
+    (pinned in test_api: both round the cosine to 6 decimals before the
+    τ compare, so BLAS-vs-expression summation order cannot flip a
+    verdict). Returns (id, cell, kept, dup_of).
+
+    Scale shape is identical to d11 — ONE shuffle keyed by cell, cell
+    size bounded by the ``planes`` knob (raise with log₂ corpus growth;
+    the knob is measured in SCALE.md / bench_runs/r4_scale_d11.jsonl) —
+    but the per-pair constant drops from ~33 µs (expression cosine) to
+    a vectorized matmul, which is what you want when cells carry
+    thousands of vectors. Per-task memory is O(cell²) for the similarity
+    block, the same budget the d05 block kernel runs under.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analytics_cse545_spark.operators.similarity import (
+        hyperplane_bucket_expr,
+    )
+
+    src = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        hyperplane_bucket_expr(emb_col, n_planes=planes, dim=dim)
+        .cast("int")
+        .alias("cell"),
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        sim = np.round((x / norms[:, None]) @ (x / norms[:, None]).T, 6)
+        dup_of: list[int | None] = [None] * len(pdf)
+        for j in range(1, len(pdf)):
+            hits = np.nonzero(sim[:j, j] >= tau)[0]
+            if hits.size:
+                dup_of[j] = int(pdf["vec_id"].iloc[hits[0]])
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "kept": pd.array([d is None for d in dup_of], dtype="boolean"),
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+            }
+        )
+
+    return src.groupBy("cell").applyInPandas(
+        dedup_cell, schema="vec_id long, cell int, kept boolean, dup_of long"
+    )
+
+
 def save_dedup_index(index: dict, path: str) -> None:
     """Persist a :func:`dedup_index` to ``path`` (one parquet directory
     per relation + a one-row ``params`` parquet) so successive ingest

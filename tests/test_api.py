@@ -622,3 +622,25 @@ def test_host_reputation_matches_t23(spark, sf_correctness):
         for r in text_ops.t23_host_reputation(spark, sf_correctness).collect()
     }
     assert got == exp
+
+
+def test_semantic_dedup_matches_d11(spark, sf_correctness):
+    """The BLAS production form must reproduce d11's verdicts exactly —
+    both round the cosine to 6 decimals before the τ compare, so
+    summation-order differences cannot flip a decision."""
+    exp = {
+        r["vec_id"]: (r["cell"], r["kept"], r["dup_of"])
+        for r in dedup.d11_semantic_dedup(spark, sf_correctness).collect()
+    }
+    e = load_table(spark, sf_correctness, "embeddings")
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"], r["dup_of"])
+        for r in api.semantic_dedup(
+            e,
+            "embedding",
+            "vec_id",
+            tau=dedup.SEMDEDUP_TAU,
+            planes=dedup.SEMDEDUP_PLANES,
+        ).collect()
+    }
+    assert got == exp
