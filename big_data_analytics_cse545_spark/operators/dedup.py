@@ -1137,6 +1137,11 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference lineage: the funnel is a2's candidates-then-exact-verify
     (``Assignment 2/a2_ahuja.py:164-170``) with hyperplane cells in
     place of minhash bands.
+
+    This is the ORACLE form (the cosine is re-derivable in SQL); the
+    production form is ``api.semantic_dedup`` — decision-equal, one
+    BLAS matmul per cell (measured 5–180× faster at 10× scale,
+    SCALE.md / bench_runs/r4_scale_d11.jsonl).
     """
     from big_data_analytics_cse545_spark.functions.vectors import cosine
     from big_data_analytics_cse545_spark.operators.similarity import (
