@@ -100,24 +100,47 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     base_planes = dedup.SEMDEDUP_PLANES
-    # (k, extra_planes): fixed-planes curve (expected superlinear, ~k²
-    # in pair work) + the ⌈log₂ k⌉-mitigation point at 10× (expected
-    # back to ~linear; 10× at FIXED planes is ~100× pair work — the
-    # point of the curve is that you never run that configuration)
-    configs = [(1, 0), (2, 0), (3, 0), (5, 0), (10, 4)]
+    # (k, extra_planes, form): fixed-planes curve for the oracle form
+    # (expected superlinear, ~k² in pair work) + the ⌈log₂ k⌉-mitigation
+    # point at 10× (expected back to ~linear; 10× at FIXED planes is
+    # ~100× pair work — the point of the curve is that you never run
+    # that configuration), plus the BLAS api form (api.semantic_dedup)
+    # at both 10× settings — including the 25 M-pair planes=4 point the
+    # expression form cannot afford, which is the production-form
+    # headline.
+    configs = [
+        (1, 0, "d11"),
+        (2, 0, "d11"),
+        (3, 0, "d11"),
+        (5, 0, "d11"),
+        (10, 4, "d11"),
+        (10, 4, "api"),
+        (10, 0, "api"),
+    ]
+    from big_data_analytics_cse545_spark import api
+
     dirs = {}
-    for k, _ in configs:
+    for k, _, _ in configs:
         if k not in dirs:
             d = f"/tmp/scale_emb_{k}x"
             rows = make_corpus(k, d)
             dirs[k] = (d, rows)
     try:
         for run in range(repeats):
-            for k, extra in configs:
+            for k, extra, form in configs:
                 d, rows = dirs[k]
                 dedup.SEMDEDUP_PLANES = base_planes + extra
                 t0 = time.monotonic()
-                out = dedup.d11_semantic_dedup(spark, d)
+                if form == "api":
+                    out = api.semantic_dedup(
+                        spark.read.parquet(f"{d}/embeddings.parquet"),
+                        "embedding",
+                        "vec_id",
+                        tau=dedup.SEMDEDUP_TAU,
+                        planes=base_planes + extra,
+                    )
+                else:
+                    out = dedup.d11_semantic_dedup(spark, d)
                 kept = out.where("kept").count()
                 total = out.count()
                 dt = time.monotonic() - t0
@@ -132,6 +155,7 @@ def main() -> None:
                         {
                             "k": k,
                             "planes": base_planes + extra,
+                            "form": form,
                             "rows": rows,
                             "sec": round(dt, 3),
                             "kept": kept,
