@@ -1180,8 +1180,45 @@ def merge_upsert(
     missing = [c for c in [key_col, op_col, *payload] if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
+    # Execution-time guards (raise_error fires when the plan runs, so
+    # the function stays lazy): the op domain is closed — a NULL or
+    # misspelled op would otherwise silently vanish or no-op — and a key
+    # may carry at most ONE matched op, or the LEFT join would fan the
+    # snapshot row out into silent duplicates (ANSI/Delta MERGE raise
+    # on multiple matches; so do we).
+    changes = changes.withColumn(
+        op_col,
+        F.when(
+            F.col(op_col).isin("update", "delete", "insert"), F.col(op_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_upsert: invalid op "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                    F.lit(" (must be update/delete/insert)"),
+                )
+            )
+        ),
+    )
+    # The guard lives INSIDE the op column (not a dropped helper column,
+    # which Catalyst would prune away along with the error).
+    matched = (
+        changes.where(F.col(op_col) != "insert")
+        .withColumn(
+            op_col,
+            F.when(
+                F.count(F.lit(1)).over(Window.partitionBy(key_col)) > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_upsert: multiple matched ops for key "),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+            ).otherwise(F.col(op_col)),
+        )
+        .alias("__c")
+    )
     op = F.col(f"__c.{op_col}")
-    matched = changes.where(F.col(op_col) != "insert").alias("__c")
     merged = (
         snapshot.alias("__s")
         .join(matched, F.col(f"__s.{key_col}") == F.col(f"__c.{key_col}"), "left")
@@ -1229,8 +1266,16 @@ def host_reputation(
     billions), so that join broadcasts.
 
     One partial+final aggregation keyed by host; only (host, junk)
-    pairs shuffle, never document payloads.
+    pairs shuffle, never document payloads. The junky compare runs in
+    exact integer arithmetic (junk·den ≥ n·num with junk_frac reduced
+    to a rational) — a float multiply would misclassify boundary hosts
+    for non-dyadic fractions (n_docs·0.1 is 3.0000000000000004 in
+    double, so a host at exactly 10% junk would escape), the same
+    t23 discipline.
     """
+    from fractions import Fraction
+
+    frac = Fraction(junk_frac).limit_denominator(1_000_000)
     stats = (
         df.select(F.col(host_col).alias("host"), F.col(junk_col).alias("__junk"))
         .groupBy("host")
@@ -1244,7 +1289,11 @@ def host_reputation(
         "n_docs",
         "junk_docs",
         F.when(F.col("n_docs") < min_support, "low_support")
-        .when(F.col("junk_docs") >= F.col("n_docs") * F.lit(junk_frac), "junky")
+        .when(
+            F.col("junk_docs") * F.lit(frac.denominator)
+            >= F.col("n_docs") * F.lit(frac.numerator),
+            "junky",
+        )
         .otherwise("keep")
         .alias("verdict"),
     )
@@ -1263,15 +1312,20 @@ def semantic_dedup(
     (operators/dedup.py): same hyperplane cells, same greedy min-id
     retention, but the intra-cell cosine runs as ONE BLAS matmul per
     cell inside an Arrow-batched ``applyInPandas`` kernel instead of a
-    per-pair JVM expression tree. Decision-equal to d11 on the fixture
-    (pinned in test_api: both round the cosine to 6 decimals before the
-    τ compare, so BLAS-vs-expression summation order cannot flip a
-    verdict). Returns (id, cell, kept, dup_of).
+    per-pair JVM expression tree. Decision-equal to d11 (pinned in
+    test_api): the kernel reproduces d11's comparison semantics exactly
+    — Spark HALF_UP rounding to 6 decimals (not numpy's half-to-even)
+    before the τ compare, and zero-norm vectors treated as dups of any
+    earlier cell-mate (d11's 0/0 cosine is NaN, and NaN compares
+    greater than any number in Spark). The 6-decimal round collapses
+    BLAS-vs-expression summation-order ulp drift except for a cosine
+    landing within ~1e-15 of a rounding boundary — vanishingly unlikely,
+    not impossible. Returns (id, cell, kept, dup_of).
 
     Scale shape is identical to d11 — ONE shuffle keyed by cell, cell
     size bounded by the ``planes`` knob (raise with log₂ corpus growth;
     the knob is measured in SCALE.md / bench_runs/r4_scale_d11.jsonl) —
-    but the per-pair constant drops from ~33 µs (expression cosine) to
+    but the per-pair constant drops from ~39 µs (expression cosine) to
     a vectorized matmul, which is what you want when cells carry
     thousands of vectors. Per-task memory is O(cell²) for the similarity
     block, the same budget the d05 block kernel runs under.
@@ -1295,8 +1349,17 @@ def semantic_dedup(
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(x, axis=1)
-        norms[norms == 0.0] = 1.0
-        sim = np.round((x / norms[:, None]) @ (x / norms[:, None]).T, 6)
+        zero = norms == 0.0
+        safe = np.where(zero, 1.0, norms)
+        raw = (x / safe[:, None]) @ (x / safe[:, None]).T
+        # Spark ROUND is HALF_UP (away from zero); np.round is
+        # half-to-even — an exact-midpoint cosine would diverge.
+        sim = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        # d11's cosine for a zero-norm side is 0/0 = NaN, and Spark
+        # orders NaN above every number, so NaN >= tau holds: a pair
+        # touching a zero vector always verifies.
+        sim[zero, :] = np.inf
+        sim[:, zero] = np.inf
         dup_of: list[int | None] = [None] * len(pdf)
         for j in range(1, len(pdf)):
             hits = np.nonzero(sim[:j, j] >= tau)[0]

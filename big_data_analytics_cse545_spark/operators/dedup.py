@@ -1140,7 +1140,8 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the ORACLE form (the cosine is re-derivable in SQL); the
     production form is ``api.semantic_dedup`` — decision-equal, one
-    BLAS matmul per cell (measured 5–180× faster at 10× scale,
+    BLAS matmul per cell (measured ~18× faster at 10× scale at matched
+    planes, and ~3 orders of magnitude on wide-cell configurations,
     SCALE.md / bench_runs/r4_scale_d11.jsonl).
     """
     from big_data_analytics_cse545_spark.functions.vectors import cosine

@@ -1662,9 +1662,15 @@ def q34_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The change batch is derived deterministically from the snapshot
     itself (reproducible input): keys ≡1 (mod 10) get a price update
     (+1000, exact in binary), keys ≡2 (mod 10) a delete, and keys
-    ≡3 (mod 10) spawn an insert under key+10^8 (collision-free at any
-    SF) at half price (exact /2). Deletes vanish from the output; every
-    surviving row carries its ``action`` as the merge audit.
+    ≡3 (mod 10) spawn an insert under key+10^8 at half price (exact
+    /2). The offset keeps insert keys disjoint from real orderkeys for
+    every driver/bench fixture (orderkeys reach ~150k·SF·10 here, so
+    the derivation holds through SF≈60; it is a FIXTURE construction,
+    not an operator contract — the general not-matched case is
+    ``api.merge_upsert``, which anti-joins inserts against the
+    snapshot instead of assuming disjointness). Deletes vanish from
+    the output; every surviving row carries its ``action`` as the
+    merge audit.
     """
     o = load_table(spark, sf_dir, "orders")
     mod = F.col("o_orderkey") % 10

@@ -644,3 +644,77 @@ def test_semantic_dedup_matches_d11(spark, sf_correctness):
         ).collect()
     }
     assert got == exp
+
+
+def test_merge_upsert_guards_fire_at_execution(spark):
+    """A NULL or misspelled op, or two matched ops for one key, must
+    ERROR when the plan runs — never silently vanish, no-op, or fan the
+    snapshot row out into duplicates (the ANSI/Delta multiple-match
+    contract). The guards are execution-time raise_error expressions so
+    the function itself stays lazy."""
+    import pytest
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    bad_op = spark.createDataFrame([(1, "x", "upsert")], ["k", "v", "op"])
+    with pytest.raises(Exception, match="invalid op"):
+        api.merge_upsert(snap, bad_op, "k").collect()
+    null_op = spark.createDataFrame(
+        [(1, "x", None)], "k long, v string, op string"
+    )
+    with pytest.raises(Exception, match="invalid op"):
+        api.merge_upsert(snap, null_op, "k").collect()
+    two_ops = spark.createDataFrame(
+        [(1, "x", "update"), (1, "y", "delete")], ["k", "v", "op"]
+    )
+    with pytest.raises(Exception, match="multiple matched ops"):
+        api.merge_upsert(snap, two_ops, "k").collect()
+
+
+def test_host_reputation_threshold_is_exact_for_nondyadic_fractions(spark):
+    """A host at EXACTLY the junk fraction must be 'junky': with
+    junk_frac=0.1, 3 junk of 30 docs means junk*10 >= 30*1 — a float
+    multiply would compute 30*0.1 = 3.0000000000000004 and let the
+    host escape."""
+    rows = [("h", i < 3) for i in range(30)]
+    df = spark.createDataFrame(rows, ["host", "is_junk"])
+    out = api.host_reputation(
+        df, "host", "is_junk", min_support=1, junk_frac=0.1
+    ).collect()
+    assert out[0]["verdict"] == "junky", out
+
+
+def test_semantic_dedup_zero_norm_matches_d11_nan_semantics(spark):
+    """d11's cosine for a zero-norm side is 0/0 = NaN, and Spark orders
+    NaN above every number, so a pair touching a zero vector always
+    verifies; the BLAS kernel must reproduce that, not divide-guard it
+    away. Zero vectors project to 0 on every plane and land in cell 0,
+    so the test constructs a guaranteed cell-0 companion from the
+    actual plane signs (v = −Σ planes: every projection is then
+    −64 − small cross terms < 0)."""
+    from big_data_analytics_cse545_spark.operators.similarity import (
+        _plane_sign,
+    )
+
+    signs = [[float(_plane_sign(p, d)) for d in range(64)] for p in range(4)]
+    v0 = [-sum(col) for col in zip(*signs)]
+    assert all(
+        sum(s * v for s, v in zip(signs[p], v0)) <= 0 for p in range(4)
+    ), "companion vector must project non-positive on every plane"
+    rows = [
+        (1, v0),                         # cell 0 by construction
+        (2, [0.0] * 64),                 # zero vector, cell 0 → dup of 1
+        (3, [x / 2 for x in v0]),        # cell 0, cos(1,3)=1 → dup of 1
+    ]
+    out = {
+        r["vec_id"]: (r["kept"], r["dup_of"])
+        for r in api.semantic_dedup(
+            spark.createDataFrame(rows, ["vec_id", "embedding"]),
+            "embedding",
+            "vec_id",
+            tau=0.4,
+            planes=4,
+        ).collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, 1), "zero vector must verify against any cell-mate"
+    assert out[3] == (False, 1)

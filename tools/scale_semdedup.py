@@ -141,15 +141,20 @@ def main() -> None:
                     )
                 else:
                     out = dedup.d11_semantic_dedup(spark, d)
-                kept = out.where("kept").count()
-                total = out.count()
+                # ONE action inside the timed window — separate
+                # count()/where().count() calls would each re-execute
+                # the whole job and the reported time would measure
+                # multiple runs. cross-replica drops (dup_of and vec_id
+                # in different replicas ⇒ the null model leaked a
+                # candidate) ride the same pass.
+                agg = out.selectExpr(
+                    "count(*) AS total",
+                    "sum(CAST(kept AS BIGINT)) AS kept",
+                    f"sum(CAST(dup_of IS NOT NULL AND vec_id DIV {ID_OFFSET}"
+                    f" <> dup_of DIV {ID_OFFSET} AS BIGINT)) AS n_cross",
+                ).collect()[0]
                 dt = time.monotonic() - t0
-                # cross-replica dup rate: dup_of and vec_id in different
-                # replicas ⇒ the null model leaked a candidate
-                cross = out.where(
-                    f"dup_of IS NOT NULL AND vec_id DIV {ID_OFFSET} "
-                    f"<> dup_of DIV {ID_OFFSET}"
-                ).count()
+                total, kept, cross = agg["total"], agg["kept"], agg["n_cross"]
                 print(
                     json.dumps(
                         {
