@@ -32,9 +32,9 @@ def _modules():
 
     Order matters: the driver evaluates queries() in insertion order
     under a 50-entry budget (CORRECTNESS_r01/r02 each recorded exactly
-    the first 50). Least-recently-driver-checked families come FIRST —
-    round 4: relational/text still lead because q02–q16 and t01–t09
-    rotate back in after sitting out round 3.
+    the first 50). queries() now emits exactly 50 via the rotation
+    buckets below, so every emitted entry is checked regardless of
+    module order; the order only shapes log readability.
     """
     from big_data_analytics_cse545_spark.operators import (
         dedup,
@@ -82,6 +82,12 @@ _TEST_GATED = frozenset(
         "d06_minhash_mllib",  # ↔ d03 exact twin (tests/test_dedup.py)
         "s04_brp_lsh_mllib",  # ↔ s01 exact twin (tests/test_similarity.py)
         "p04_pca_mllib_topk",  # ↔ p03 rank-equal (tests/test_projection.py)
+        # Round-5 additions per the r4 rotation plan: both are no_oracle
+        # rows-only queries whose real checks are pytest invariant/golden
+        # gates (the d06/s04/p04 rationale) — a driver row adds no hard
+        # signal beyond what pytest already enforces every run.
+        "m03_binaryfile_ref_funnel",  # golden banding + zip tests (tests/test_multimodal.py)
+        "m04_audio_feature_profile",  # numpy RMS/ZCR golden (tests/test_multimodal.py)
     }
 )
 # Permanently demoted exact baselines (round-2 VERDICT recommendation):
@@ -96,113 +102,100 @@ _DEMOTED_BASELINES = frozenset(
         "s01_knn_bruteforce",
     }
 )
-# Round-4 newcomers (driver budget already full with the 38-query
-# rotation this round; these take their first driver rows in round 5,
-# oracle-checked in pytest until then via held_out_oracle_sql):
-# d11 SemDeDup-style semantic dedup, x07 DSIR importance selection,
-# t20 BPE pair statistics, t21 BM25 relevance scoring, t22 unigram-LM
-# perplexity gate, d12 content-defined-chunking dedup, f05 ORC scan,
-# plus the late-r4 trio t23 host reputation, q34 merge/upsert,
-# q35 recursive CTE.
+# Permanently twin-demoted entries (round-5 execution of the r4 plan,
+# extended): each is pytest-gated with a NAMED driver-checked twin that
+# re-verifies the same kernel/plan shape, and its DuckDB oracle keeps
+# running every pytest run via held_out_oracle_sql() — the d02/s01
+# precedent, so the hard check never lapses.
 #
-# ROUND-5 ROTATION PLAN (the arithmetic must be settled now): the 38
-# r4-held-out entries (last driver row r3) plus these 19 newcomers
-# need 57 slots against a 50 budget. A 112-query registry leaves
-# 107 driver-eligible entries — over the 2×50 that a strict
-# "row within two rounds" cadence can cover, so the resolution
-# permanently retires 7 entries to pytest-gated status, each with a
-# NAMED driver-checked twin and a DuckDB oracle that keeps running
-# every pytest run (the d02/s01 precedent):
-#   1. m03 (held-out) and m04 (newcomer) move to _TEST_GATED — both
-#      are no_oracle rows-only queries whose real checks are pytest
-#      invariant/golden gates (the d06/s04/p04 rationale), so their
-#      driver rows carry no hard signal. 57 → 55.
-#   2. Five twin demotions (a _DEMOTED_TWINNED bucket in r5):
-#      q24_percentiles ↔ q32 (exact-percentile columns re-verified
-#      through q32, same function + table); q15_json_extract ↔ q31
-#      (same JSON paths, parse-once VARIANT form driver-checked);
-#      x03_pipeline_stats ↔ x08 (v2 composed pipeline is the superset;
-#      x03's stages are independently driver-checked via t06/d01/x01);
-#      q30_sliding_window_dau ↔ st10 (pinned window-for-window equal
-#      in pytest, st10 driver-checked); t07_token_count ↔ t06 (same
-#      functions/text.py tokenizer kernel inside t06's driver row).
-#      55 → 50.
+# The r4 plan's arithmetic assumed all five of its demotions reduced
+# round-5 demand; in fact q15/q30/t07 were driver-checked IN round 4,
+# so their demotion shrinks round-6 demand instead. Three further
+# demotions (same standard of twin) settle round 5 at exactly 50:
+#   q17_grouping_sets ↔ q08_rollup + q09_cube (rollup and cube are
+#     GROUPING SETS special cases — identical Expand-based plan, same
+#     tables; both twins r4-green);
+#   d09_chunk_dedup ↔ d12_cdc_chunk_dedup (fixed-size chunking is the
+#     degenerate case of CDC chunking; same chunk-hash → group-dedup
+#     relational tail, d12 driver-checked r5);
+#   x01_hash_split ↔ x06_leakage_safe_split (x06 composes x01's md5
+#     membership kernel — functions/hashing split assignment — and is
+#     r4-green; x01's oracle also reruns in every pytest).
 # Steady state from round 6: 112 − 5 test-gated − 2 demoted baselines
-# − 5 twin-demoted = exactly 100 eligible = 2 × 50, so the strict
-# alternating rotation holds with zero cadence exceptions.
-_NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
+# − 8 twin-demoted = 97 eligible ≤ 2 × 50, so the strict "driver row
+# within two rounds" cadence holds with 3 spare slots per cycle for
+# future newcomers.
+_DEMOTED_TWINNED = frozenset(
     {
-        "d11_semantic_dedup",
-        "x07_dsir_select",
-        "t20_bpe_pair_stats",
-        "t21_bm25_score",
-        "t22_unigram_nll",
-        "d12_cdc_chunk_dedup",
-        "f05_orc_scan",
-        "st11_transform_with_state",
-        "q31_variant_json",
-        "x08_prep_pipeline",
-        "m04_audio_feature_profile",
-        "q32_approx_percentiles",
-        "f06_python_datasource_scan",
-        "st12_python_stream_source",
-        "s05_filtered_ann",
-        "q33_sql_subqueries",
-        "t23_host_reputation",
-        "q34_merge_upsert",
-        "q35_recursive_cte",
+        "q24_percentiles",  # ↔ q32_approx_percentiles (exact columns re-verified there)
+        "q15_json_extract",  # ↔ q31_variant_json (same JSON paths, parse-once form)
+        "x03_pipeline_stats",  # ↔ x08_prep_pipeline (v2 composed pipeline is the superset)
+        "q30_sliding_dau",  # ↔ st10_sliding_distinct_users (window-for-window equal in pytest)
+        "t07_token_count",  # ↔ t06_quality_score (same tokenizer kernel inside t06)
+        "q17_grouping_sets",  # ↔ q08/q09 (same Expand plan; GROUPING SETS generalization)
+        "d09_chunk_dedup",  # ↔ d12_cdc_chunk_dedup (same chunk-hash dedup tail)
+        "x01_hash_split",  # ↔ x06_leakage_safe_split (same md5 membership kernel)
     }
 )
+# Round-5 newcomers awaiting their first driver row in round 6 (the
+# steady-state cadence leaves 3 spare slots per cycle for these).
+_NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # round-4 hold-out — all green in CORRECTNESS_r03 (rows+schema+
-        # hash, or no_oracle-by-design for m03). Slots freed here fund
-        # driver rows for ALL 38 queries r3's budget excluded — the 29
-        # r3 hold-outs plus the 9 r3 newcomers — so after this round
-        # every registry entry has a driver row within the last two
-        # rounds. 12 r3-checked entries stay in (q01, q20, d03, d05,
-        # d08, p07, s03, t11, x04, f01, m01, st05): one-plus per
-        # family, biased toward operators changed this round (q20 exact
-        # columns, d08 reliable checkpointing, p07 recall raise).
-        # Nothing below was held out in round 3.
-        "q06_topk_orders_per_customer",
-        "q07_order_running_analytics",
-        "q17_grouping_sets",
-        "q18_asof_join",
-        "q19_range_join",
-        "q21_null_semantics",
-        "q22_retention_cohorts",
-        "q23_event_funnel",
-        "q24_percentiles",
-        "q25_range_frame",
-        "q26_pivot",
-        "q27_gap_fill",
-        "q28_sessionize",
-        "q29_skew_safe_distinct",
-        "t06_quality_score",
-        "t10_wholetext_extract",
-        "t12_pack_sequences",
-        "t13_repetition_filter",
-        "t14_corpus_freq_score",
-        "t15_winnowing_pairs",
-        "t16_html_strip",
-        "t17_chunk_overlap",
-        "x01_hash_split",
-        "x02_temperature_mix",
-        "x03_pipeline_stats",
-        "x05_stratified_sample",
-        "f02_csv_scan",
-        "d01_exact_dedup",
-        "d04_simhash_clusters",
-        "d07_decontaminate",
-        "d09_chunk_dedup",
-        "s02_ann_hyperplane_lsh",
-        "p02_random_projection",
-        "p06_scalar_quantize",
-        "m03_binaryfile_ref_funnel",
-        "st02_sliding_window",
-        "st07_stream_static_join",
-        "st08_stream_outer_join",
+        # round-5 hold-out = exactly the 50 queries green in
+        # CORRECTNESS_r04 minus the three of them twin-demoted above
+        # (q15, q30, t07) — 47 names. The 50 slots this round fund
+        # first driver rows for ALL 19 round-4 newcomers (minus m04 →
+        # _TEST_GATED) plus the 32 surviving r4 hold-outs, completing
+        # the rotation VERDICT r4 task #1 demands: after this round
+        # every driver-eligible query has a row within two rounds.
+        "d03_minhash_lsh_dedup",
+        "d05_embedding_near_dup",
+        "d08_dup_clusters",
+        "d10_incremental_dedup",
+        "f01_jsonl_scan",
+        "f03_jsonl_corrupt_tolerant",
+        "f04_partitioned_scan",
+        "m01_image_similarity_funnel",
+        "m02_video_frame_sample",
+        "p01_dim_stats",
+        "p03_pca_topk",
+        "p05_kmeans_iterative",
+        "p07_pq_ann",
+        "q01_pricing_summary",
+        "q02_revenue_by_nation",
+        "q03_top_orders",
+        "q04_customers_with_orders",
+        "q05_customers_without_orders",
+        "q08_rollup_region_nation",
+        "q09_cube_status_priority",
+        "q10_set_ops",
+        "q11_distinct_and_conditional_agg",
+        "q12_inlist_filter",
+        "q13_string_funcs",
+        "q14_events_by_month_type",
+        "q16_above_avg_lineitems",
+        "q20_approx_distinct",
+        "s03_ann_ivf",
+        "st01_tumbling_window",
+        "st03_session_window",
+        "st04_streaming_dedup",
+        "st05_stateful_user_counts",
+        "st06_stream_stream_join",
+        "st09_stream_incremental_dedup",
+        "st10_sliding_distinct_users",
+        "t01_wordcount",
+        "t02_word_set_difference",
+        "t03_term_mentions",
+        "t04_term_mentions_nested",
+        "t05_lang_guess",
+        "t08_fingerprint",
+        "t09_pseudo_xml_extract",
+        "t11_pii_scrub",
+        "t18_url_canonicalize",
+        "t19_unicode_normalize",
+        "x04_token_budget_select",
+        "x06_leakage_safe_split",
     }
 )
 
@@ -238,7 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-facing view: exactly 50 entries (the driver's observed
     correctness budget), chosen by the rotation policy above."""
     excluded = (
-        _TEST_GATED | _DEMOTED_BASELINES | _HELD_OUT | _NEW_AWAITING_ROTATION
+        _TEST_GATED
+        | _DEMOTED_BASELINES
+        | _DEMOTED_TWINNED
+        | _HELD_OUT
+        | _NEW_AWAITING_ROTATION
     )
     out = {k: v for k, v in all_queries().items() if k not in excluded}
     assert len(out) <= 50, f"driver budget exceeded: {len(out)} entries"

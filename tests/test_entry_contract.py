@@ -45,6 +45,7 @@ def test_rotation_budget_is_consistent():
     buckets = [
         em._TEST_GATED,
         em._DEMOTED_BASELINES,
+        em._DEMOTED_TWINNED,
         em._HELD_OUT,
         em._NEW_AWAITING_ROTATION,
     ]
