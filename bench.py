@@ -1,8 +1,11 @@
 """Benchmark runner — times every registered query at the bench scale factor.
 
-Prints ONE JSON line:
+Prints ONE JSON line (stdout, final line, nothing after it):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {code: sec, ...}, "sf": <sf>}
+where `code` is the query's unique short prefix (q01, d03, st11, ...)
+so the line stays under the driver's 2000-char stdout tail; the
+full-name map is echoed to stderr.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SHUFFLE_PARTITIONS.
@@ -57,17 +60,30 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "engine_query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "engine_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # final line — a 112-query map with full names (~3.3 KB) gets its head
+    # truncated and records "parsed": null (VERDICT r4 finding #1). The
+    # final stdout line therefore keys the map by each query's unique
+    # short code (the prefix before the first underscore: q01, d03, st11,
+    # ...); the full-name map still goes to stderr for humans and to the
+    # bench_runs/ artifacts written by tools/.
+    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    if len(short) == len(timings):
+        compact = dict(payload, queries=short)
+    else:  # duplicate codes — never drop a timing silently
+        compact = payload
+    print("bench full-name timings: " + json.dumps(payload), file=sys.stderr)
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        print(f"bench: WARNING final line {len(line)} chars may truncate in driver tail", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
