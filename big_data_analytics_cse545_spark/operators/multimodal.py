@@ -4,12 +4,14 @@ Arrow-batched pandas UDFs over opaque binary columns.
 Reference parity (SURVEY §2.4):
   I1/I3 binary scan + ``getOrthoTif`` zip→tif decode (``a2_ahuja.py:13-24,
        416``) → ``decode_image``: ZIP containers are unpacked for real
-       (member located by '.tif' suffix, the reference's rule) and a REAL
-       codec (tifffile/PIL) is attempted first; this container ships no
-       image codec, so the tested path falls back to a deterministic
-       raw-tensor reshape — the Spark-side plumbing (BinaryType column,
-       schema, batch shapes, fan-out) is real either way, and a
-       production deploy with tifffile installed needs zero edits.
+       (member located by '.tif' suffix, the reference's rule), then a
+       full codec (tifffile/PIL) is attempted, then the struct-only
+       baseline uncompressed-TIFF reader ``_tiff_decode`` — which IS the
+       exercised path in this container, because the m01/m03 fixtures are
+       written as real uncompressed TIFFs (``_tiff_image_bytes``). The
+       raw-tensor reshape remains only as the last-resort fallback for
+       opaque payloads; a production deploy with tifffile installed needs
+       zero edits.
   I4   ``divideImage`` tiling with row-major ids '{img}-{n}'
        (``a2_ahuja.py:32-44``) → ``tile_images`` (mapInPandas, 1→N rows).
   I5   intensity = mean(RGB)·(IR/100) (``a2_ahuja.py:47-50``).
@@ -85,6 +87,14 @@ def _image_bytes(base_id: int) -> bytes:
     return img.tobytes()
 
 
+def _tiff_image_bytes(base_id: int) -> bytes:
+    """Same pixels as ``_image_bytes`` but wrapped in a real uncompressed
+    TIFF container, so the decode path in this container is an actual
+    TIFF parse (via ``_tiff_decode``), not a reshape fallback."""
+    arr = np.frombuffer(_image_bytes(base_id), dtype=np.uint8).reshape(H, W, CHANNELS)
+    return _tiff_encode(arr)
+
+
 def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id string, content binary, width, height, channels) — opaque
     payload + typed metadata, the engine's multimodal column contract."""
@@ -102,7 +112,7 @@ def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def make_bytes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = [_image_bytes(int(b)) for b in batch["base_id"]]
+            out = [_tiff_image_bytes(int(b)) for b in batch["base_id"]]
             yield pd.DataFrame(
                 {
                     "img_id": "img" + batch["base_id"].astype(str),
@@ -138,12 +148,138 @@ def _zip_tif_member(payload: bytes) -> bytes | None:
     return None
 
 
+def _tiff_encode(arr: np.ndarray, rows_per_strip: int = 16) -> bytes:
+    """Minimal baseline TIFF writer — little-endian, uncompressed, 8-bit,
+    chunky planar, strip-organized — built from ``struct`` alone so the
+    fixtures this engine tests against are REAL TIFF containers even in a
+    codec-less container. Output is readable by tifffile/PIL (baseline
+    TIFF 6.0 required tags only)."""
+    import struct
+
+    if arr.dtype != np.uint8:
+        raise ValueError("baseline writer emits 8-bit samples only")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, s = arr.shape
+    data = np.ascontiguousarray(arr).tobytes()
+    row_bytes = w * s
+    strips = [
+        data[r * row_bytes : min(r + rows_per_strip, h) * row_bytes]
+        for r in range(0, h, rows_per_strip)
+    ]
+    n = len(strips)
+    # layout: 8-byte header | strip data | external value arrays | IFD
+    strip_offsets, pos = [], 8
+    for sdata in strips:
+        strip_offsets.append(pos)
+        pos += len(sdata)
+
+    external = bytearray()
+
+    def values(tag: int, typ: int, vals: list[int]) -> tuple:
+        nonlocal external
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        if len(packed) <= 4:
+            return (tag, typ, len(vals), packed.ljust(4, b"\x00"))
+        off = pos + len(external)
+        external += packed
+        return (tag, typ, len(vals), struct.pack("<I", off))
+
+    tags = [
+        values(256, 4, [w]),                      # ImageWidth
+        values(257, 4, [h]),                      # ImageLength
+        values(258, 3, [8] * s),                  # BitsPerSample
+        values(259, 3, [1]),                      # Compression = none
+        values(262, 3, [1 if s == 1 else 2]),     # Photometric: gray/RGB
+        values(273, 4, strip_offsets),            # StripOffsets
+        values(277, 3, [s]),                      # SamplesPerPixel
+        values(278, 4, [rows_per_strip]),         # RowsPerStrip
+        values(279, 4, [len(x) for x in strips]), # StripByteCounts
+        values(284, 3, [1]),                      # PlanarConfiguration chunky
+    ]
+    if s > 3:  # 4th channel (infrared) declared as an unspecified extra
+        tags.append(values(338, 3, [0] * (s - 3)))
+    tags.sort()
+    ifd_off = pos + len(external)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    for sdata in strips:
+        out += sdata
+    out += external
+    out += struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _tiff_decode(raw: bytes) -> np.ndarray | None:
+    """Struct-only baseline TIFF reader (both byte orders, uncompressed,
+    8-bit, chunky planar, any strip layout) — the real decode path for
+    this container, mirroring what ``tifffile.imread`` does for the
+    reference's orthoTIFs (``a2_ahuja.py:21``). Returns None for
+    non-TIFF payloads or TIFF features beyond baseline (compression,
+    planar, tiles, >8-bit) so callers can fall through."""
+    import struct
+
+    if len(raw) < 8:
+        return None
+    if raw[:2] == b"II":
+        bo = "<"
+    elif raw[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    try:
+        magic, ifd_off = struct.unpack(bo + "HI", raw[2:8])
+        if magic != 42:
+            return None
+        (ntags,) = struct.unpack_from(bo + "H", raw, ifd_off)
+        tags: dict[int, list[int] | None] = {}
+        for i in range(ntags):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", raw, ifd_off + 2 + 12 * i)
+            voff = ifd_off + 10 + 12 * i
+            fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+            if fmt is None:  # RATIONAL/ASCII/... — never a tag we need
+                tags[tag] = None
+                continue
+            if struct.calcsize(fmt) * cnt > 4:
+                (voff,) = struct.unpack_from(bo + "I", raw, voff)
+            tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt, raw, voff))
+    except struct.error:
+        return None
+
+    def one(tag: int, default: int | None = None) -> int | None:
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width, height = one(256), one(257)
+    offsets, counts = tags.get(273), tags.get(279)
+    if not (width and height and offsets and counts):
+        return None
+    if one(259, 1) != 1 or one(284, 1) != 1:  # compressed / planar
+        return None
+    spp = one(277, 1) or 1
+    if any(b != 8 for b in tags.get(258) or [8] * spp):
+        return None
+    if len(offsets) != len(counts):
+        return None
+    data = b"".join(raw[o : o + c] for o, c in zip(offsets, counts))
+    if len(data) != width * height * spp:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.reshape(height, width) if spp == 1 else arr.reshape(height, width, spp)
+
+
 def _codec_decode(raw: bytes) -> np.ndarray | None:
-    """Attempt a REAL image codec — tifffile first (the reference's,
-    ``a2_ahuja.py:21``), then PIL — so a production container takes the
-    real decode path with zero code edits. Returns None when no codec is
-    installed or the payload is not a parseable image (the synthetic
-    fixtures here are raw tensors)."""
+    """Attempt a REAL image decode — tifffile first (the reference's
+    codec, ``a2_ahuja.py:21``), then PIL, then the struct-only baseline
+    TIFF reader above — so a production container takes the full-featured
+    codec with zero edits while THIS container still decodes the real
+    uncompressed-TIFF fixtures instead of falling back to a reshape.
+    Returns None only when the payload is not a parseable image at all
+    (e.g. a raw tensor)."""
     import io
 
     try:
@@ -158,21 +294,23 @@ def _codec_decode(raw: bytes) -> np.ndarray | None:
     try:
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError:
-        return None
-    try:
-        return np.asarray(Image.open(io.BytesIO(raw)))
-    except Exception:  # noqa: BLE001 — not a PIL-readable image
-        return None
+        Image = None
+    if Image is not None:
+        try:
+            return np.asarray(Image.open(io.BytesIO(raw)))
+        except Exception:  # noqa: BLE001 — not a PIL-readable image
+            pass
+    return _tiff_decode(raw)
 
 
 def decode_image(content: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """I3 ``getOrthoTif`` (``a2_ahuja.py:13-24``): unpack the ZIP
-    container (member located by '.tif' suffix) when present, attempt a
-    real codec (tifffile/PIL), and fall back to interpreting the payload
-    as a raw uint8 tensor. This container ships no image codec, so the
-    fallback is the exercised path; the zip handling and the codec
-    attempt are real (tests skip the codec assertion when no codec is
-    installed)."""
+    container (member located by '.tif' suffix) when present, decode via
+    tifffile/PIL/the built-in baseline TIFF parser, and fall back to
+    interpreting the payload as a raw uint8 tensor only for opaque
+    non-image payloads. The engine's image fixtures are real uncompressed
+    TIFFs, so the decode here is an actual TIFF parse in every
+    container."""
     raw = _zip_tif_member(content)
     if raw is None:
         raw = content
@@ -571,9 +709,9 @@ def _binary_fixture_dir() -> str:
     def write(tmp: str) -> None:
         for i in range(N_BINARY_FILES):
             with zipfile.ZipFile(os.path.join(tmp, f"img{i:05d}.zip"), "w") as zf:
-                zf.writestr(f"img{i:05d}.tif", _image_bytes(i))
+                zf.writestr(f"img{i:05d}.tif", _tiff_image_bytes(i))
 
-    return ensure_fixture_dir("spark_graft_binimgs_v2", write)
+    return ensure_fixture_dir("spark_graft_binimgs_v3", write)
 
 
 def m03_binaryfile_ref_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
