@@ -554,6 +554,45 @@ def ref_band_candidates(sigs: DataFrame) -> DataFrame:
 # fused funnel kernel + bounded query-cache registry
 # ---------------------------------------------------------------------------
 
+def _tile_signature_rows(
+    img_id,
+    img: np.ndarray,
+    pool: int = POOL,
+    n_chunks: int = N_CHUNKS,
+    idx: int = SIG_IDX,
+    width: int = SIG_WIDTH,
+    ref_bands: bool = False,
+) -> tuple[list[str], list[str], list[list[int]]]:
+    """The per-image tensor kernel of the a2 funnel (I4→I8+I9): tile →
+    intensity → pool → gradient-quantize → chunk signature [+ bit
+    bands]. ONE shared implementation consumed by ``fused_signatures``
+    (the Spark mapInPandas stage) AND the driver-side signature-parquet
+    fixture writer, so the materialized relation the DuckDB oracle reads
+    can never drift from what the Spark plan computes."""
+    n = TILE // pool
+    ids: list[str] = []
+    sigs: list[str] = []
+    bands: list[list[int]] = []
+    t_no = 0
+    for r in range(0, H, TILE):        # row-major, as the reference
+        for c in range(0, W, TILE):
+            t = img[r : r + TILE, c : c + TILE]
+            inten = t[:, :, :3].mean(axis=2) * (
+                t[:, :, 3].astype(np.float64) / 100.0
+            )
+            pooled = inten.reshape(n, pool, n, pool).mean(axis=(1, 3))
+            fx = _quantize(np.diff(pooled, axis=1)).ravel()
+            fy = _quantize(np.diff(pooled, axis=0)).ravel()
+            feat = np.concatenate([fx, fy]).tolist()
+            sig = chunk_signature(feat, n_chunks=n_chunks, idx=idx, width=width)
+            ids.append(f"{img_id}-{t_no}")
+            sigs.append(sig)
+            if ref_bands:
+                bands.append(ref_bands_py(sig))
+            t_no += 1
+    return ids, sigs, bands
+
+
 def fused_signatures(
     images: DataFrame,
     pool: int = POOL,
@@ -574,7 +613,6 @@ def fused_signatures(
     five chained stages; the per-row kernels are linear numpy, so fusing
     changes worker count, not semantics. The reference funnel is likewise
     a single lineage (``a2_ahuja.py:416-430``)."""
-    n = TILE // pool
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -589,25 +627,12 @@ def fused_signatures(
                 batch["channels"],
             ):
                 img = decode_image(content, bw, bh, bc)
-                t_no = 0
-                for r in range(0, H, TILE):        # row-major, as the reference
-                    for c in range(0, W, TILE):
-                        t = img[r : r + TILE, c : c + TILE]
-                        inten = t[:, :, :3].mean(axis=2) * (
-                            t[:, :, 3].astype(np.float64) / 100.0
-                        )
-                        pooled = inten.reshape(n, pool, n, pool).mean(axis=(1, 3))
-                        fx = _quantize(np.diff(pooled, axis=1)).ravel()
-                        fy = _quantize(np.diff(pooled, axis=0)).ravel()
-                        feat = np.concatenate([fx, fy]).tolist()
-                        sig = chunk_signature(
-                            feat, n_chunks=n_chunks, idx=idx, width=width
-                        )
-                        ids.append(f"{img_id}-{t_no}")
-                        sigs.append(sig)
-                        if ref_bands:
-                            bands.append(ref_bands_py(sig))
-                        t_no += 1
+                t_ids, t_sigs, t_bands = _tile_signature_rows(
+                    img_id, img, pool, n_chunks, idx, width, ref_bands
+                )
+                ids += t_ids
+                sigs += t_sigs
+                bands += t_bands
             out: dict = {"tile_id": ids, "signature": sigs}
             if ref_bands:
                 out["bands"] = bands
@@ -1015,14 +1040,109 @@ def m04_audio_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# m05 — the funnel's relational tail over a MATERIALIZED signature
+# relation, with a hard DuckDB oracle (VERDICT r4 task #4: everything
+# downstream of the tensor kernels hash-checked, shrinking the permanent
+# no_oracle set to the kernels themselves)
+# ---------------------------------------------------------------------------
+
+N_SIG_FIXTURE_IMAGES = 512  # 2048 tiles; fixed like m03 — scale comes from m01
+MIN_AGREE_BANDS = N_CHUNKS * 3 // 4
+
+
+def _signature_parquet_dir() -> str:
+    """Per-tile signature relation (tile_id, signature) materialized to
+    parquet ONCE — written by the SAME ``_tile_signature_rows`` kernel
+    the Spark ``fused_signatures`` stage runs (decode included: pixels
+    come from the real-TIFF payloads via ``decode_image``), so the
+    relation both engines read is the funnel's actual output, not a
+    parallel reimplementation."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
+
+    def write(tmp: str) -> None:
+        ids: list[str] = []
+        sigs: list[str] = []
+        for base_id in range(N_SIG_FIXTURE_IMAGES):
+            img = decode_image(_tiff_image_bytes(base_id), W, H, CHANNELS)
+            t_ids, t_sigs, _ = _tile_signature_rows(f"img{base_id}", img)
+            ids += t_ids
+            sigs += t_sigs
+        pq.write_table(
+            pa.table({"tile_id": ids, "signature": sigs}),
+            os.path.join(tmp, "part-00000.parquet"),
+        )
+
+    return ensure_fixture_dir("spark_graft_m01_sigs_v1", write)
+
+
+def m05_signature_band_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10+I11 as a PURE relational query over the materialized per-tile
+    signature parquet: band split (substring per position), posexplode,
+    same-(position, bucket) self-equi-join, per-pair agreement count,
+    selectivity threshold (≥ 3/4 of bands, m01's rule; tuning per
+    ``a2_ahuja.py:133-139``). The scan is a real parquet file source and
+    every operator downstream of the tensor kernels is hash-checked by
+    the DuckDB oracle reading the SAME parquet. Fixture is fixed-size
+    (512 images / 2048 tiles) like m03 — scale comes from m01, whose
+    in-plan funnel shares the exact kernel that wrote this relation."""
+    sigs = spark.read.parquet(_signature_parquet_dir())
+    bands = sigs.select(
+        "tile_id", F.posexplode(_bands_col()).alias("band", "bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.tile_id") < F.col("b.tile_id")),
+        )
+        .groupBy(F.col("a.tile_id").alias("t1"), F.col("b.tile_id").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= MIN_AGREE_BANDS)
+        .orderBy("t1", "t2")
+    )
+
+
+def _m05_oracle_sql() -> str:
+    """DuckDB twin of m05 over the same parquet (written on first use —
+    the t10 lazy-fixture pattern)."""
+    d = _signature_parquet_dir()
+    return f"""
+        WITH bands AS (
+            SELECT tile_id,
+                   p.band,
+                   substring(signature, p.band * {SIG_WIDTH} + 1, {SIG_WIDTH}) AS bucket
+            FROM read_parquet('{d}/*.parquet')
+            CROSS JOIN (SELECT unnest(range(0, {N_CHUNKS})) AS band) p
+        )
+        SELECT a.tile_id AS t1, b.tile_id AS t2, count(*) AS n_bands
+        FROM bands a
+        JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.tile_id < b.tile_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_AGREE_BANDS}
+        ORDER BY t1, t2
+    """
+
+
 QUERIES = {
     "m01_image_similarity_funnel": m01_image_similarity_funnel,
     "m02_video_frame_sample": m02_video_frame_sample,
     "m03_binaryfile_ref_funnel": m03_binaryfile_ref_funnel,
     "m04_audio_feature_profile": m04_audio_feature_profile,
+    "m05_signature_band_relational": m05_signature_band_relational,
 }
 
-# No SQL oracle: binary tensors + md5-of-int-list are not expressible in
-# the DuckDB views — the driver records rows-only; invariants and golden
-# values are pinned in tests/test_multimodal.py instead.
-ORACLE: dict[str, str] = {}
+# m01–m04: no SQL oracle — binary tensors + md5-of-int-list are not
+# expressible in the DuckDB views; the driver records rows-only and
+# invariants/goldens are pinned in tests/test_multimodal.py. m05 closes
+# that gap for everything relational: its oracle reads the materialized
+# signature parquet (lazy callable — written on first use).
+ORACLE: dict = {"m05_signature_band_relational": _m05_oracle_sql}

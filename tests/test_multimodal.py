@@ -342,6 +342,45 @@ def test_fixture_payloads_are_real_tiffs_decoded_by_the_parser():
         )
 
 
+def test_m05_materialized_signatures_match_the_spark_kernel(spark):
+    """The parquet relation m05 and its DuckDB oracle read must equal
+    what the Spark fused_signatures stage computes over the same images
+    — the drift gate that makes m05's oracle a check on the REAL funnel
+    tail, not on a parallel reimplementation."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    stored = (
+        pq.read_table(mm._signature_parquet_dir())
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    assert len(stored) == mm.N_SIG_FIXTURE_IMAGES * (mm.H // mm.TILE) * (
+        mm.W // mm.TILE
+    )
+    imgs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "img_id": [f"img{i}" for i in range(mm.N_SIG_FIXTURE_IMAGES)],
+                "content": [
+                    mm._tiff_image_bytes(i) for i in range(mm.N_SIG_FIXTURE_IMAGES)
+                ],
+                "width": mm.W,
+                "height": mm.H,
+                "channels": mm.CHANNELS,
+            }
+        )
+    )
+    live = (
+        mm.fused_signatures(imgs)
+        .toPandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(stored, live)
+
+
 def test_demux_video_fallback_and_validation():
     """demux_video's raw-tensor fallback (the exercised path in this
     codec-less container) must reproduce the payload exactly and reject
