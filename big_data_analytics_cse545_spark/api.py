@@ -1180,6 +1180,18 @@ def merge_upsert(
     missing = [c for c in [key_col, op_col, *payload] if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
+    # The synthesized audit column must not collide with payload names
+    # (ADVICE r4 #2): '__action' is always reserved internally, and the
+    # user-facing 'action' too when with_action=True.
+    reserved = {"__action"} | ({"action"} if with_action else set())
+    for side, cols in (("snapshot", snapshot.columns), ("changes", changes.columns)):
+        clash = reserved.intersection(cols)
+        if clash:
+            raise ValueError(
+                f"merge_upsert: {side} column(s) {sorted(clash)} collide with "
+                "the synthesized action column; rename them or pass "
+                "with_action=False"
+            )
     # Execution-time guards (raise_error fires when the plan runs, so
     # the function stays lazy): the op domain is closed — a NULL or
     # misspelled op would otherwise silently vanish or no-op — and a key
@@ -1271,11 +1283,20 @@ def host_reputation(
     to a rational) — a float multiply would misclassify boundary hosts
     for non-dyadic fractions (n_docs·0.1 is 3.0000000000000004 in
     double, so a host at exactly 10% junk would escape), the same
-    t23 discipline.
+    t23 discipline. ``junk_frac`` is snapped to the nearest rational
+    with denominator ≤ 1e6 for that integer compare; a threshold whose
+    exact value can't be represented within 1e-9 of such a rational is
+    rejected rather than silently altered (ADVICE r4 #3).
     """
     from fractions import Fraction
 
     frac = Fraction(junk_frac).limit_denominator(1_000_000)
+    if abs(float(frac) - junk_frac) > 1e-9:
+        raise ValueError(
+            f"host_reputation: junk_frac={junk_frac!r} is not representable "
+            f"as a rational with denominator <= 1e6 (nearest is {frac}); "
+            "pass a threshold with a small exact denominator"
+        )
     stats = (
         df.select(F.col(host_col).alias("host"), F.col(junk_col).alias("__junk"))
         .groupBy("host")
@@ -1299,6 +1320,34 @@ def host_reputation(
     )
 
 
+def _spark_half_up_round6(raw):
+    """Round a float64 array to 6 decimals EXACTLY as Spark's
+    ``round(x, 6)`` does: BigDecimal over the double's shortest decimal
+    repr, HALF_UP. The vectorized floor(|x|·1e6 + 0.5) trick agrees
+    everywhere except when the shortest repr lands on (or within float
+    error of) a 6-decimal midpoint — those rare entries are re-rounded
+    via ``Decimal(repr(x))``, the exact mirror of Java's
+    ``BigDecimal.valueOf(double)`` (both use the shortest round-trip
+    representation). Closes ADVICE r4 #1: decision-equality with d11's
+    in-plan Spark round is now exact, not probabilistic."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    fast = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+    frac = np.abs(raw) * 1e6
+    near = np.abs(frac - np.floor(frac) - 0.5) < 1e-6
+    if near.any():
+        q = Decimal("0.000001")
+        flat = fast.ravel()
+        src = np.asarray(raw).ravel()
+        for i in np.nonzero(near.ravel())[0]:
+            flat[i] = float(
+                Decimal(repr(float(src[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+        fast = flat.reshape(np.shape(raw))
+    return fast
+
+
 def semantic_dedup(
     df: DataFrame,
     emb_col: str,
@@ -1314,13 +1363,14 @@ def semantic_dedup(
     cell inside an Arrow-batched ``applyInPandas`` kernel instead of a
     per-pair JVM expression tree. Decision-equal to d11 (pinned in
     test_api): the kernel reproduces d11's comparison semantics exactly
-    — Spark HALF_UP rounding to 6 decimals (not numpy's half-to-even)
-    before the τ compare, and zero-norm vectors treated as dups of any
-    earlier cell-mate (d11's 0/0 cosine is NaN, and NaN compares
-    greater than any number in Spark). The 6-decimal round collapses
-    BLAS-vs-expression summation-order ulp drift except for a cosine
-    landing within ~1e-15 of a rounding boundary — vanishingly unlikely,
-    not impossible. Returns (id, cell, kept, dup_of).
+    — :func:`_spark_half_up_round6` mirrors Spark's ``round(x, 6)``
+    bit-for-bit (BigDecimal-over-shortest-repr HALF_UP, via
+    ``Decimal(repr(x))`` on near-midpoint entries) before the τ
+    compare, and zero-norm vectors are treated as dups of any earlier
+    cell-mate (d11's 0/0 cosine is NaN, and NaN compares greater than
+    any number in Spark). The 6-decimal round collapses
+    BLAS-vs-expression summation-order ulp drift; the rounding itself
+    is exact, not probabilistic. Returns (id, cell, kept, dup_of).
 
     Scale shape is identical to d11 — ONE shuffle keyed by cell, cell
     size bounded by the ``planes`` knob (raise with log₂ corpus growth;
@@ -1352,9 +1402,11 @@ def semantic_dedup(
         zero = norms == 0.0
         safe = np.where(zero, 1.0, norms)
         raw = (x / safe[:, None]) @ (x / safe[:, None]).T
-        # Spark ROUND is HALF_UP (away from zero); np.round is
-        # half-to-even — an exact-midpoint cosine would diverge.
-        sim = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        # Spark ROUND is HALF_UP over the shortest decimal repr;
+        # _spark_half_up_round6 mirrors it exactly (Decimal(repr) on
+        # the rare near-midpoint entries), so the τ compare below can
+        # never diverge from d11's in-plan round().
+        sim = _spark_half_up_round6(raw)
         # d11's cosine for a zero-norm side is 0/0 = NaN, and Spark
         # orders NaN above every number, so NaN >= tau holds: a pair
         # touching a zero vector always verifies.

@@ -1141,8 +1141,10 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the ORACLE form (the cosine is re-derivable in SQL); the
     production form is ``api.semantic_dedup`` — decision-equal, one
     BLAS matmul per cell (measured ~18× faster at 10× scale at matched
-    planes, and ~3 orders of magnitude on wide-cell configurations,
-    SCALE.md / bench_runs/r4_scale_d11.jsonl).
+    planes; ~700× vs the fixed-planes EXTRAPOLATION on wide-cell
+    configurations — the wide-cell d11 side was deliberately never run,
+    the ~16 min figure comes from the k² fit. SCALE.md /
+    bench_runs/r4_scale_d11.jsonl).
     """
     from big_data_analytics_cse545_spark.functions.vectors import cosine
     from big_data_analytics_cse545_spark.operators.similarity import (

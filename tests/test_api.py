@@ -718,3 +718,68 @@ def test_semantic_dedup_zero_norm_matches_d11_nan_semantics(spark):
     assert out[1] == (True, None)
     assert out[2] == (False, 1), "zero vector must verify against any cell-mate"
     assert out[3] == (False, 1)
+
+
+def test_spark_half_up_round6_matches_spark_round(spark):
+    """api._spark_half_up_round6 must agree with Spark's round(x, 6)
+    bit-for-bit, INCLUDING shortest-repr exact midpoints where the
+    floor(|x|*1e6+0.5) trick and BigDecimal-over-repr can diverge
+    (ADVICE r4 #1)."""
+    import numpy as np
+
+    vals = [
+        0.1234565,        # shortest repr IS a 6-decimal midpoint
+        -0.1234565,
+        0.9999995,
+        -0.9999995,
+        0.0000005,
+        0.1234564999999,  # just below a midpoint
+        0.12345650000001, # just above
+        0.5,
+        -1.0,
+        0.0,
+        0.333333333333333,
+        1.0,
+    ]
+    expected = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], ["x"])
+        .selectExpr("round(x, 6) AS r")
+        .collect()
+    ]
+    got = api._spark_half_up_round6(np.array(vals, dtype=np.float64))
+    assert [float(g) for g in got] == [float(e) for e in expected], list(
+        zip(vals, got, expected)
+    )
+
+
+def test_merge_upsert_rejects_reserved_action_columns(spark):
+    """A payload column named '__action' (always) or 'action' (when
+    with_action=True) would collide with the synthesized audit column —
+    merge_upsert must refuse instead of emitting duplicate/ambiguous
+    columns (ADVICE r4 #2)."""
+    import pytest
+
+    snap = spark.createDataFrame([(1, "a")], ["k", "__action"])
+    ch = spark.createDataFrame([(1, "b", "update")], ["k", "__action", "op"])
+    with pytest.raises(ValueError, match="collide with"):
+        api.merge_upsert(snap, ch, "k")
+    snap2 = spark.createDataFrame([(1, "a")], ["k", "action"])
+    ch2 = spark.createDataFrame([(1, "b", "update")], ["k", "action", "op"])
+    with pytest.raises(ValueError, match="collide with"):
+        api.merge_upsert(snap2, ch2, "k", with_action=True)
+    # 'action' without with_action is an ordinary payload column
+    out = api.merge_upsert(snap2, ch2, "k").collect()
+    assert out[0]["action"] == "b"
+
+
+def test_host_reputation_rejects_unrepresentable_threshold(spark):
+    """junk_frac snaps to a denominator-<=1e6 rational for the exact
+    integer compare; a threshold outside 1e-9 of any such rational must
+    raise instead of being silently altered (ADVICE r4 #3)."""
+    import pytest
+
+    df = spark.createDataFrame([("h", True)], ["host", "is_junk"])
+    api.host_reputation(df, "host", "is_junk", junk_frac=1 / 3)  # fine: 1/3 snaps exactly
+    with pytest.raises(ValueError, match="not representable"):
+        api.host_reputation(df, "host", "is_junk", junk_frac=1e-8)
