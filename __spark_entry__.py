@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 113
+# The driver hash-checks only the FIRST 50 queries() entries, so with 114
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -121,8 +121,8 @@ _DEMOTED_BASELINES = frozenset(
 #   x01_hash_split ↔ x06_leakage_safe_split (x06 composes x01's md5
 #     membership kernel — functions/hashing split assignment — and is
 #     r4-green; x01's oracle also reruns in every pytest).
-# Steady state from round 6: 113 − 5 test-gated − 2 demoted baselines
-# − 8 twin-demoted = 98 eligible ≤ 2 × 50, so the strict "driver row
+# Steady state from round 6: 114 − 5 test-gated − 2 demoted baselines
+# − 8 twin-demoted = 99 eligible ≤ 2 × 50, so the strict "driver row
 # within two rounds" cadence holds with 3 spare slots per cycle for
 # future newcomers.
 _DEMOTED_TWINNED = frozenset(
@@ -145,6 +145,9 @@ _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
         # signature parquet, with a hard DuckDB oracle (VERDICT r4 task
         # #4) — takes one of the 3 spare round-6 slots.
         "m05_signature_band_relational",
+        # q36: merge with COLLIDING insert keys — the api.merge_upsert
+        # general anti-join path, hash-checked (VERDICT r4 task #8).
+        "q36_merge_upsert_general",
     }
 )
 _HELD_OUT = frozenset(
@@ -223,7 +226,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (113 queries; exact count asserted in
+    """The FULL registry (114 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1731,6 +1731,98 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# q36 — MERGE with COLLIDING inserts (the general not-matched path)
+# ---------------------------------------------------------------------------
+
+def q36_merge_upsert_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL merge path q34 deliberately bypasses: the change
+    batch's insert keys are NOT disjoint from the snapshot, so the
+    WHEN-NOT-MATCHED contract (inserts on existing keys are ignored)
+    must be enforced by a real anti-join — this query routes through
+    ``api.merge_upsert`` with ``assume_disjoint_inserts=False`` so the
+    api's anti-join lowering itself gets the hash-checked row
+    (VERDICT r4 task #8). Change derivation: keys ≡1 (mod 10) update
+    (+1000, exact), ≡2 delete, and ≡3 spawn TWO inserts — one at
+    key+1 (which ALWAYS exists in the dense order fixture → dropped by
+    the anti-join) and one at key+10⁸ (genuinely new → appended), both
+    at half price. The oracle spells the same semantics as FULL OUTER
+    JOIN + NOT EXISTS, so the hash-compare doubles as a
+    cross-formulation equivalence proof.
+
+    Scale shape: matched ops broadcast-join the ingest-sized batch
+    against the snapshot (snapshot never shuffles); the anti-join
+    shuffles only the snapshot's KEY COLUMN against the batch keys —
+    at 100 TB that is a bigint-only exchange, the documented price of
+    dropping the disjointness assumption (api.py merge_upsert).
+    """
+    from big_data_analytics_cse545_spark import api
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mod = F.col("o_orderkey") % 10
+    matched = o.where(mod.isin(1, 2)).select(
+        "o_orderkey",
+        F.when(mod == 1, F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.when(mod == 1, F.lit("update")).otherwise(F.lit("delete")).alias("op"),
+    )
+    base3 = o.where(mod == 3)
+    inserts = (
+        base3.select(
+            (F.col("o_orderkey") + 1).alias("o_orderkey"),
+            (F.col("o_totalprice") / 2.0).alias("o_totalprice"),
+            F.lit("insert").alias("op"),
+        )
+    ).unionByName(
+        base3.select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (F.col("o_totalprice") / 2.0).alias("o_totalprice"),
+            F.lit("insert").alias("op"),
+        )
+    )
+    merged = api.merge_upsert(
+        o, matched.unionByName(inserts), "o_orderkey", with_action=True
+    )
+    return merged.orderBy("o_orderkey")
+
+
+_Q36_SQL = """
+WITH changes AS (
+  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS new_price, 'update' AS op
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS new_price, 'delete' AS op
+  FROM orders WHERE o_orderkey % 10 = 2
+  UNION ALL
+  SELECT o_orderkey + 1 AS k, o_totalprice / 2.0 AS new_price, 'insert' AS op
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS k, o_totalprice / 2.0 AS new_price,
+         'insert' AS op
+  FROM orders WHERE o_orderkey % 10 = 3
+),
+matched AS (SELECT * FROM changes WHERE op <> 'insert'),
+survivors AS (
+  SELECT o.o_orderkey,
+         CASE WHEN c.op = 'update' THEN c.new_price
+              ELSE o.o_totalprice END AS o_totalprice,
+         COALESCE(c.op, 'unchanged') AS action
+  FROM orders o
+  LEFT JOIN matched c ON o.o_orderkey = c.k
+  WHERE c.op IS NULL OR c.op <> 'delete'
+),
+new_rows AS (
+  SELECT c.k AS o_orderkey, c.new_price AS o_totalprice, 'insert' AS action
+  FROM changes c
+  WHERE c.op = 'insert'
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.k)
+)
+SELECT * FROM survivors
+UNION ALL
+SELECT * FROM new_rows
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — recursive CTE (WITH RECURSIVE hierarchy walk, Spark 4 surface)
 # ---------------------------------------------------------------------------
 
@@ -1844,6 +1936,7 @@ QUERIES = {
     "q32_approx_percentiles": q32_approx_percentiles,
     "q33_sql_subqueries": q33_sql_subqueries,
     "q34_merge_upsert": q34_merge_upsert,
+    "q36_merge_upsert_general": q36_merge_upsert_general,
     "q35_recursive_cte": q35_recursive_cte,
 }
 
@@ -1882,5 +1975,6 @@ ORACLE = {
     "q32_approx_percentiles": _Q32_SQL,
     "q33_sql_subqueries": _Q33_SQL,
     "q34_merge_upsert": _Q34_SQL,
+    "q36_merge_upsert_general": _Q36_SQL,
     "q35_recursive_cte": _Q35_SQL,
 }
