@@ -741,8 +741,13 @@ def st11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_image) and video demux (m02), the operator PROBES the real
     path and falls back to a GroupState twin that hand-serializes the
     same state machine (``_st11_profile_groupstate``); the production
-    path is zero-edit where protobuf exists, and
-    tests/test_streaming.py pins both paths to the same result schema.
+    path is zero-edit where protobuf exists. Vendoring protobuf is not
+    possible here (offline container, installs out of scope), so the
+    tests pin everything short of running the runner: the typed-state
+    PLAN constructs with the declared schema (Spark analyzes the
+    processor wiring at plan build), the probe tracks protobuf
+    availability, and dispatch follows the probe
+    (tests/test_streaming.py).
 
     With AvailableNow over the single events file, the final state per
     user equals the batch aggregate, so the reduced histogram —
