@@ -483,7 +483,17 @@ PQ_K = 16        # centroids per subspace → 16×4-bit codes per vector
 PQ_TRAIN_CAP = 2048  # absolute training-sample cap (model-sized, not data-sized)
 PQ_ITERS = 10
 PQ_TOPK = 3
-PQ_RERANK = 64   # ADC shortlist size fed to the exact rerank, per batch
+# ADC shortlist size fed to the exact rerank, per batch. THE recall
+# knob when many corpus rows encode near-identically (tight clusters at
+# 8-byte codes): ADC ties make the shortlist order arbitrary, so recall
+# ≈ P(true top-k inside a RERANK-deep slice of the tied set) — raising
+# RERANK buys recall with no re-encoding (measured in SCALE.md's ANN
+# table: recall@3 0.46 → 0.94 → 1.0 at 64 → 256 → 512 on the clustered
+# 10× corpus, wall time flat). Env-overridable for ops tuning; the
+# default matches the r4 recall-gate setting.
+import os as _os
+
+PQ_RERANK = int(_os.environ.get("SPARK_GRAFT_PQ_RERANK", "64"))
 
 
 def _pq_train(train: "object") -> "object":
@@ -543,7 +553,18 @@ def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    train_rows = e.orderBy("vec_id").limit(PQ_TRAIN_CAP).collect()
+    # Training sample: deterministic HASH-ordered take, not first-N ids.
+    # First-N is fine on shuffled corpora but catastrophically biased on
+    # id-clustered ones — measured in tools/scale_ann.py: codebooks fit
+    # on the first ~10 of 100 planted clusters left recall@3 ≈ 0.5;
+    # hash-spreading the same-sized sample restored it (SCALE.md, ANN
+    # table). md5-of-id is stable across runs/partitionings, so the
+    # model (and every downstream result) stays deterministic.
+    train_rows = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .collect()
+    )
     train = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
     codebooks = _pq_train(train)
 
