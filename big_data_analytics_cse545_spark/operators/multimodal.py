@@ -876,13 +876,124 @@ def audios_df(spark: SparkSession, sf_dir: str, n_clips: int = 16) -> DataFrame:
 # frame sampling (video-shaped payloads)
 # ---------------------------------------------------------------------------
 
+def _avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI 1.0 writer — RIFF/'AVI ', one 'vids'
+    stream of BI_RGB DIB frames (24-bpp BGR or 32-bpp BGRA, bottom-up
+    rows, 4-byte row stride) — built from ``struct`` alone, the video
+    twin of ``_tiff_encode``. Output is a real container that
+    ffmpeg/PyAV demux directly."""
+    import struct
+
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] not in (3, 4):
+        raise ValueError("writer takes (n, h, w, 3|4) uint8 frames")
+    n, h, w, c = frames.shape
+    bpp = c * 8
+    stride = (w * c + 3) // 4 * 4
+    # RGB(A) top-down → BGR(A) bottom-up, rows padded to the DIB stride
+    swapped = frames[:, ::-1, :, [2, 1, 0, 3][:c]] if c == 4 else frames[
+        :, ::-1, :, ::-1
+    ]
+    row_pad = stride - w * c
+    frame_bytes = []
+    for f in range(n):
+        rows = swapped[f].reshape(h, w * c)
+        if row_pad:
+            rows = np.concatenate(
+                [rows, np.zeros((h, row_pad), dtype=np.uint8)], axis=1
+            )
+        frame_bytes.append(np.ascontiguousarray(rows).tobytes())
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_size * fps, 0, 0,
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_decode(raw: bytes) -> np.ndarray | None:
+    """Struct-only demux of baseline uncompressed AVI (BI_RGB 24/32-bpp
+    DIB frames) → (n, h, w, c) uint8 RGB(A) stack — the real demux path
+    for this container, mirroring what PyAV does for production
+    containers. Returns None for non-AVI payloads or beyond-baseline
+    features (compressed streams, odd bit depths) so callers fall
+    through to the raw-tensor fallback."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return None
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size % 2)
+
+    strf = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        for fourcc, dpos, size in chunks(raw, pos, end):
+            if fourcc == b"LIST":
+                walk(dpos + 4, dpos + size)
+            elif fourcc == b"strf" and strf is None:
+                strf = raw[dpos : dpos + size]
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                frames.append(raw[dpos : dpos + size])
+
+    try:
+        walk(12, 8 + struct.unpack_from("<I", raw, 4)[0])
+        if strf is None or len(strf) < 40 or not frames:
+            return None
+        _, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None
+        bottom_up, h = h > 0, abs(h)
+        c = bpp // 8
+        stride = (w * c + 3) // 4 * 4
+        out = []
+        for fb in frames:
+            if len(fb) < stride * h:
+                return None
+            rows = np.frombuffer(fb[: stride * h], dtype=np.uint8).reshape(
+                h, stride
+            )[:, : w * c].reshape(h, w, c)
+            if bottom_up:
+                rows = rows[::-1]
+            out.append(rows[:, :, [2, 1, 0, 3][:c]] if c == 4 else rows[:, :, ::-1])
+        return np.ascontiguousarray(np.stack(out))
+    except (struct.error, ValueError):
+        return None
+
+
 def _codec_demux(raw: bytes) -> np.ndarray | None:
     """Attempt a REAL container demux — PyAV (ffmpeg bindings) first,
-    then imageio's ffmpeg plugin — the video twin of ``_codec_decode``,
-    so a production container (mp4/mkv/webm) takes the real demux path
-    with zero code edits. Returns an (n_frames, H, W, 3) uint8 stack,
-    or None when no demux library is installed or the payload is not a
-    parseable container (the synthetic fixtures here are raw tensors)."""
+    then imageio's ffmpeg plugin, then the struct-only baseline AVI
+    demuxer above — the video twin of ``_codec_decode``, so a
+    production container (mp4/mkv/webm) takes the full demuxer with
+    zero code edits while THIS container still demuxes the real AVI
+    fixtures instead of falling back to a reshape. Returns an
+    (n_frames, H, W, C) uint8 stack, or None when the payload is not a
+    parseable container at all (a raw tensor)."""
     import io
 
     try:
@@ -903,24 +1014,26 @@ def _codec_demux(raw: bytes) -> np.ndarray | None:
     try:
         import imageio.v3 as iio  # type: ignore[import-not-found]
     except ImportError:
-        return None
-    try:
-        arr = np.asarray(iio.imread(raw, index=None, plugin="pyav"))
-        return arr if arr.ndim == 4 else None
-    except Exception:  # noqa: BLE001 — not an imageio-readable container
-        return None
+        iio = None
+    if iio is not None:
+        try:
+            arr = np.asarray(iio.imread(raw, index=None, plugin="pyav"))
+            if arr.ndim == 4:
+                return arr
+        except Exception:  # noqa: BLE001 — not an imageio-readable container
+            pass
+    return _avi_decode(raw)
 
 
 def demux_video(
     content: bytes, n_frames: int, width: int, height: int, channels: int
 ) -> np.ndarray:
-    """Demux a video payload into an (n_frames, H, W, C) uint8 tensor:
-    attempt a real codec (PyAV → imageio-ffmpeg), fall back to
-    interpreting the payload as a raw tensor. This container ships no
-    video codec, so the fallback is the exercised path; the demux
-    attempt is real and validated against the typed metadata, exactly
-    like ``decode_image``'s I3 story (tests skip the codec assertion
-    when no demux library is installed)."""
+    """Demux a video payload into an (n_frames, H, W, C) uint8 tensor
+    via PyAV → imageio-ffmpeg → the built-in baseline AVI demuxer, with
+    a raw-tensor reshape only for opaque non-container payloads. The
+    engine's video fixtures are real uncompressed AVI containers, so
+    the demux here is an actual container parse in every container —
+    the exact mirror of ``decode_image``'s I3 TIFF story."""
     decoded = _codec_demux(content)
     if decoded is not None:
         arr = np.ascontiguousarray(decoded, dtype=np.uint8)
@@ -975,9 +1088,10 @@ def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
 def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize 8-frame videos (one per 50 embeddings ids), sample every
     4th frame, fingerprint each sampled frame — the video-modality
-    plumbing demo (rows-only). Demux goes through ``demux_video``'s
-    attempt-real-codec-then-fallback path, so the same query runs
-    unchanged on real mp4/mkv containers."""
+    plumbing demo (rows-only). Payloads are REAL uncompressed AVI
+    containers (``_avi_encode``) demuxed by ``demux_video``'s real
+    parse chain (PyAV → imageio → built-in AVI), so the same query
+    runs unchanged on real mp4/mkv containers."""
     ids = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 50 == 0)
@@ -993,7 +1107,7 @@ def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vid = rng.integers(
                     0, 256, size=(n_frames, H, W, CHANNELS), dtype=np.uint8
                 )
-                out.append(vid.tobytes())
+                out.append(_avi_encode(vid))
             yield pd.DataFrame(
                 {
                     "video_id": "vid" + batch["base_id"].astype(str),

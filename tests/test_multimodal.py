@@ -382,8 +382,8 @@ def test_m05_materialized_signatures_match_the_spark_kernel(spark):
 
 
 def test_demux_video_fallback_and_validation():
-    """demux_video's raw-tensor fallback (the exercised path in this
-    codec-less container) must reproduce the payload exactly and reject
+    """demux_video's raw-tensor fallback (now only for opaque non-
+    container payloads) must reproduce the payload exactly and reject
     metadata mismatches — the video twin of the I3 zip/codec test."""
     import pytest
 
@@ -397,36 +397,101 @@ def test_demux_video_fallback_and_validation():
 
 
 def test_real_video_demux_when_available():
-    """When a real demux library is installed (production container),
-    demux_video must take it; skipped here if neither PyAV nor imageio's
-    ffmpeg plugin exists — exactly like the I3 image-codec test."""
+    """The demux path must take a REAL container parse in every
+    container: PyAV (lossless x264rgb mp4) when installed (production),
+    else the built-in baseline AVI demuxer — no skip, runs everywhere."""
     import io
 
-    import pytest
-
-    try:
-        import av
-    except ImportError:
-        pytest.skip("no video demux library installed in this container")
     n, h, w, c = 4, 32, 32, 3
     frames = [
         np.full((h, w, c), 16 * (f + 1), dtype=np.uint8) for f in range(n)
     ]
-    buf = io.BytesIO()
-    with av.open(buf, mode="w", format="mp4") as container:
-        stream = container.add_stream("libx264rgb", rate=4)
-        stream.width, stream.height = w, h
-        stream.pix_fmt = "rgb24"
-        stream.options = {"qp": "0"}  # lossless so tensors compare exactly
-        for f in frames:
-            for packet in stream.encode(
-                av.VideoFrame.from_ndarray(f, format="rgb24")
-            ):
+    try:
+        import av
+    except ImportError:
+        av = None
+    if av is not None:
+        buf = io.BytesIO()
+        with av.open(buf, mode="w", format="mp4") as container:
+            stream = container.add_stream("libx264rgb", rate=4)
+            stream.width, stream.height = w, h
+            stream.pix_fmt = "rgb24"
+            stream.options = {"qp": "0"}  # lossless, tensors compare exactly
+            for f in frames:
+                for packet in stream.encode(
+                    av.VideoFrame.from_ndarray(f, format="rgb24")
+                ):
+                    container.mux(packet)
+            for packet in stream.encode():
                 container.mux(packet)
-        for packet in stream.encode():
-            container.mux(packet)
-    decoded = mm.demux_video(buf.getvalue(), n, w, h, c)
+        payload = buf.getvalue()
+    else:
+        payload = mm._avi_encode(np.stack(frames))
+    decoded = mm.demux_video(payload, n, w, h, c)
     assert np.array_equal(decoded, np.stack(frames))
+
+
+def test_builtin_avi_demux_against_hand_assembled_file():
+    """_avi_decode checked against an INDEPENDENTLY hand-assembled AVI
+    (TOP-DOWN rows via negative biHeight, 24-bpp, padded stride — none
+    of which _avi_encode emits) so demuxer and muxer can't share a bug;
+    plus round-trip and beyond-baseline rejection."""
+    import struct
+
+    h, w, c = 2, 3, 3
+    # rows top-down, BGR, stride padded 9 → 12
+    px = np.arange(h * w * c, dtype=np.uint8).reshape(h, w, c)
+    rows = []
+    for r in range(h):
+        bgr = px[r, :, ::-1].reshape(-1)
+        rows.append(bytes(bgr) + b"\x00\x00\x00")
+    fb = b"".join(rows)
+
+    def chunk(fourcc, data):
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    strf = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(fb), 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, len(fb), 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    avih = struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, len(fb), w, h, 0, 0, 0, 0)
+    hdrl = chunk(
+        b"LIST",
+        b"hdrl"
+        + chunk(b"avih", avih)
+        + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = chunk(b"LIST", b"movi" + chunk(b"00db", fb))
+    body = b"AVI " + hdrl + movi
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    decoded = mm._avi_decode(raw)
+    assert decoded is not None and decoded.shape == (1, h, w, c)
+    assert np.array_equal(decoded[0], px)
+    # compressed stream (MJPG) must be refused, not garbled
+    mjpg = raw.replace(
+        struct.pack("<IiiHH I".replace(" ", ""), 40, w, -h, 1, 24, 0),
+        struct.pack("<IiiHHI", 40, w, -h, 1, 24, 0x47504A4D),
+    )
+    assert mm._avi_decode(mjpg) is None
+    assert mm._avi_decode(b"RIFF\x00\x00\x00\x00WAVE") is None
+    # round-trip through the muxer, 4-channel
+    arr = np.arange(2 * 4 * 5 * 4, dtype=np.uint8).reshape(2, 4, 5, 4)
+    assert np.array_equal(mm._avi_decode(mm._avi_encode(arr)), arr)
+
+
+def test_m02_fixture_payloads_are_real_avi_containers():
+    """m02's video payloads must be real AVI containers that the
+    builtin demuxer parses back to the exact synthesized tensor."""
+    rng = np.random.default_rng(5_000_000)
+    vid = rng.integers(0, 256, size=(8, mm.H, mm.W, mm.CHANNELS), dtype=np.uint8)
+    payload = mm._avi_encode(vid)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    parsed = mm._avi_decode(payload)
+    assert parsed is not None and np.array_equal(parsed, vid)
 
 
 def test_factor_fork_reuses_persisted_tiles(spark, sf_smoke):
