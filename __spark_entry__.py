@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 114
+# The driver hash-checks only the FIRST 50 queries() entries, so with 115
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -121,10 +121,10 @@ _DEMOTED_BASELINES = frozenset(
 #   x01_hash_split ↔ x06_leakage_safe_split (x06 composes x01's md5
 #     membership kernel — functions/hashing split assignment — and is
 #     r4-green; x01's oracle also reruns in every pytest).
-# Steady state from round 6: 114 − 5 test-gated − 2 demoted baselines
-# − 8 twin-demoted = 99 eligible ≤ 2 × 50, so the strict "driver row
-# within two rounds" cadence holds with 3 spare slots per cycle for
-# future newcomers.
+# Steady state from round 6: 115 − 5 test-gated − 2 demoted baselines
+# − 8 twin-demoted = 100 eligible = 2 × 50 exactly, so the strict
+# "driver row within two rounds" cadence holds; any future newcomer
+# must bring a twin demotion (or test-gating rationale) with it.
 _DEMOTED_TWINNED = frozenset(
     {
         "q24_percentiles",  # ↔ q32_approx_percentiles (exact columns re-verified there)
@@ -148,6 +148,9 @@ _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
         # q36: merge with COLLIDING insert keys — the api.merge_upsert
         # general anti-join path, hash-checked (VERDICT r4 task #8).
         "q36_merge_upsert_general",
+        # s06: multi-table OR-construction LSH ANN — the operator form
+        # of the recall knob measured in SCALE.md's ANN scaling table.
+        "s06_ann_multitable_lsh",
     }
 )
 _HELD_OUT = frozenset(
@@ -226,7 +229,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (114 queries; exact count asserted in
+    """The FULL registry (115 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -101,17 +101,24 @@ def _plane_sign(p: int, d: int) -> int:
 
 
 def hyperplane_bucket_expr(
-    emb_col: str = "embedding", n_planes: int = N_PLANES, dim: int = DIM
+    emb_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = DIM,
+    plane_offset: int = 0,
 ):
-    """Signature bucket = Σ_p [dot(plane_p, emb) > 0]·2^p as one JVM
-    expression tree (plane entries are literals — no shuffle, no UDF).
+    """Signature bucket = Σ_p [dot(plane_{offset+p}, emb) > 0]·2^p as one
+    JVM expression tree (plane entries are literals — no shuffle, no
+    UDF). ``plane_offset`` selects an independent plane family — table t
+    of an OR-construction uses offset t·n_planes (s06).
 
     Public: also the coarse-partition step of d11 semantic dedup
     (operators/dedup.py), which needs the identical md5-parity planes so
     its DuckDB oracle can regenerate the cells."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        signs = F.array(*[F.lit(float(_plane_sign(p, d))) for d in range(dim)])
+        signs = F.array(
+            *[F.lit(float(_plane_sign(plane_offset + p, d))) for d in range(dim)]
+        )
         proj = dot(signs, F.col(emb_col))
         bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
     return bucket
@@ -151,14 +158,18 @@ def s02_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hyperplane_bucket_sql(
-    emb_sql: str = "embedding", n_planes: int = N_PLANES, dim: int = DIM
+    emb_sql: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = DIM,
+    plane_offset: int = 0,
 ) -> str:
     """DuckDB twin of :func:`hyperplane_bucket_expr` (same md5-parity
-    planes, same power-of-two packing)."""
+    planes, same power-of-two packing, same ``plane_offset`` table
+    selection)."""
     terms = []
     for p in range(n_planes):
         signs = ", ".join(
-            str(float(_plane_sign(p, d))) for d in range(dim)
+            str(float(_plane_sign(plane_offset + p, d))) for d in range(dim)
         )
         terms.append(
             f"CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
@@ -390,12 +401,117 @@ ORDER BY q_id, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# s06 — multi-table OR-construction LSH ANN
+# ---------------------------------------------------------------------------
+
+N_TABLES = 3  # OR-construction width: recall → 1 − (1 − r₁)^L per table
+
+
+def s06_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over an OR-construction of ``N_TABLES`` independent
+    hyperplane-LSH tables: a pair is a candidate if it collides in ANY
+    table; exact cosine top-3 over the deduped candidate set.
+
+    This is the operator form of the recall knob SCALE.md names for the
+    single-table funnel (s02/s05): one 6-plane table collides true
+    neighbors at r₁ = (1 − θ/π)^6 (≈0.3 at cos 0.86), and L independent
+    tables lift that to 1 − (1 − r₁)^L (≈0.66 at L=3) while the
+    candidate volume grows only ~linearly in L. Table t draws planes
+    from the disjoint family ``plane_offset = t·N_PLANES``, so table 0
+    is EXACTLY s02's table — s06's candidate set is a superset of
+    s02's by construction (pinned in tests).
+
+    Scale shape (the part that must survive 100 TB): the per-table
+    signatures are computed in ONE projection as literal expression
+    trees (no UDF, no shuffle), then exploded to a NARROW
+    (vec_id, t, bucket) relation — ids and 13 bytes per row, never the
+    embeddings, so the ×L blow-up ships ~nothing. ONE equi-join on the
+    composite (t, bucket) key serves all L tables in a single shuffle
+    (vs L joins + union), duplicates collapse on (q_id, vec_id) BEFORE
+    any exact math so a pair colliding in all L tables is scored once,
+    and only the surviving candidate pairs rejoin the wide embedding
+    table for scoring.
+
+    Reference anchor: the multi-band OR over minhash signatures in
+    ``Assignment 2/a2_ahuja.py:140-170`` (computeBuckets2's 39 bands
+    ARE an OR-construction); here the bands are whole hyperplane
+    tables over an embedding column.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_expr(plane_offset=t * N_PLANES)
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("t", "bucket"),
+    )
+    q_sig = sig.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), "t", "bucket"
+    )
+    cand = (
+        q_sig.join(sig, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = _queries_df(e)
+    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.join(q, "q_id")
+        .join(e, "vec_id")
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "cos_sim")
+        .orderBy("q_id", "rk")
+    )
+
+
+def _s06_sql() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t, {_bucket_sql(plane_offset=t * N_PLANES)} AS bucket "
+        "FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH long AS (
+{per_table}
+),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS q_id, es.vec_id
+  FROM long qs JOIN long es ON es.t = qs.t AND es.bucket = qs.bucket
+  WHERE qs.vec_id % {QUERY_MOD} = 0 AND es.vec_id <> qs.vec_id
+),
+scored AS (
+  SELECT c.q_id, e.vec_id, {_COS_SQL} AS cos_sim
+  FROM cand c
+  JOIN (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings) q ON q.q_id = c.q_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id AS neighbor_id, rk, cos_sim
+FROM ranked WHERE rk <= 3
+ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_ann_hyperplane_lsh": s02_ann_hyperplane_lsh,
     "s03_ann_ivf": s03_ann_ivf,
     "s04_brp_lsh_mllib": s04_brp_lsh_mllib,
     "s05_filtered_ann": s05_filtered_ann,
+    "s06_ann_multitable_lsh": s06_ann_multitable_lsh,
 }
 
 ORACLE = {
@@ -403,4 +519,5 @@ ORACLE = {
     "s02_ann_hyperplane_lsh": _s02_sql(),
     "s03_ann_ivf": _S03_SQL,
     "s05_filtered_ann": _s05_sql,
+    "s06_ann_multitable_lsh": _s06_sql,
 }

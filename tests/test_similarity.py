@@ -59,6 +59,33 @@ def test_brp_lsh_recalls_exact_euclidean_top1(spark, sf_correctness):
     assert hits / len(exact_top1) >= 0.6, f"recall {hits}/{len(exact_top1)}"
 
 
+def test_s06_or_construction_dominates_single_table(spark, sf_correctness):
+    """Table 0 of s06's OR-construction IS s02's table (plane_offset 0),
+    so s06's candidate set is a superset of s02's — per query, its
+    rank-1 cosine can never be worse, and every query s02 answers s06
+    answers too. This is the operator's whole contract (recall is
+    monotone in tables); the exact recall numbers live in SCALE.md."""
+    s02_top = {
+        r["q_id"]: r["cos_sim"]
+        for r in similarity.s02_ann_hyperplane_lsh(spark, sf_correctness).collect()
+        if r["rk"] == 1
+    }
+    s06_rows = similarity.s06_ann_multitable_lsh(spark, sf_correctness).collect()
+    s06_top = {r["q_id"]: r["cos_sim"] for r in s06_rows if r["rk"] == 1}
+    assert s02_top, "expected s02 to answer at least one query"
+    assert set(s02_top) <= set(s06_top)
+    for q, c in s02_top.items():
+        assert s06_top[q] >= c, f"q{q}: s06 top-1 {s06_top[q]} < s02 {c}"
+    # more tables → at least as many (typically more) candidate rows
+    s02_n = sum(
+        1 for _ in similarity.s02_ann_hyperplane_lsh(spark, sf_correctness).collect()
+    )
+    assert len(s06_rows) >= s02_n
+    # dedup before scoring: a pair colliding in several tables appears once
+    pairs = [(r["q_id"], r["neighbor_id"]) for r in s06_rows]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_s05_prefilter_beats_postfilter(spark, sf_correctness):
     """The reason the predicate must ride the candidate join: every s05
     result row satisfies the predicate AND delivers full k wherever the
