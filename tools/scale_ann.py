@@ -72,7 +72,16 @@ LABEL_OFFSET = 10
 QUERY_MOD = 100
 K = 3
 SCALES = (1, 3, 10)
-ANN_QUERIES = ("s03_ann_ivf", "s05_filtered_ann", "p07_pq_ann")
+ANN_QUERIES = (
+    "s03_ann_ivf",
+    "s05_filtered_ann",
+    "p07_pq_ann",
+    # round-5 addition: the single-table LSH and its OR-construction —
+    # measured together so the 1 − (1 − r₁)^L recall-lift claim
+    # (SCALE.md, s06) is a measurement, not a collision-model prediction.
+    "s02_ann_hyperplane_lsh",
+    "s06_ann_multitable_lsh",
+)
 
 
 def _rotation(r: int, dim: int) -> np.ndarray:
@@ -179,10 +188,15 @@ def _ground_truth(data_dir: str):
         return out
 
     same_label = labels[None, :] == qlab[:, None]
+    unfiltered_cos = topk(cos, asc=False)
     return {
-        "s03_ann_ivf": topk(cos, asc=False),
+        "s03_ann_ivf": unfiltered_cos,
         "s05_filtered_ann": topk(cos, asc=False, extra_mask=same_label),
         "p07_pq_ann": topk(d2, asc=True),
+        # s02/s06 share s03's exact ranking rule (round-6 cosine desc,
+        # vec_id asc, unfiltered)
+        "s02_ann_hyperplane_lsh": unfiltered_cos,
+        "s06_ann_multitable_lsh": unfiltered_cos,
     }, len(qids)
 
 
