@@ -298,3 +298,34 @@ def test_x06_cluster_relation_carries_no_broadcast_hint(spark, sf_correctness):
     assert hints(sampling.x06_leakage_safe_split(spark, sf_correctness)) == 0
     docs = load_table(spark, sf_correctness, "documents")
     assert hints(api.leakage_safe_split(docs, "text", "doc_id")) == 0
+
+
+def test_s06_explode_is_narrow_and_dedup_precedes_scoring(spark, sf_correctness):
+    """s06's 100 TB contract: the xL table blow-up ships ONLY
+    (vec_id, t, bucket) — never the embeddings — and candidate pairs
+    collapse on (q_id, vec_id) BEFORE any exact cosine, so a pair
+    colliding in all L tables is scored once."""
+    import re
+
+    from big_data_analytics_cse545_spark.operators import similarity
+    from big_data_analytics_cse545_spark.plans import shuffle_exchanges
+
+    df = similarity.s06_ann_multitable_lsh(spark, sf_correctness)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both Generate(posexplode) nodes output exactly [t, bucket] over a
+    # lone vec_id child column — the embedding never leaves the scan stage
+    gens = [ln for ln in plan.splitlines() if "Generate posexplode" in ln]
+    assert len(gens) == 2, f"expected 2 exploded signature relations: {len(gens)}"
+    for ln in gens:
+        assert re.search(r"\[vec_id#\d+L\], false, \[t#\d+, bucket#\d+\]$", ln), (
+            f"exploded relation is not narrow: ...{ln[-120:]}"
+        )
+    # the pair-dedup shuffle keyed on (q_id, vec_id) exists, and it is the
+    # ONLY hash shuffle besides the final window's q_id partition — the
+    # candidate join itself rides a broadcast of the tiny query-side
+    # signatures at this sf (AQE may pick shuffle at scale; the gate pins
+    # the dedup stage, not the join strategy)
+    shuffles = shuffle_exchanges(df)
+    assert any(
+        "q_id" in s and "vec_id" in s for s in shuffles
+    ), f"no (q_id, vec_id) dedup shuffle: {shuffles}"
