@@ -499,7 +499,12 @@ def ann_join(
     1-(1-p^n_planes)^n_tables while each query still scores only
     ~n_tables/2^n_planes of the corpus. Table t uses plane indices
     t*n_planes..t*n_planes+n_planes-1 of the same md5 sign family, so
-    n_tables=1 is exactly the round-2 behavior (and s02's).
+    n_tables=1 is exactly the round-2 behavior (and s02's); the
+    driver-checked operator form is s06 (operators/similarity.py), whose
+    measured recall lift is in SCALE.md. The candidate stage is NARROW:
+    only (id, table, bucket) rows ride the ×n_tables explode and the
+    pair-dedup shuffle — embeddings rejoin by id afterwards, so the
+    shuffle payload is independent of the embedding width.
 
     ``dim``: optional embedding dimensionality. When given, plane signs
     are embedded as literal arrays (cheapest codegen); when None they
@@ -544,21 +549,27 @@ def ann_join(
                 b = b + F.when(dotv > 0, F.lit(2 ** p)).otherwise(F.lit(0))
             return b
 
-        def with_buckets(df: DataFrame, emb: str, bucket_col: str) -> DataFrame:
-            # one row per (row, table): join key is (table, bucket) so
-            # tables never cross-match; candidates are deduped after
+        def signatures(df: DataFrame, emb: str, id_alias: str) -> DataFrame:
+            # one NARROW row per (id, table): ids and buckets only — the
+            # ×n_tables blow-up must never ship the embeddings (the s06
+            # operator's measured shape, operators/similarity.py); join
+            # key is (table, bucket) so tables never cross-match
             buckets = F.array(*[bucket(emb, t) for t in range(n_tables)])
             return df.select(
-                "*", F.posexplode(buckets).alias("_t", bucket_col)
+                F.col(id_alias), F.posexplode(buckets).alias("_t", "_b")
             )
 
-        q = with_buckets(q, "_q_emb", "_qb")
-        c = with_buckets(c, "_c_emb", "_cb").withColumnRenamed("_t", "_ct")
-        # a pair colliding in several tables must be scored exactly once
-        joined = q.join(
-            c,
-            (F.col("_t") == F.col("_ct")) & (F.col("_qb") == F.col("_cb")) & not_self,
-        ).dropDuplicates(["q_id", "neighbor_id"])
+        q_sig = signatures(q, "_q_emb", "q_id")
+        c_sig = signatures(c, "_c_emb", "neighbor_id")
+        # a pair colliding in several tables must be scored exactly once:
+        # dedup the id-PAIR relation, then rejoin the wide embedding rows
+        cand = (
+            q_sig.join(c_sig, ["_t", "_b"])
+            .filter(not_self)
+            .select("q_id", "neighbor_id")
+            .dropDuplicates(["q_id", "neighbor_id"])
+        )
+        joined = cand.join(q, "q_id").join(c, "neighbor_id")
     else:
         joined = q.join(c, not_self)
     cos = F.round(cosine(F.col("_q_emb"), F.col("_c_emb")), 6)

@@ -436,7 +436,9 @@ def s06_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: the multi-band OR over minhash signatures in
     ``Assignment 2/a2_ahuja.py:140-170`` (computeBuckets2's 39 bands
     ARE an OR-construction); here the bands are whole hyperplane
-    tables over an embedding column.
+    tables over an embedding column. Production API form:
+    ``api.ann_join(..., method='lsh', n_tables=L)`` — same plane
+    families, same narrow candidate stage, arbitrary tables.
     """
     e = load_table(spark, sf_dir, "embeddings")
     sig = e.select(

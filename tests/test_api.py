@@ -783,3 +783,24 @@ def test_host_reputation_rejects_unrepresentable_threshold(spark):
     api.host_reputation(df, "host", "is_junk", junk_frac=1 / 3)  # fine: 1/3 snaps exactly
     with pytest.raises(ValueError, match="not representable"):
         api.host_reputation(df, "host", "is_junk", junk_frac=1e-8)
+
+
+def test_ann_join_lsh_candidate_stage_is_narrow(spark, sf_smoke):
+    """The xn_tables explode must ship (id, table, bucket) rows only —
+    embeddings rejoin by id AFTER pair-dedup (the s06 operator's
+    measured shape), so the dedup shuffle payload is independent of
+    embedding width."""
+    import re
+
+    e = load_table(spark, sf_smoke, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    df = api.ann_join(
+        q, e, "embedding", "vec_id", k=3, method="lsh", n_planes=4, n_tables=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gens = [ln for ln in plan.splitlines() if "Generate posexplode" in ln]
+    assert len(gens) == 2, f"expected 2 exploded signature relations: {len(gens)}"
+    for ln in gens:
+        assert re.search(r"\[(q_id|neighbor_id)#\d+L?\], false, \[_t#\d+, _b#\d+\]$", ln), (
+            f"exploded relation is not narrow: ...{ln[-140:]}"
+        )
