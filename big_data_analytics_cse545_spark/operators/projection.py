@@ -328,6 +328,12 @@ def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum += np.bincount(a, weights=dist, minlength=k)
                 np.add.at(sums, a, x)
             nz = np.nonzero(cnts)[0]
+            if len(nz) == 0:
+                # empty parquet split (byte-splitting can outnumber row
+                # groups at scale): yield nothing — an empty DataFrame
+                # would type psum as float64, not list<double>, and the
+                # Arrow writer rejects the ndarray→list conversion
+                return
             pid = TaskContext.get().partitionId()
             yield pd.DataFrame(
                 {

@@ -138,3 +138,24 @@ def test_p07_pq_ann_recall_and_determinism(spark, sf_correctness):
     assert hits / tot >= 0.8, f"recall@{projection.PQ_TOPK} = {hits}/{tot}"
     again = projection.p07_pq_ann(spark, sf_correctness).toPandas()
     assert df.equals(again), "PQ pipeline must be deterministic"
+
+
+def test_kmeans_survives_empty_parquet_splits(spark, sf_correctness, tmp_path):
+    """Regression (round 5): when file byte-splitting outnumbers row
+    groups, mapInPandas partitions receive ZERO batches; the partial
+    kernel used to yield an empty DataFrame whose list<double> column
+    materialized as float64 and the Arrow writer threw
+    ArrowNotImplementedError. Pin: tiny maxPartitionBytes forces empty
+    splits, p05 must still converge with every point assigned."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    src = load_table(spark, sf_correctness, "embeddings")
+    d = str(tmp_path / "splitcase")
+    src.coalesce(1).write.parquet(d + "/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        out = projection.p05_kmeans_iterative(spark, d).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert sum(r["n_members"] for r in out) == src.count()
