@@ -390,15 +390,30 @@ def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only mode that both survives and *accounts*. Corruption here is
     purely syntactic (truncated objects) so the oracle's skip-set
     (``ignore_errors``) provably equals Spark's quarantine set.
+
+    Scan shape (round 5): ``spark.read.text`` + ``from_json`` rather
+    than the raw ``.json()`` reader with ``columnNameOfCorruptRecord``.
+    Same parser (Jackson), same PERMISSIVE quarantine semantics, but
+    the raw-JSON reader forbids any plan whose pruned scan references
+    only the corrupt column — ``df.count()`` over this query trips
+    that rule (QUERY_ONLY_CORRUPT_RECORD_COLUMN) because count prunes
+    every output column away. A text scan has no such restriction
+    under ANY downstream pruning, and reads the same bytes once.
     """
     path = corrupt_jsonl_fixture_dir(sf_dir)
-    schema = _JSONL_SCHEMA + ", _corrupt STRING"
-    d = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(path)
-    )
+    raw = spark.read.text(path)
+    d = raw.select(
+        F.from_json(
+            F.col("value"),
+            _JSONL_SCHEMA + ", _corrupt STRING",
+            # the corrupt column must live INSIDE from_json's schema:
+            # PERMISSIVE Jackson salvages the parsed prefix of a torn
+            # line into a non-null struct, so a null-struct test would
+            # under-count the quarantine — this flag marks it exactly
+            # like the file reader does
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j")
+    ).select("j.*")
     good = (
         d.filter(F.col("_corrupt").isNull())
         .groupBy("source")
@@ -408,10 +423,9 @@ def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.col("text"))).alias("content_hash"),
         )
     )
-    # Spark forbids a raw-JSON-scan query that references ONLY the
-    # corrupt column (it would require a second parse of the raw line),
-    # so the quarantine count is derived arithmetically: every input
-    # line yields exactly one PERMISSIVE row, hence corrupt = all − good.
+    # every input line yields exactly one parsed row, so the quarantine
+    # count is corrupt = all − good (kept arithmetic so the scan stays
+    # single-pass; the text source makes it prune-safe either way)
     n_all = d.agg(F.count(F.lit(1)).alias("n_all"))
     n_good = good.agg(F.sum("n_docs").alias("n_good"))
     bad = n_all.crossJoin(n_good).select(

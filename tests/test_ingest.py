@@ -129,3 +129,13 @@ def test_f06_spark_plan_carries_no_reapplied_host_filter(spark, sf_correctness):
     tot = got.agg(F.sum("n_pages").alias("n")).collect()[0]["n"]
     # hosts cycle with period 50 over i≥1000 ⇒ 3000/50 = 60 rows
     assert tot == 60
+
+
+def test_f03_survives_full_column_pruning(spark, sf_correctness):
+    """Regression (round 5): df.count() prunes every output column, and
+    over the raw .json() reader that pruning tripped Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN rule (the scan's pruned schema hit
+    the corrupt-column-only case). The text+from_json scan shape must
+    stay prune-safe under ANY downstream projection."""
+    df = ingest.f03_jsonl_corrupt_tolerant(spark, sf_correctness)
+    assert df.count() == df.select("source").distinct().count()

@@ -1,0 +1,60 @@
+"""Chaos sweep: run the ENTIRE query registry under a pathological
+file-split configuration (tiny ``spark.sql.files.maxPartitionBytes``)
+so every scan fragments into far more splits than row groups — most
+splits EMPTY, the rest tiny.
+
+Why this matters at 100 TB: split counts are a function of file bytes
+and cluster config, not of the code, so "partition may be empty" and
+"partition may hold one row group's worth" are real production states
+that sf0.01 tests never produce naturally. This sweep found two round-5
+bugs the oracle suite could not see:
+
+  * p05's mapInPandas partial kernel yielded a mistyped EMPTY DataFrame
+    on empty splits (ArrowNotImplementedError in the worker) — fixed,
+    pinned by tests/test_projection.py::test_kmeans_survives_empty_parquet_splits;
+  * f03's raw .json() scan tripped QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    under full column pruning (df.count()) — re-expressed as
+    text+from_json, pinned by tests/test_ingest.py::test_f03_survives_full_column_pruning.
+
+Usage:
+  python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes]
+
+Exit code 1 if any query fails. Not part of pytest (it re-runs the full
+registry, ~5 min); run it whenever a new Arrow kernel or file-source
+operator lands.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    max_bytes = sys.argv[2] if len(sys.argv) > 2 else "16384"
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.files.maxPartitionBytes", max_bytes)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as em
+
+    fails = []
+    for name, fn in em.all_queries().items():
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — report, don't mask
+            fails.append((name, str(exc).splitlines()[0][:200]))
+    print(f"ok: {len(em.all_queries()) - len(fails)} failed: {len(fails)}")
+    for n, e in fails:
+        print("FAIL", n, e)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
