@@ -16,8 +16,21 @@ bugs the oracle suite could not see:
     under full column pruning (df.count()) — re-expressed as
     text+from_json, pinned by tests/test_ingest.py::test_f03_survives_full_column_pruning.
 
+Beyond split size, the sweep pins two more partition-shape dimensions
+(both verified 115/115 green in round 5, and the 50 driver-facing
+queries HASH-MATCH their DuckDB oracles under the combined config —
+determinism under partition chaos, not just crash-freedom):
+
+  * ``--arrow-batch 7`` — pathological Arrow batch size; every pandas
+    kernel sees many tiny batches, so cross-batch accumulation bugs
+    (state reset per batch, per-batch top-k leaking into results)
+    surface immediately;
+  * ``--shuffle 1`` (or a prime like 5) — degenerate / awkward shuffle
+    partition counts; catches partition-count assumptions and
+    order-dependent tie-breaking.
+
 Usage:
-  python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes]
+  python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
 
 Exit code 1 if any query fails. Not part of pytest (it re-runs the full
 registry, ~5 min); run it whenever a new Arrow kernel or file-source
@@ -32,13 +45,16 @@ import sys
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     max_bytes = sys.argv[2] if len(sys.argv) > 2 else "16384"
+    shuffle = sys.argv[3] if len(sys.argv) > 3 else "16"
+    arrow_batch = sys.argv[4] if len(sys.argv) > 4 else "7"
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.files.maxPartitionBytes", max_bytes)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", arrow_batch)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
