@@ -490,7 +490,12 @@ def partitioned_parquet_fixture_dir(sf_dir: str) -> str:
 
 def f04_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = partitioned_parquet_fixture_dir(sf_dir)
-    d = spark.read.parquet(path)
+    # explicit schema (incl. the partition column): an EMPTY partitioned
+    # dataset has no files to infer from, and a 100 TB table's schema
+    # should be declared, not re-inferred per job anyway
+    d = spark.read.schema(
+        "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, lang STRING"
+    ).parquet(path)
     return (
         d.filter(F.col("lang").isin(*PARTITION_LANGS))
         .groupBy("lang")

@@ -167,6 +167,13 @@ def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").persist()
     try:
         stats = _dim_stats_df(e).collect()
+        if not stats:
+            # empty corpus → no moments, no basis, no queries: empty
+            # result with the output schema (an empty date partition
+            # must not crash a scheduled job)
+            return spark.createDataFrame(
+                [], "q_id long, neighbor_id long, rk long, dist double"
+            )
         mean = np.array([r["mean_v"] for r in stats])
         std = np.array([max(r["std_v"], 1e-9) for r in stats])
 
@@ -246,6 +253,12 @@ def p04_pca_mllib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
     )
+    if e.isEmpty():
+        # MLlib fit() on an empty corpus throws a raw Py4J error; the
+        # query's answer is simply "no neighbors" (p03's empty shape)
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, rk long, dist double"
+        )
     scaler = StandardScaler(
         inputCol="v", outputCol="scaled", withMean=True, withStd=True
     ).fit(e)
@@ -571,10 +584,19 @@ def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_TRAIN_CAP)
         .collect()
     )
+    if not train_rows:
+        # empty corpus → nothing to train on and no queries to answer
+        return spark.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, d2 double"
+        )
     train = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
     codebooks = _pq_train(train)
 
     q_rows = e.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, d2 double"
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     # per-query ADC lookup tables: dtab[q, m, k] = ||q_m − c_{m,k}||²

@@ -308,6 +308,12 @@ def s04_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
     )
+    if e.isEmpty():
+        # MLlib fit() on an empty corpus throws a raw Py4J error; the
+        # query's answer is simply "no pairs"
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=6, seed=42
     ).fit(e)

@@ -159,3 +159,32 @@ def test_kmeans_survives_empty_parquet_splits(spark, sf_correctness, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     assert sum(r["n_members"] for r in out) == src.count()
+
+
+def test_empty_corpus_yields_empty_results_not_crashes(spark, tmp_path):
+    """Round-5 robustness sweep: an EMPTY table (an empty date partition
+    in production) must yield an empty result with the right schema, not
+    a raw MLlib Py4J error or a numpy IndexError. Covers every query
+    that trains/fits on the corpus before answering."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_cse545_spark.operators import similarity
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "empty_sf")
+    os.makedirs(d)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(src, f))
+            pq.write_table(t.slice(0, 0), os.path.join(d, f))
+    for fn, cols in [
+        (projection.p03_pca_topk, ["q_id", "neighbor_id", "rk", "dist"]),
+        (projection.p04_pca_mllib_topk, ["q_id", "neighbor_id", "rk", "dist"]),
+        (projection.p07_pq_ann, ["query_id", "rank", "neighbor_id", "d2"]),
+        (similarity.s04_brp_lsh_mllib, ["q_id", "neighbor_id", "dist"]),
+    ]:
+        out = fn(spark, d)
+        assert out.count() == 0
+        assert out.columns == cols, (fn.__name__, out.columns)

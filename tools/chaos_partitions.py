@@ -29,8 +29,18 @@ determinism under partition chaos, not just crash-freedom):
     partition counts; catches partition-count assumptions and
     order-dependent tie-breaking.
 
+A fourth dimension — EMPTY input tables (pass ``--empty``: the sweep
+rewrites every parquet as its 0-row slice into /tmp and runs against
+that) — found four more round-5 bugs: MLlib ``fit()`` (s04, p04) and
+the PCA/PQ training collects (p03, p07) crashed on empty corpora
+instead of returning the empty result, and f04's partitioned scan
+could not infer a schema from an empty dataset (now declared
+explicitly). All guarded; pinned by
+tests/test_projection.py::test_empty_corpus_yields_empty_results_not_crashes.
+
 Usage:
   python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
+  python tools/chaos_partitions.py --empty   # 0-row-tables sweep
 
 Exit code 1 if any query fails. Not part of pytest (it re-runs the full
 registry, ~5 min); run it whenever a new Arrow kernel or file-source
@@ -42,11 +52,28 @@ from __future__ import annotations
 import sys
 
 
+def _empty_twin(sf_dir: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = "/tmp/chaos_empty_sf"
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(sf_dir, f))
+            pq.write_table(t.slice(0, 0), os.path.join(d, f))
+    return d
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    max_bytes = sys.argv[2] if len(sys.argv) > 2 else "16384"
-    shuffle = sys.argv[3] if len(sys.argv) > 3 else "16"
-    arrow_batch = sys.argv[4] if len(sys.argv) > 4 else "7"
+    args = [a for a in sys.argv[1:] if a != "--empty"]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    max_bytes = args[1] if len(args) > 1 else "16384"
+    shuffle = args[2] if len(args) > 2 else "16"
+    arrow_batch = args[3] if len(args) > 3 else "7"
+    if "--empty" in sys.argv[1:]:
+        sf_dir = _empty_twin(sf_dir)
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
