@@ -487,6 +487,9 @@ def blocked_cosine_pairs(
     import pandas as pd
 
     spark = e.sparkSession
+    # null vectors cannot participate in cosine math; Catalyst infers
+    # this for expression-based twins but not through an Arrow kernel
+    e = e.filter(F.col(emb_col).isNotNull())
 
     def side(prefix: str, key: str) -> DataFrame:
         # Fully independent lineage per side (fresh grid DF + aliased

@@ -164,7 +164,11 @@ def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three passes over embeddings (moments → Gram → projection+rank);
     # persist once, release at the end (the reference persists its RDD
     # for the same loop, a2_ahuja.py:431).
-    e = load_table(spark, sf_dir, "embeddings").persist()
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # null vectors: no moments/basis
+        .persist()
+    )
     try:
         stats = _dim_stats_df(e).collect()
         if not stats:
@@ -250,8 +254,13 @@ def p04_pca_mllib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import PCA, StandardScaler
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # MLlib fit() NPEs on null vectors
+        .select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+        )
     )
     if e.isEmpty():
         # MLlib fit() on an empty corpus throws a raw Py4J error; the
@@ -316,7 +325,12 @@ def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist: the loop scans the table once per iteration (the reference
     # itself persists its RDD for the same reason, a2_ahuja.py:431);
     # without this each pass re-reads parquet.
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # null vectors: unassignable
+        .select("vec_id", "embedding")
+        .persist()
+    )
     init = e.orderBy("vec_id").limit(k).collect()
     centroids = np.array([r["embedding"] for r in init], dtype=np.float64)
 
@@ -571,7 +585,11 @@ def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # null vectors: unencodable
+        .select("vec_id", "embedding")
+    )
     # Training sample: deterministic HASH-ordered take, not first-N ids.
     # First-N is fine on shuffled corpora but catastrophically biased on
     # id-clustered ones — measured in tools/scale_ann.py: codebooks fit

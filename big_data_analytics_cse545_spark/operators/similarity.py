@@ -305,8 +305,13 @@ def s04_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # MLlib fit() NPEs on null vectors
+        .select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+        )
     )
     if e.isEmpty():
         # MLlib fit() on an empty corpus throws a raw Py4J error; the

@@ -188,3 +188,50 @@ def test_empty_corpus_yields_empty_results_not_crashes(spark, tmp_path):
         out = fn(spark, d)
         assert out.count() == 0
         assert out.columns == cols, (fn.__name__, out.columns)
+
+
+def test_null_embeddings_are_excluded_not_crashes(spark, tmp_path):
+    """Round-5 robustness sweep: rows with NULL embeddings (failed
+    encoders are a normal production state) must be excluded from
+    similarity/training math, not crash numpy kernels or MLlib fits.
+    Catalyst infers IsNotNull for expression-based queries; the Arrow
+    kernels and fit() paths need it explicit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_cse545_spark.operators import dedup, similarity
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "null_sf")
+    os.makedirs(d)
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src, f))
+        if f == "embeddings.parquet":
+            keys = t.column("vec_id").to_numpy()
+            mask = pa.array((keys % 7) == 3)
+            idx = t.schema.get_field_index("embedding")
+            arr = pc.if_else(
+                mask,
+                pa.scalar(None, t.schema.field("embedding").type),
+                t.column("embedding").combine_chunks(),
+            )
+            t = t.set_column(idx, "embedding", arr)
+        pq.write_table(t, os.path.join(d, f))
+    n_valid = pq.read_table(os.path.join(d, "embeddings.parquet")).column(
+        "embedding"
+    ).null_count
+    assert n_valid > 0, "fixture must actually plant nulls"
+    for fn in (
+        dedup.d05_embedding_near_dup,
+        similarity.s04_brp_lsh_mllib,
+        projection.p03_pca_topk,
+        projection.p04_pca_mllib_topk,
+        projection.p05_kmeans_iterative,
+        projection.p07_pq_ann,
+    ):
+        assert fn(spark, d).count() >= 0, fn.__name__

@@ -38,9 +38,19 @@ could not infer a schema from an empty dataset (now declared
 explicitly). All guarded; pinned by
 tests/test_projection.py::test_empty_corpus_yields_empty_results_not_crashes.
 
+A fifth dimension — NULL-injected columns (``--nulls``: text/lang/
+source in documents, props/event_type/value in events, embedding/label
+in embeddings, each on a distinct prime modulus) — found six more:
+null embeddings crashed every numpy/MLlib consumer (d05, s04, p03,
+p04, p05, p07). Policy: null vectors are EXCLUDED from similarity and
+training math at the scan (explicit isNotNull — Catalyst already
+infers it for the expression-based twins); pinned by
+tests/test_projection.py::test_null_embeddings_are_excluded_not_crashes.
+
 Usage:
   python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
   python tools/chaos_partitions.py --empty   # 0-row-tables sweep
+  python tools/chaos_partitions.py --nulls   # null-injected-columns sweep
 
 Exit code 1 if any query fails. Not part of pytest (it re-runs the full
 registry, ~5 min); run it whenever a new Arrow kernel or file-source
@@ -66,14 +76,49 @@ def _empty_twin(sf_dir: str) -> str:
     return d
 
 
+def _null_twin(sf_dir: str) -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    plan = {
+        "documents.parquet": ("doc_id", [("text", 13, 3), ("lang", 17, 5), ("source", 19, 7)]),
+        "events.parquet": ("event_id", [("props", 11, 2), ("event_type", 23, 9), ("value", 29, 13)]),
+        "embeddings.parquet": ("vec_id", [("embedding", 37, 17), ("label", 41, 19)]),
+    }
+    d = "/tmp/chaos_null_sf"
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(sf_dir, f))
+        key, cols = plan.get(f, (None, []))
+        for col, mod, rem in cols:
+            keys = t.column(key).to_numpy()
+            mask = pa.array((keys % mod) == rem)
+            idx = t.schema.get_field_index(col)
+            arr = pc.if_else(
+                mask,
+                pa.scalar(None, t.schema.field(col).type),
+                t.column(col).combine_chunks(),
+            )
+            t = t.set_column(idx, col, arr)
+        pq.write_table(t, os.path.join(d, f))
+    return d
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--empty"]
+    args = [a for a in sys.argv[1:] if a not in ("--empty", "--nulls")]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     max_bytes = args[1] if len(args) > 1 else "16384"
     shuffle = args[2] if len(args) > 2 else "16"
     arrow_batch = args[3] if len(args) > 3 else "7"
     if "--empty" in sys.argv[1:]:
         sf_dir = _empty_twin(sf_dir)
+    elif "--nulls" in sys.argv[1:]:
+        sf_dir = _null_twin(sf_dir)
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
