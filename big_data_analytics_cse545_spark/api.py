@@ -520,10 +520,15 @@ def ann_join(
 
     from big_data_analytics_cse545_spark.functions.vectors import cosine, dot
 
-    q = queries.select(
+    # engine-wide policy: null vectors are excluded from similarity math
+    # (a null cosine would otherwise fill sparse top-k tails with null
+    # rows under NULLS LAST ranking)
+    q = queries.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("_q_emb")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb"))
+    c = corpus.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb")
+    )
     not_self = (
         (F.col("q_id") != F.col("neighbor_id")) if exclude_self else F.lit(True)
     )
@@ -626,6 +631,11 @@ def ivf_join(
         )
         return F.transform(col.cast("array<double>"), lambda x: x / nrm)
 
+    # engine-wide policy: null vectors are excluded from similarity math
+    # (KMeans.fit NPEs on null features; a null cosine would pollute
+    # sparse top-k tails)
+    corpus = corpus.filter(F.col(emb_col).isNotNull())
+    queries = queries.filter(F.col(emb_col).isNotNull())
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("_c_emb"),
