@@ -450,7 +450,11 @@ def p06_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings. Constant-range dims are dropped (not zero-divided)
     on both sides.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # explicit null policy (posexplode already drops null arrays; the
+    # oracle's CROSS JOIN range would not — both sides now state it)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     dims = e.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
         "vec_id",
         F.col("pos").cast("bigint").alias("pos"),
@@ -486,6 +490,7 @@ _P06_SQL = f"""
 WITH dims AS (
   SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings CROSS JOIN range(1, {DIM} + 1) t(i)
+  WHERE embedding IS NOT NULL
 ),
 stats AS (
   SELECT pos, MIN(v) AS min_v, MAX(v) AS max_v

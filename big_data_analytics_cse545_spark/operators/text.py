@@ -1079,7 +1079,12 @@ def t17_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_analytics_cse545_spark.functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # a NULL-text doc has no chunks (explicit on both sides: without
+    # this, size(NULL) = -1 routes one junk NULL-chunk row per null doc
+    # through the sequence/slice chain)
+    toked = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size("toks") - 1, F.lit(0)),
@@ -1121,6 +1126,7 @@ WITH base AS (
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      t -> t <> '') AS toks
   FROM documents
+  WHERE text IS NOT NULL
 ),
 starts AS (
   SELECT doc_id, toks,

@@ -675,7 +675,8 @@ def _st11_profile_tws(e: DataFrame) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 for t in pdf["event_type"]:
-                    self.types.updateValue((str(t),), (True,))
+                    if pd.notna(t):  # NULL is not a type (ANSI COUNT(DISTINCT))
+                        self.types.updateValue((str(t),), (True,))
             self.cnt.update((n,))
             n_types = sum(1 for _ in self.types.keys())
             yield pd.DataFrame(
@@ -710,7 +711,10 @@ def _st11_profile_groupstate(e: DataFrame) -> DataFrame:
             n, seen = 0, set()
         for pdf in pdfs:
             n += len(pdf)
-            seen.update(str(t) for t in pdf["event_type"])
+            # skip nulls: a NULL event_type is not a type — the ANSI
+            # COUNT(DISTINCT) semantics the oracle (and any SQL
+            # consumer) applies
+            seen.update(str(t) for t in pdf["event_type"] if pd.notna(t))
         state.update((n, "|".join(sorted(seen))))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "n_types": [len(seen)]}

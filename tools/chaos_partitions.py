@@ -47,10 +47,20 @@ training math at the scan (explicit isNotNull — Catalyst already
 infers it for the expression-based twins); pinned by
 tests/test_projection.py::test_null_embeddings_are_excluded_not_crashes.
 
+With ``--oracle``, the sweep hash-compares every driver-facing query
+against its DuckDB oracle ON THE CHAOS DATA instead of just counting —
+null-aware (None/NaN normalized). ``--nulls --oracle`` is the
+strongest correctness probe in the repo: round 5 ran it to 50/50
+parity after aligning three operator/oracle pairs whose null
+semantics silently differed (p06's posexplode-vs-CROSS-JOIN null
+arrays, st11's None-counted-as-a-type, t17's size(NULL) = -1 junk
+chunk rows).
+
 Usage:
   python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
   python tools/chaos_partitions.py --empty   # 0-row-tables sweep
   python tools/chaos_partitions.py --nulls   # null-injected-columns sweep
+  python tools/chaos_partitions.py --nulls --oracle  # + DuckDB parity on that data
 
 Exit code 1 if any query fails. Not part of pytest (it re-runs the full
 registry, ~5 min); run it whenever a new Arrow kernel or file-source
@@ -110,7 +120,7 @@ def _null_twin(sf_dir: str) -> str:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--empty", "--nulls")]
+    args = [a for a in sys.argv[1:] if a not in ("--empty", "--nulls", "--oracle")]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     max_bytes = args[1] if len(args) > 1 else "16384"
     shuffle = args[2] if len(args) > 2 else "16"
@@ -132,6 +142,8 @@ def main() -> None:
     )
     import __spark_entry__ as em
 
+    if "--oracle" in sys.argv[1:]:
+        sys.exit(_oracle_parity(spark, em, sf_dir))
     fails = []
     for name, fn in em.all_queries().items():
         try:
@@ -142,6 +154,42 @@ def main() -> None:
     for n, e in fails:
         print("FAIL", n, e)
     sys.exit(1 if fails else 0)
+
+
+def _oracle_parity(spark, em, sf_dir: str) -> int:
+    """Hash-compare the driver-facing queries vs their DuckDB oracles on
+    sf_dir's (possibly chaos-mutated) parquet — null-aware."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].map(
+                lambda v: "NULL"
+                if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NA
+                else (round(v, 9) if isinstance(v, float) else v)
+            ).astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    qs, osql = em.queries(), em.oracle_sql()
+    bad = 0
+    for name in sorted(qs):
+        g = norm(qs[name](spark, sf_dir).toPandas())
+        if name not in osql:
+            continue
+        e = norm(con.execute(osql[name]).df())
+        if not (list(g.columns) == list(e.columns) and len(g) == len(e) and g.equals(e)):
+            bad += 1
+            print("DIVERGE", name, len(g), "vs", len(e))
+    print(f"oracle parity on {sf_dir}: {bad} divergences")
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
