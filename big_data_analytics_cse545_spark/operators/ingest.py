@@ -439,25 +439,35 @@ def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _f03_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     path = corrupt_jsonl_fixture_dir(sf_dir)
-    # DuckDB's ignore_errors emits one all-NULL row per malformed line
-    # (it does not silently drop them) — so "doc_id IS NULL" is exactly
-    # Spark's quarantine set: every valid line has a doc_id.
+    # Per-LINE twin of the operator's text+from_json scan: read raw
+    # lines (read_csv with an unused delimiter and quoting disabled),
+    # then json_valid() decides the quarantine per line. read_json's
+    # ignore_errors is NOT that twin — when a truncated line dangles a
+    # key (`..., "lang": ` then EOL, reachable once text is NULL), its
+    # error recovery consumes the NEXT line too, silently quarantining
+    # a valid neighbor; line-based reading cannot, which is exactly the
+    # resilience property f03 exists to demonstrate.
     return f"""
-WITH parsed AS (
-  SELECT * FROM read_json('{path}/part-*.jsonl', format='newline_delimited',
-                          ignore_errors=true,
-                          columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
-                                    'lang': 'VARCHAR', 'source': 'VARCHAR',
-                                    'n_chars': 'BIGINT'}})
+WITH lines AS (
+  SELECT line FROM read_csv('{path}/part-*.jsonl',
+                            columns={{'line': 'VARCHAR'}},
+                            delim='{chr(1)}', quote='', escape='', header=false)
+),
+parsed AS (
+  SELECT json_valid(line) AS ok,
+         CAST(json_extract_string(line, '$.doc_id') AS BIGINT) AS doc_id,
+         json_extract_string(line, '$.text') AS text,
+         json_extract_string(line, '$.source') AS source
+  FROM lines
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS first_doc, MIN(md5(text)) AS content_hash
-FROM parsed WHERE doc_id IS NOT NULL
+FROM parsed WHERE ok
 GROUP BY source
 UNION ALL
 SELECT '_corrupt', CAST(COUNT(*) AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
-FROM parsed WHERE doc_id IS NULL
+FROM parsed WHERE NOT ok
 ORDER BY source
 """
 

@@ -629,7 +629,11 @@ def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
             F.max("n_keys").alias("max_json_keys"),
-            F.sum("map_matches").cast("bigint").alias("n_map_match"),
+            # coalesce: an all-NULL-props bucket counts 0 matches (the
+            # oracle's CASE..ELSE 0 shape), not NULL
+            F.sum(F.coalesce(F.col("map_matches"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_map_match"),
         )
         .orderBy("k_bucket")
     )

@@ -168,7 +168,14 @@ def t04_term_mentions_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.array_join(
                 F.sort_array(
-                    F.collect_list(F.concat_ws(":", F.col("lang"), F.col("n_mentions")))
+                    # coalesce before encoding: concat_ws silently SKIPS
+                    # a NULL lang ("43") while SQL || nulls the entry —
+                    # an empty-label bucket is the explicit twin shape
+                    F.collect_list(
+                        F.concat_ws(
+                            ":", F.coalesce(F.col("lang"), F.lit("")), F.col("n_mentions")
+                        )
+                    )
                 ),
                 ",",
             ).alias("lang_counts"),
@@ -186,7 +193,8 @@ WITH per_lang AS (
   GROUP BY word, lang
 )
 SELECT word,
-       string_agg(lang || ':' || n_mentions, ',' ORDER BY lang || ':' || n_mentions) AS lang_counts,
+       string_agg(coalesce(lang, '') || ':' || n_mentions, ','
+                  ORDER BY coalesce(lang, '') || ':' || n_mentions) AS lang_counts,
        CAST(SUM(n_mentions) AS BIGINT) AS total_mentions
 FROM per_lang
 GROUP BY word

@@ -157,8 +157,15 @@ def main() -> None:
 
 
 def _oracle_parity(spark, em, sf_dir: str) -> int:
-    """Hash-compare the driver-facing queries vs their DuckDB oracles on
-    sf_dir's (possibly chaos-mutated) parquet — null-aware."""
+    """Hash-compare ALL oracle-backed queries (driver-facing AND
+    held-out) vs DuckDB on sf_dir's (possibly chaos-mutated) parquet —
+    null-aware. Fixture-backed oracles (f01/f03/f04/t10/t16/...) embed
+    a fixture path derived from sf_dir at build time, so they are
+    REBUILT here against the probe corpus via their sf_dir parameter;
+    the entry-file wrappers would pin them to the stock sf0.01
+    fixtures and silently compare different bytes."""
+    import inspect
+
     import duckdb
     import numpy as np
     import pandas as pd
@@ -167,6 +174,17 @@ def _oracle_parity(spark, em, sf_dir: str) -> int:
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def all_oracles() -> dict:
+        out = {}
+        for mod in em._modules():
+            for name, sql in getattr(mod, "ORACLE", {}).items():
+                if callable(sql):
+                    params = inspect.signature(sql).parameters
+                    out[name] = sql(sf_dir) if "sf_dir" in params else sql()
+                else:
+                    out[name] = sql
+        return out
 
     def norm(df):
         df = df[sorted(df.columns)].copy()
@@ -178,17 +196,20 @@ def _oracle_parity(spark, em, sf_dir: str) -> int:
             ).astype(str)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-    qs, osql = em.queries(), em.oracle_sql()
+    qs, osql = em.all_queries(), all_oracles()
     bad = 0
-    for name in sorted(qs):
-        g = norm(qs[name](spark, sf_dir).toPandas())
-        if name not in osql:
+    for name in sorted(osql):
+        try:
+            g = norm(qs[name](spark, sf_dir).toPandas())
+            e = norm(con.execute(osql[name]).df())
+        except Exception as exc:  # noqa: BLE001 — report, don't mask
+            bad += 1
+            print("FAIL", name, str(exc).splitlines()[0][:160])
             continue
-        e = norm(con.execute(osql[name]).df())
         if not (list(g.columns) == list(e.columns) and len(g) == len(e) and g.equals(e)):
             bad += 1
             print("DIVERGE", name, len(g), "vs", len(e))
-    print(f"oracle parity on {sf_dir}: {bad} divergences")
+    print(f"oracle parity on {sf_dir}: {bad} divergences of {len(osql)} oracle-backed queries")
     return 1 if bad else 0
 
 
