@@ -125,3 +125,20 @@ def test_q35_row_limit_guard_fails_loudly_not_truncates(spark, sf_correctness):
         assert sum(r["n_customers"] for r in rows) == 1500
     finally:
         spark.conf.set(key, orig)
+
+
+def test_rollup_on_empty_input_yields_no_rows_unlike_ansi(spark):
+    """Documented engine difference found by the --empty --oracle chaos
+    probe: Spark's rollup/cube/GROUPING SETS on EMPTY input produce 0
+    rows, while ANSI (and DuckDB) still emit the grand-total grouping
+    set (COUNT(*) = 0), exactly as a bare aggregate does. Pinned so a
+    future Spark version changing this is noticed — q08/q09/q17's
+    oracles assume non-empty input only because of this difference."""
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "a string, b string, v long")
+    assert empty.rollup("a", "b").agg(F.count(F.lit(1))).count() == 0
+    assert empty.cube("a", "b").agg(F.count(F.lit(1))).count() == 0
+    # the bare aggregate DOES emit its one global row — the asymmetry
+    # is specifically in the grouping-sets path
+    assert empty.agg(F.count(F.lit(1))).count() == 1

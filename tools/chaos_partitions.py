@@ -47,9 +47,16 @@ training math at the scan (explicit isNotNull — Catalyst already
 infers it for the expression-based twins); pinned by
 tests/test_projection.py::test_null_embeddings_are_excluded_not_crashes.
 
-With ``--oracle``, the sweep hash-compares every driver-facing query
-against its DuckDB oracle ON THE CHAOS DATA instead of just counting —
-null-aware (None/NaN normalized). ``--nulls --oracle`` is the
+With ``--oracle``, the sweep hash-compares EVERY oracle-backed query
+(driver-facing and held-out) against DuckDB ON THE CHAOS DATA instead
+of just counting — null-aware (None/NaN normalized), with
+fixture-backed oracles rebuilt against the probe corpus.
+``--empty --oracle`` reports exactly three EXPECTED divergences —
+q08/q09/q17 — which are a documented Spark-vs-ANSI difference, not a
+bug: Spark's rollup/cube/GROUPING SETS on empty input emit 0 rows
+where ANSI (and DuckDB) still emit the grand-total grouping set
+(pinned in tests/test_relational.py::
+test_rollup_on_empty_input_yields_no_rows_unlike_ansi). ``--nulls --oracle`` is the
 strongest correctness probe in the repo: round 5 ran it to 50/50
 parity after aligning three operator/oracle pairs whose null
 semantics silently differed (p06's posexplode-vs-CROSS-JOIN null
