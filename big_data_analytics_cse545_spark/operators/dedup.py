@@ -97,7 +97,9 @@ _D01_SQL = f"""
 WITH h AS (
   SELECT source,
          md5(lower(text)) AS h_full,
-         md5(array_to_string(list_slice({_SQL_TOKENS}, 1, 8), ' ')) AS h_prefix
+         md5(CASE WHEN text IS NULL THEN NULL
+              ELSE coalesce(array_to_string(list_slice({_SQL_TOKENS}, 1, 8), ' '), '')
+              END) AS h_prefix
   FROM documents
 )
 SELECT source,
@@ -921,8 +923,8 @@ WITH toked AS (
 ),
 blocks AS (
   SELECT doc_id,
-         md5(array_to_string(
-           list_slice(toks, st + 1, st + {D09_BLOCK}), ' ')) AS h
+         md5(coalesce(array_to_string(
+           list_slice(toks, st + 1, st + {D09_BLOCK}), ' '), '')) AS h
   FROM (
     SELECT doc_id, toks,
            unnest(range(0, CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END,

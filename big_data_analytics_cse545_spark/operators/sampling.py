@@ -301,10 +301,20 @@ def x04_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        # try_divide+coalesce: an empty doc (n_chars 0) scores 0 instead
+        # of throwing the whole job under ANSI division (oracle twin
+        # spells the same via nullif+coalesce)
         F.floor(
-            F.lit(1000.0)
-            * F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
-            / F.col("n_chars")
+            F.coalesce(
+                F.try_divide(
+                    F.lit(1000.0)
+                    * F.length(
+                        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+                    ),
+                    F.col("n_chars").cast("double"),
+                ),
+                F.lit(0.0),
+            )
         ).cast("long").alias("score"),
     )
     hist = base.groupBy("score").agg(F.sum("n_tok").alias("bucket_tok"))
@@ -332,8 +342,8 @@ WITH base AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               t -> t <> '')) AS BIGINT) AS n_tok,
-         CAST(floor(1000.0 * len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                    / n_chars) AS BIGINT) AS score
+         CAST(coalesce(floor(1000.0 * len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    / nullif(n_chars, 0)), 0) AS BIGINT) AS score
   FROM documents
 ),
 hist AS (SELECT score, SUM(n_tok) AS bucket_tok FROM base GROUP BY score),
@@ -743,7 +753,9 @@ def x08_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_n"))
     )
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct("ts")).cast("double") / F.col("n_tok").cast("double")
+    dup_frac = F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct("ts")).cast("double"), F.col("n_tok").cast("double")
+    )
     top_frac = F.coalesce(
         F.col("top_n").cast("double") / (F.col("n_tok") - F.lit(1)).cast("double"),
         F.lit(0.0),

@@ -214,7 +214,10 @@ def t05_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared per labelled lang so the confusion table is the output.
     """
     d = load_table(spark, sf_dir, "documents")
-    ratio = stopword_count(F.col("text")) / token_count(F.col("text"))
+    # try_divide: a zero-token doc has an undefined ratio -> NULL -> the
+    # 'other' branch on both engines (DuckDB x/0 is NULL; ANSI Spark /
+    # would THROW on the whole job for one empty page)
+    ratio = F.try_divide(stopword_count(F.col("text")), token_count(F.col("text")))
     guess = F.when(ratio >= 0.05, F.lit("en_like")).otherwise(F.lit("other"))
     return (
         d.select("lang", guess.alias("guess"))
@@ -252,12 +255,17 @@ def t06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
-    mean_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / n_tok
-    stop_ratio = stopword_count(F.col("text")) / n_tok
+    # try_divide: empty docs get NULL metrics -> NULL bucket, exactly
+    # DuckDB's x/0 semantics (ANSI Spark / would throw on one empty page)
+    mean_len = F.try_divide(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+        n_tok,
+    )
+    stop_ratio = F.try_divide(stopword_count(F.col("text")), n_tok)
     # quality in [0,1]: long-enough docs with natural stopword share win
     quality = (
         F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
@@ -361,7 +369,9 @@ _T08_SQL = f"""
 WITH toks AS (SELECT doc_id, text, {_SQL_TOKENS} AS ts FROM documents)
 SELECT doc_id,
        md5(lower(text)) AS full_md5,
-       md5(array_to_string(list_slice(ts, 1, 8), ' ')) AS prefix_md5
+       md5(CASE WHEN text IS NULL THEN NULL
+            ELSE coalesce(array_to_string(list_slice(ts, 1, 8), ' '), '')
+            END) AS prefix_md5
 FROM toks ORDER BY doc_id LIMIT 100
 """
 
@@ -737,9 +747,11 @@ def t13_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_n"))
     )
-    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col(
-        "n_tok"
-    ).cast("double")
+    # try_divide: double / yields NaN for 0/0 where DuckDB yields NULL —
+    # try_divide is NULL on a zero divisor for floats too, matching
+    dup_frac = F.lit(1.0) - F.try_divide(
+        F.col("n_distinct").cast("double"), F.col("n_tok").cast("double")
+    )
     top_frac = F.coalesce(
         F.col("top_n").cast("double") / (F.col("n_tok") - F.lit(1)).cast("double"),
         F.lit(0.0),
@@ -1150,7 +1162,7 @@ chunks AS (
 )
 SELECT doc_id, chunk_idx,
        CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
-       array_to_string(chunk, ' ') AS chunk_text
+       coalesce(array_to_string(chunk, ' '), '') AS chunk_text
 FROM chunks
 ORDER BY doc_id, chunk_idx
 """
@@ -1576,9 +1588,10 @@ def t22_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_micro").alias("sum_nll_micro"),
         )
     )
-    mean_nll = F.col("sum_nll_micro").cast("double") / (
-        F.col("n_tok").cast("double") * 1e6
-    )
+    # float-parity policy: never ROUND a raw double ratio (a .5-micro
+    # boundary rounds differently per engine) — floor-divide in exact
+    # integers, then ONE exact scale by 1e-6
+    mean_nll = F.expr("CAST(sum_nll_micro DIV n_tok AS DOUBLE)") / F.lit(1e6)
     return scored.select(
         "doc_id",
         "n_tok",
@@ -1592,7 +1605,7 @@ def t22_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("tail")
         .alias("ppl_bucket"),
-        F.round(mean_nll, 6).alias("mean_nll"),
+        mean_nll.alias("mean_nll"),
     ).orderBy("doc_id")
 
 
@@ -1620,8 +1633,7 @@ SELECT doc_id, n_tok, sum_nll_micro,
        CASE WHEN sum_nll_micro < {PPL_HEAD_MICRO} * n_tok THEN 'head'
             WHEN sum_nll_micro < {PPL_MIDDLE_MICRO} * n_tok THEN 'middle'
             ELSE 'tail' END AS ppl_bucket,
-       ROUND(CAST(sum_nll_micro AS DOUBLE)
-             / (CAST(n_tok AS DOUBLE) * 1e6), 6) AS mean_nll
+       CAST(sum_nll_micro // n_tok AS DOUBLE) / 1e6 AS mean_nll
 FROM scored
 ORDER BY doc_id
 """

@@ -273,3 +273,52 @@ def test_t23_verdicts_are_pure_functions_of_stats(spark, sf_correctness):
         assert 0 <= r["junk_docs"] <= r["n_docs"]
         assert r["mean_chars_x100"] > 0
     assert {r["verdict"] for r in rows} == {"keep", "junky", "low_support"}
+
+
+def test_pathological_documents_do_not_crash_or_diverge(spark, tmp_path):
+    """Round-5 --edge sweep pins: an empty page, a whitespace-only page,
+    and a single-token page are normal crawl states — under ANSI mode
+    one of them used to throw DIVIDE_BY_ZERO through t05/t06/x04/x08
+    and kill the whole job. try_divide/coalesce now state the zero-token
+    semantics explicitly (NULL metrics -> 'other'/NULL bucket/score 0)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_cse545_spark.operators import sampling, text
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "edge_sf")
+    os.makedirs(d)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(src, f), os.path.join(d, f))
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    maxid = max(t.column("doc_id").to_pylist())
+    extra = {
+        "doc_id": [maxid + 1, maxid + 2, maxid + 3],
+        "text": ["", "   \t  \n ", "word"],
+        "lang": ["en"] * 3,
+        "source": ["edge"] * 3,
+        "n_chars": [0, 8, 4],
+    }
+    et = pa.table({k: pa.array(v, t.schema.field(k).type) for k, v in extra.items()})
+    pq.write_table(
+        pa.concat_tables([t, et.select(t.schema.names)]),
+        os.path.join(d, "documents.parquet"),
+    )
+    # all four formerly-crashing queries run; empty/whitespace docs land
+    # in the defined buckets
+    t05 = {(r["lang"], r["guess"]): r["n_docs"] for r in text.t05_lang_guess(spark, d).collect()}
+    assert sum(n for (lang, g), n in t05.items() if g == "other" and lang == "en") >= 2
+    assert text.t06_quality_score(spark, d).count() > 0
+    x04 = sampling.x04_token_budget_select(spark, d).collect()
+    assert all(r["score"] is not None for r in x04)
+    assert sampling.x08_prep_pipeline(spark, d).count() >= 0
+    # t13's repetition metrics are NULL (not NaN, not a crash) for the
+    # zero-token docs
+    t13 = {r["doc_id"]: r for r in text.t13_repetition_filter(spark, d).collect()}
+    for eid in (maxid + 1, maxid + 2):
+        assert t13[eid]["dup_token_frac"] is None

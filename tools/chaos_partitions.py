@@ -63,10 +63,22 @@ semantics silently differed (p06's posexplode-vs-CROSS-JOIN null
 arrays, st11's None-counted-as-a-type, t17's size(NULL) = -1 junk
 chunk rows).
 
+A sixth dimension — pathological DOCUMENTS (``--edge``: an
+empty-string doc, a whitespace-only doc, a single-token doc, a
+50k-char doc, a maximally-repetitive doc) — found four ANSI
+divide-by-zero crashes (t05/t06/x04/x08: one empty page killed the
+whole job; fixed with try_divide/coalesce stated on both sides) and
+three value-level engine divergences: DuckDB's ``array_to_string([])``
+is NULL where Spark's ``array_join([])`` is '' (d01/t08/t17/d09
+oracles now coalesce, the functions/url.py precedent), and t22's
+mean_nll rounded a raw double ratio at a .5-micro boundary (now
+floor-divided in exact integers per the float-parity policy).
+
 Usage:
   python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
   python tools/chaos_partitions.py --empty   # 0-row-tables sweep
   python tools/chaos_partitions.py --nulls   # null-injected-columns sweep
+  python tools/chaos_partitions.py --edge    # pathological-documents sweep
   python tools/chaos_partitions.py --nulls --oracle  # + DuckDB parity on that data
 
 Exit code 1 if any query fails. Not part of pytest (it re-runs the full
@@ -126,8 +138,40 @@ def _null_twin(sf_dir: str) -> str:
     return d
 
 
+def _edge_twin(sf_dir: str) -> str:
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/chaos_edge_sf"
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(d, f))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    maxid = max(t.column("doc_id").to_pylist())
+    extra = {
+        "doc_id": [maxid + 1, maxid + 2, maxid + 3, maxid + 4, maxid + 5],
+        "text": ["", "   \t  \n ", "word", "a b " * 12500,
+                 "the the the the the the the the"],
+        "lang": ["en"] * 5,
+        "source": ["edge"] * 5,
+        "n_chars": [0, 8, 4, 50000, 31],
+    }
+    et = pa.table(
+        {k: pa.array(v, t.schema.field(k).type) for k, v in extra.items()}
+    )
+    pq.write_table(
+        pa.concat_tables([t, et.select(t.schema.names)]),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--empty", "--nulls", "--oracle")]
+    args = [a for a in sys.argv[1:] if a not in ("--empty", "--nulls", "--edge", "--oracle")]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     max_bytes = args[1] if len(args) > 1 else "16384"
     shuffle = args[2] if len(args) > 2 else "16"
@@ -136,6 +180,8 @@ def main() -> None:
         sf_dir = _empty_twin(sf_dir)
     elif "--nulls" in sys.argv[1:]:
         sf_dir = _null_twin(sf_dir)
+    elif "--edge" in sys.argv[1:]:
+        sf_dir = _edge_twin(sf_dir)
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
