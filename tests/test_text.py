@@ -322,3 +322,29 @@ def test_pathological_documents_do_not_crash_or_diverge(spark, tmp_path):
     t13 = {r["doc_id"]: r for r in text.t13_repetition_filter(spark, d).collect()}
     for eid in (maxid + 1, maxid + 2):
         assert t13[eid]["dup_token_frac"] is None
+
+
+def test_turkish_dotted_i_is_a_known_cross_engine_casing_difference(spark):
+    """Pinned engine difference (round-5 --unicode probe): lowercasing
+    U+0130 (LATIN CAPITAL LETTER I WITH DOT ABOVE) follows Unicode
+    SpecialCasing in the JVM — 'i' + U+0307 COMBINING DOT ABOVE — so the
+    ASCII tokenizer splits at the combining mark; DuckDB's utf8proc uses
+    the simple one-codepoint mapping ('i') and does not split. Every
+    other probed script (CJK, emoji, Greek, NFD combining marks, sharp-s,
+    exotic whitespace) tokenizes identically on both engines. If an
+    İ-bearing corpus must hash-match an oracle, NFC/casefold upstream
+    (t19) or strip U+0307 on both sides."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.functions.text import tokens
+
+    df = spark.createDataFrame([("İstanbul",)], "text string")
+    spark_toks = df.select(tokens(F.col("text")).alias("ts")).collect()[0]["ts"]
+    assert spark_toks == ["i", "stanbul"], spark_toks  # SpecialCasing split
+    duck_toks = duckdb.connect().execute(
+        "SELECT list_filter(string_split_regex(lower('İstanbul'), '[^a-z0-9]+'),"
+        " t -> t <> '')"
+    ).fetchone()[0]
+    assert duck_toks == ["istanbul"], duck_toks  # simple-mapping, no split

@@ -74,11 +74,22 @@ oracles now coalesce, the functions/url.py precedent), and t22's
 mean_nll rounded a raw double ratio at a .5-micro boundary (now
 floor-divided in exact integers per the float-parity policy).
 
+A seventh dimension — UNICODE documents (``--unicode``: Latin-1
+diacritics, CJK, emoji, sharp-s casing, NFD combining marks, Greek,
+exotic whitespace) — probes the tokenizer/casing chain across engines.
+All probed scripts tokenize identically EXCEPT U+0130 (Turkish İ):
+the JVM applies Unicode SpecialCasing on lowercase ('i' + U+0307, so
+the ASCII tokenizer splits) while DuckDB's utf8proc uses the simple
+one-codepoint mapping ('i', no split) — a pinned engine difference
+(tests/test_text.py::test_turkish_dotted_i_is_a_known_cross_engine_casing_difference),
+so the ``--unicode`` corpus excludes İ and runs to full parity.
+
 Usage:
   python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
   python tools/chaos_partitions.py --empty   # 0-row-tables sweep
   python tools/chaos_partitions.py --nulls   # null-injected-columns sweep
   python tools/chaos_partitions.py --edge    # pathological-documents sweep
+  python tools/chaos_partitions.py --unicode # multi-script documents sweep
   python tools/chaos_partitions.py --nulls --oracle  # + DuckDB parity on that data
 
 Exit code 1 if any query fails. Not part of pytest (it re-runs the full
@@ -170,8 +181,50 @@ def _edge_twin(sf_dir: str) -> str:
     return d
 
 
+def _unicode_twin(sf_dir: str) -> str:
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/chaos_unicode_sf"
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(d, f))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    maxid = max(t.column("doc_id").to_pylist())
+    # NO U+0130: its lowercase diverges by design (see module docstring)
+    texts = [
+        "héllo wörld café naïve",
+        "日本語のテキスト 中文文本 한국어",
+        "emoji \U0001f600 test \U0001f389 done",
+        "STRASSE straße GROSS",
+        "éléphant café",
+        "Ωμέγα ΑΛΦΑ βήτα",
+        "a b c　d",
+    ]
+    extra = {
+        "doc_id": [maxid + i + 1 for i in range(len(texts))],
+        "text": texts,
+        "lang": ["xx"] * len(texts),
+        "source": ["uni"] * len(texts),
+        "n_chars": [len(s) for s in texts],
+    }
+    et = pa.table(
+        {k: pa.array(v, t.schema.field(k).type) for k, v in extra.items()}
+    )
+    pq.write_table(
+        pa.concat_tables([t, et.select(t.schema.names)]),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--empty", "--nulls", "--edge", "--oracle")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--empty", "--nulls", "--edge", "--unicode", "--oracle")]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     max_bytes = args[1] if len(args) > 1 else "16384"
     shuffle = args[2] if len(args) > 2 else "16"
@@ -182,6 +235,8 @@ def main() -> None:
         sf_dir = _null_twin(sf_dir)
     elif "--edge" in sys.argv[1:]:
         sf_dir = _edge_twin(sf_dir)
+    elif "--unicode" in sys.argv[1:]:
+        sf_dir = _unicode_twin(sf_dir)
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
