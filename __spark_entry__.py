@@ -137,6 +137,17 @@ _DEMOTED_TWINNED = frozenset(
         "x01_hash_split",  # ↔ x06_leakage_safe_split (same md5 membership kernel)
     }
 )
+# ROUND-6 ROTATION PLAN (mechanical — verified arithmetic):
+#   eligible = 115 − 5 _TEST_GATED − 2 _DEMOTED_BASELINES
+#              − 8 _DEMOTED_TWINNED = 100 = 2 × 50 exactly.
+#   1. new _HELD_OUT := the 50 queries ACTIVE this round (i.e. the
+#      names in CORRECTNESS_r05 = eligible minus current _HELD_OUT
+#      minus _NEW_AWAITING_ROTATION);
+#   2. _NEW_AWAITING_ROTATION := ∅ (m05, q36, s06 all activate);
+#   3. active set = current _HELD_OUT (47) + the 3 newcomers = 50.
+#   No demotions are needed; any round-6-born query must bring its own
+#   twin demotion (or test-gating rationale) to stay at 2×50.
+#
 # Round-5 newcomers awaiting their first driver row in round 6 (the
 # steady-state cadence leaves 3 spare slots per cycle for these).
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
