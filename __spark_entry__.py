@@ -137,89 +137,77 @@ _DEMOTED_TWINNED = frozenset(
         "x01_hash_split",  # ↔ x06_leakage_safe_split (same md5 membership kernel)
     }
 )
-# ROUND-6 ROTATION PLAN (mechanical — verified arithmetic):
+# ROUND-6 ROTATION (executed per the round-5 pre-written plan):
 #   eligible = 115 − 5 _TEST_GATED − 2 _DEMOTED_BASELINES
 #              − 8 _DEMOTED_TWINNED = 100 = 2 × 50 exactly.
-#   1. new _HELD_OUT := the 50 queries ACTIVE this round (i.e. the
-#      names in CORRECTNESS_r05 = eligible minus current _HELD_OUT
-#      minus _NEW_AWAITING_ROTATION);
-#   2. _NEW_AWAITING_ROTATION := ∅ (m05, q36, s06 all activate);
-#   3. active set = current _HELD_OUT (47) + the 3 newcomers = 50.
-#   No demotions are needed; any round-6-born query must bring its own
-#   twin demotion (or test-gating rationale) to stay at 2×50.
+#   _HELD_OUT below = the 50 names green in CORRECTNESS_r05 (verified
+#   by sorting that file's keys); _NEW_AWAITING_ROTATION = ∅ (m05, q36,
+#   s06 activate and get their first driver rows this round); active
+#   set = the 47 round-5 hold-outs + the 3 newcomers = 50. From here the
+#   strict "driver row within two rounds" cadence holds indefinitely;
+#   any round-6-born query must bring its own twin demotion (or
+#   test-gating rationale) to stay at 2×50.
 #
-# Round-5 newcomers awaiting their first driver row in round 6 (the
-# steady-state cadence leaves 3 spare slots per cycle for these).
-_NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
-    {
-        # m05: the m01 funnel's relational tail over the materialized
-        # signature parquet, with a hard DuckDB oracle (VERDICT r4 task
-        # #4) — takes one of the 3 spare round-6 slots.
-        "m05_signature_band_relational",
-        # q36: merge with COLLIDING insert keys — the api.merge_upsert
-        # general anti-join path, hash-checked (VERDICT r4 task #8).
-        "q36_merge_upsert_general",
-        # s06: multi-table OR-construction LSH ANN — the operator form
-        # of the recall knob measured in SCALE.md's ANN scaling table.
-        "s06_ann_multitable_lsh",
-    }
-)
+# ROUND-7 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
+# CORRECTNESS_r06 (= the active set below); _NEW_AWAITING_ROTATION
+# stays ∅; active set := this round's 50 hold-outs.
+_NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # round-5 hold-out = exactly the 50 queries green in
-        # CORRECTNESS_r04 minus the three of them twin-demoted above
-        # (q15, q30, t07) — 47 names. The 50 slots this round fund
-        # first driver rows for ALL 19 round-4 newcomers (minus m04 →
-        # _TEST_GATED) plus the 32 surviving r4 hold-outs, completing
-        # the rotation VERDICT r4 task #1 demands: after this round
-        # every driver-eligible query has a row within two rounds.
-        "d03_minhash_lsh_dedup",
-        "d05_embedding_near_dup",
-        "d08_dup_clusters",
-        "d10_incremental_dedup",
-        "f01_jsonl_scan",
-        "f03_jsonl_corrupt_tolerant",
-        "f04_partitioned_scan",
-        "m01_image_similarity_funnel",
-        "m02_video_frame_sample",
-        "p01_dim_stats",
-        "p03_pca_topk",
-        "p05_kmeans_iterative",
-        "p07_pq_ann",
-        "q01_pricing_summary",
-        "q02_revenue_by_nation",
-        "q03_top_orders",
-        "q04_customers_with_orders",
-        "q05_customers_without_orders",
-        "q08_rollup_region_nation",
-        "q09_cube_status_priority",
-        "q10_set_ops",
-        "q11_distinct_and_conditional_agg",
-        "q12_inlist_filter",
-        "q13_string_funcs",
-        "q14_events_by_month_type",
-        "q16_above_avg_lineitems",
-        "q20_approx_distinct",
-        "s03_ann_ivf",
-        "st01_tumbling_window",
-        "st03_session_window",
-        "st04_streaming_dedup",
-        "st05_stateful_user_counts",
-        "st06_stream_stream_join",
-        "st09_stream_incremental_dedup",
-        "st10_sliding_distinct_users",
-        "t01_wordcount",
-        "t02_word_set_difference",
-        "t03_term_mentions",
-        "t04_term_mentions_nested",
-        "t05_lang_guess",
-        "t08_fingerprint",
-        "t09_pseudo_xml_extract",
-        "t11_pii_scrub",
-        "t18_url_canonicalize",
-        "t19_unicode_normalize",
-        "x04_token_budget_select",
-        "x06_leakage_safe_split",
+        # = the 50 queries green in CORRECTNESS_r05 (all 50/50
+        # rows+schema+hash). Their DuckDB oracles keep running every
+        # pytest run via held_out_oracle_sql(); they rotate back into
+        # the driver budget in round 7.
+        "d01_exact_dedup",
+        "d04_simhash_clusters",
+        "d07_decontaminate",
+        "d11_semantic_dedup",
+        "d12_cdc_chunk_dedup",
+        "f02_csv_scan",
+        "f05_orc_scan",
+        "f06_python_datasource_scan",
+        "p02_random_projection",
+        "p06_scalar_quantize",
+        "q06_topk_orders_per_customer",
+        "q07_order_running_analytics",
+        "q18_asof_join",
+        "q19_range_join",
+        "q21_null_semantics",
+        "q22_retention_cohorts",
+        "q23_event_funnel",
+        "q25_range_frame",
+        "q26_pivot",
+        "q27_gap_fill",
+        "q28_sessionize",
+        "q29_skew_safe_distinct",
+        "q31_variant_json",
+        "q32_approx_percentiles",
+        "q33_sql_subqueries",
+        "q34_merge_upsert",
+        "q35_recursive_cte",
+        "s02_ann_hyperplane_lsh",
+        "s05_filtered_ann",
+        "st02_sliding_window",
+        "st07_stream_static_join",
+        "st08_stream_outer_join",
+        "st11_transform_with_state",
+        "st12_python_stream_source",
+        "t06_quality_score",
+        "t10_wholetext_extract",
+        "t12_pack_sequences",
+        "t13_repetition_filter",
+        "t14_corpus_freq_score",
+        "t15_winnowing_pairs",
+        "t16_html_strip",
+        "t17_chunk_overlap",
+        "t20_bpe_pair_stats",
+        "t21_bm25_score",
+        "t22_unigram_nll",
+        "t23_host_reputation",
+        "x02_temperature_mix",
+        "x05_stratified_sample",
+        "x07_dsir_select",
+        "x08_prep_pipeline",
     }
 )
 
@@ -262,7 +250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | _NEW_AWAITING_ROTATION
     )
     out = {k: v for k, v in all_queries().items() if k not in excluded}
-    assert len(out) <= 50, f"driver budget exceeded: {len(out)} entries"
+    # The rotation buckets are designed to emit EXACTLY 50 — an
+    # under-fill silently wastes driver-checked slots, so assert
+    # equality, not just the ceiling (round-5 ADVICE).
+    assert len(out) == 50, f"driver budget must be exactly 50, got {len(out)}"
     return out
 
 
