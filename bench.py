@@ -74,11 +74,22 @@ def main() -> None:
     # short code (the prefix before the first underscore: q01, d03, st11,
     # ...); the full-name map still goes to stderr for humans and to the
     # bench_runs/ artifacts written by tools/.
-    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
-    if len(short) == len(timings):
-        compact = dict(payload, queries=short)
-    else:  # duplicate codes — never drop a timing silently
-        compact = payload
+    # On a short-code collision, disambiguate ONLY the colliding names
+    # (suffix with a stable ordinal) instead of falling back to the
+    # full-name payload — the fallback was exactly the >1900-char line
+    # this exists to avoid (round-5 ADVICE).
+    from collections import Counter
+
+    counts = Counter(n.split("_", 1)[0] for n in timings)
+    seen: dict[str, int] = {}
+    short = {}
+    for n, t in timings.items():
+        code = n.split("_", 1)[0]
+        if counts[code] > 1:
+            seen[code] = seen.get(code, 0) + 1
+            code = f"{code}#{seen[code]}"
+        short[code] = t
+    compact = dict(payload, queries=short)
     print("bench full-name timings: " + json.dumps(payload), file=sys.stderr)
     line = json.dumps(compact)
     if len(line) > 1900:

@@ -359,6 +359,18 @@ def corrupt_jsonl_fixture_dir(sf_dir: str) -> str:
                     line = json.dumps(dict(zip(cols, r)), ensure_ascii=False)
                     if r[0] % CORRUPT_MOD == 2:
                         line = line[: max(1, len(line) // 2)]
+                    # _f03_sql's line-twin read_csv relies on delim=\x01
+                    # with quoting disabled, so no line may ever carry a
+                    # raw control byte. json.dumps guarantees this (it
+                    # \u-escapes all of 0x00-0x1f even with
+                    # ensure_ascii=False, and truncation of an escaped
+                    # line cannot mint one) — asserted so a future
+                    # corruption mode can't silently break the oracle's
+                    # delimiter trick (round-5 ADVICE).
+                    assert not any(ord(ch) < 0x20 for ch in line), (
+                        "corrupt fixture line contains a raw control byte; "
+                        "_f03_sql's chr(1)-delimited line reader would split it"
+                    )
                     f.write(line + "\n")
 
     return ensure_fixture_dir(f"spark_graft_jsonl_corrupt_{_sf_tag(sf_dir)}", write)

@@ -887,6 +887,12 @@ def _avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
     if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] not in (3, 4):
         raise ValueError("writer takes (n, h, w, 3|4) uint8 frames")
     n, h, w, c = frames.shape
+    # rcFrame packs as signed 16-bit ('<4h'); out-of-range dims would
+    # otherwise surface as an opaque struct.error (round-5 ADVICE)
+    if not (0 < w <= 0x7FFF and 0 < h <= 0x7FFF):
+        raise ValueError(
+            f"frame dims {w}x{h} outside AVI rcFrame's 16-bit range (1..32767)"
+        )
     bpp = c * 8
     stride = (w * c + 3) // 4 * 4
     # RGB(A) top-down → BGR(A) bottom-up, rows padded to the DIB stride

@@ -521,17 +521,22 @@ PQ_K = 16        # centroids per subspace → 16×4-bit codes per vector
 PQ_TRAIN_CAP = 2048  # absolute training-sample cap (model-sized, not data-sized)
 PQ_ITERS = 10
 PQ_TOPK = 3
-# ADC shortlist size fed to the exact rerank, per batch. THE recall
-# knob when many corpus rows encode near-identically (tight clusters at
-# 8-byte codes): ADC ties make the shortlist order arbitrary, so recall
-# ≈ P(true top-k inside a RERANK-deep slice of the tied set) — raising
-# RERANK buys recall with no re-encoding (measured in SCALE.md's ANN
-# table: recall@3 0.46 → 0.94 → 1.0 at 64 → 256 → 512 on the clustered
-# 10× corpus, wall time flat). Env-overridable for ops tuning; the
-# default matches the r4 recall-gate setting.
-import os as _os
-
-PQ_RERANK = int(_os.environ.get("SPARK_GRAFT_PQ_RERANK", "64"))
+# ADC shortlist size fed to the exact rerank, per (query, corpus-block).
+# THE recall knob when many corpus rows encode near-identically (tight
+# clusters at 8-byte codes): ADC ties make the shortlist cut arbitrary,
+# so recall ≈ P(true top-k inside a RERANK-deep slice of the tied set) —
+# raising RERANK buys recall with no re-encoding. A fixed module
+# constant (round-5 ADVICE: the former import-time env read meant a
+# leftover SPARK_GRAFT_PQ_RERANK silently changed driver-checked
+# output); sweeps pass ``rerank=`` explicitly (tools/scale_ann.py).
+PQ_RERANK = 64
+# Query rows per cogroup block — bounds per-task query memory (the
+# block's float matrix + its M×K ADC tables) to a constant regardless
+# of corpus size; the number of query blocks scales as ceil(nq / this).
+PQ_QUERIES_PER_BLOCK = 1024
+# Corpus-code blocks per query block. Each (qblock, cblock) task ADC-
+# scans one 1/NCB slice of the 8-byte code relation.
+PQ_CORPUS_BLOCKS = 32
 
 
 def _pq_train(train: "object") -> "object":
@@ -556,7 +561,93 @@ def _pq_train(train: "object") -> "object":
     return codebooks
 
 
-def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_adc_topk_kernel(cbs, qids, qmat, dtab, nids, x, rerank):
+    """Shared per-task PQ kernel (both p07 execution regimes): encode
+    the corpus slice ``x`` against the broadcast codebooks, ADC-score
+    every (query, row) with M table lookups, shortlist, exact-rerank
+    only the shortlist in float64, and return the per-task top-PQ_TOPK
+    (query_id, neighbor_id, d2) triples with ties broken by
+    neighbor_id.
+
+    The shortlist is taken per (query, ID-HASH SUB-BLOCK) — rows are
+    mixed into PQ_CORPUS_BLOCKS sub-blocks by a multiplicative hash of
+    their vec_id and the ``rerank``-deep tie-inclusive cut applies
+    WITHIN each sub-block. This is the measured fix for
+    clustered-corpus recall (SCALE.md ANN table): a tight cluster's
+    near-identical ADC distances monopolize any single depth-r pool
+    (round-5's per-batch cut scored 0.46 recall@3 at 10× clustered),
+    but hash-spreading the pool means each sub-block holds only
+    ~cluster/BLOCKS of the tied mass, so the true neighbors survive the
+    cut — recall 1.0 at the same rerank, and the exact-rerank cost is
+    still ≤ BLOCKS·rerank (+ADC ties) rows per query per task. The cut
+    is a pure function of (vec_id, score): candidates never depend on
+    row order within the task."""
+    import numpy as np
+
+    codes = np.stack(
+        [
+            ((x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
+              - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+    adc = np.zeros((len(qids), len(nids)))
+    for m in range(PQ_M):
+        adc += dtab[:, m, :][:, codes[:, m]]
+    adc[qids[:, None] == nids[None, :]] = np.inf  # self excluded
+    # Fibonacci-multiplicative mix → sub-block id: spreads ANY id
+    # pattern (contiguous cluster ids, stride-aligned ids) uniformly.
+    blk = (
+        (nids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        >> np.uint64(52)
+    ) % np.uint64(PQ_CORPUS_BLOCKS)
+    keep_mask = np.zeros_like(adc, dtype=bool)
+    for b in np.unique(blk):
+        cols = np.nonzero(blk == b)[0]
+        r_b = min(rerank, len(cols))
+        sub = adc[:, cols]
+        th = np.partition(sub, r_b - 1, axis=1)[:, r_b - 1 : r_b]
+        keep_mask[:, cols] = sub <= th  # tie-inclusive, order-free
+    keep_mask &= np.isfinite(adc)
+    out_q, out_n, out_d = [], [], []
+    for qi in range(len(qids)):
+        keep = np.nonzero(keep_mask[qi])[0]
+        if not len(keep):
+            continue
+        # exact d² only on the shortlist
+        d2 = ((x[keep] - qmat[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((nids[keep], d2))[:PQ_TOPK]
+        sel = keep[order]
+        out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+        out_n.append(nids[sel])
+        out_d.append(d2[order])
+    if not out_q:
+        return None
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_n),
+        np.concatenate(out_d),
+    )
+
+
+def _pq_dtab(qmat, cbs):
+    """Per-query ADC lookup tables: dtab[q, m, k] = ||q_m − c_{m,k}||²."""
+    import numpy as np
+
+    return np.stack(
+        [
+            ((qmat[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
+              - cbs[m][None, :, :]) ** 2).sum(axis=2)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+
+
+def p07_pq_ann(
+    spark: SparkSession, sf_dir: str, *, rerank: int = PQ_RERANK
+) -> DataFrame:
     """Product-quantization ANN — the memory-bound scale path of vector
     search (IVF-PQ's PQ half): train per-subspace codebooks, encode every
     vector as PQ_M 4-bit codes (64 float32 dims → 8 bytes at M=16, 32×
@@ -564,22 +655,43 @@ def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation) — each query builds an M×K lookup table once and scores
     a corpus row with M table lookups instead of a 64-dim float kernel.
 
-    Scale shape, stage by stage:
-    * training reads a capped deterministic sample (first
-      {PQ_TRAIN_CAP} vec_ids — distributed TakeOrdered, model-sized
-      collect; the standard PQ practice of fitting codebooks on a
-      bounded reservoir);
-    * encoding is one Arrow-batched mapInPandas pass with the
-      codebooks broadcast — narrow, no shuffle, output 8 bytes/row;
-    * search scans CODES, not floats: ADC scores every row with M table
-      lookups, keeps a per-batch shortlist of PQ_RERANK candidates per
-      query, and reranks ONLY the shortlist with exact float distances
-      (the standard PQ + rerank recipe — exact math touches ≤
-      queries × PQ_RERANK rows per batch, not the corpus);
-    * each task then emits only its local top-k per query, so the
-      shuffle is partitions × queries × k candidate rows, never the
-      corpus; a final window picks the global top-k (the two-phase
-      exact-top-k pattern, x05).
+    Round-6 rewrite (VERDICT r5 finding #1): no driver materialization
+    grows with the corpus. Training reads a capped deterministic sample
+    (PQ_TRAIN_CAP hash-ordered vec_ids — the hash-spreading matters on
+    id-clustered corpora, SCALE.md ANN table); the query set is probed
+    with ``limit(CAP+1)`` and then handled by ONE of two regimes — the
+    same small-side/large-side fork as Spark's own broadcast-vs-shuffle
+    join threshold:
+
+    * **bounded queries (nq ≤ PQ_QUERIES_PER_BLOCK)** — the probe
+      already holds the full query set, an explicitly CAPPED collect
+      (≤1024 rows regardless of corpus size). Queries + their ADC
+      tables broadcast (≤ ~3 MB) and the corpus is answered in one
+      narrow Arrow pass: per-batch ADC scan → tie-inclusive shortlist →
+      local exact rerank → per-task top-k. Zero corpus shuffle.
+    * **corpus-proportional queries** — the query relation never leaves
+      the cluster: it is hash-blocked into NQB = ⌈nq/1024⌉ blocks
+      (bounded per-task memory) and cogrouped with the corpus across a
+      broadcast NQB×PQ_CORPUS_BLOCKS grid (the d05
+      ``blocked_cosine_pairs`` shard); each task runs the same kernel
+      on its (query-block × corpus-block) cell. The only driver values
+      are the probe and one ``count()`` scalar. An exact scan with
+      corpus-proportional queries is inherently O(nq·N) lookups — for
+      sublinear answering use the IVF path (s03, api.ann_join); this
+      regime exists so the exact scan distributes instead of dying on
+      the driver.
+
+    Both regimes share the kernel: the shortlist cut keeps every ADC
+    tie of the r-th candidate (a pure function of the scores — the cut
+    no longer depends on row order within a task, unlike the round-5
+    per-batch argsort cut, which cost clustered-corpus recall:
+    0.46 → 1.0 at rerank 64, SCALE.md), exact float64 rerank touches
+    only the shortlist, and a final window merges per-task top-k
+    (two-phase exact-top-k, x05). Each regime is individually
+    deterministic and meets the recall gate; like any shortlist-based
+    ANN, results can differ BETWEEN regimes where a true neighbor sits
+    beyond one regime's per-task rerank depth (the cogroup's 32-block
+    pool is effectively deeper than the single-pass per-batch pool).
 
     No oracle (k-means training is not SQL-expressible); invariants —
     code range, rank monotonicity, determinism, recall vs exact —
@@ -595,96 +707,116 @@ def p07_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull())  # null vectors: unencodable
         .select("vec_id", "embedding")
     )
-    # Training sample: deterministic HASH-ordered take, not first-N ids.
-    # First-N is fine on shuffled corpora but catastrophically biased on
-    # id-clustered ones — measured in tools/scale_ann.py: codebooks fit
-    # on the first ~10 of 100 planted clusters left recall@3 ≈ 0.5;
-    # hash-spreading the same-sized sample restored it (SCALE.md, ANN
-    # table). md5-of-id is stable across runs/partitionings, so the
-    # model (and every downstream result) stays deterministic.
+    # Deterministic hash-ordered training sample (see docstring).
     train_rows = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(PQ_TRAIN_CAP)
         .collect()
     )
+    out_schema = "query_id long, rank long, neighbor_id long, d2 double"
     if not train_rows:
         # empty corpus → nothing to train on and no queries to answer
-        return spark.createDataFrame(
-            [], "query_id long, rank long, neighbor_id long, d2 double"
-        )
+        return spark.createDataFrame([], out_schema)
     train = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
     codebooks = _pq_train(train)
 
-    q_rows = e.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, rank long, neighbor_id long, d2 double"
+    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    # One bounded probe decides the regime AND (when small) delivers the
+    # query rows — never an unguarded corpus-proportional collect.
+    probe = queries.limit(PQ_QUERIES_PER_BLOCK + 1).collect()
+    if not probe:
+        return spark.createDataFrame([], out_schema)
+
+    cand_schema = "query_id long, neighbor_id long, d2 double"
+    if len(probe) <= PQ_QUERIES_PER_BLOCK:
+        # ---- bounded-query regime: one narrow Arrow pass, no shuffle
+        q_ids = np.array([r["vec_id"] for r in probe])
+        q_mat = np.array([r["embedding"] for r in probe], dtype=np.float64)
+        bc = spark.sparkContext.broadcast(
+            (codebooks, q_ids, _pq_dtab(q_mat, codebooks), q_mat)
         )
-    q_ids = np.array([r["vec_id"] for r in q_rows])
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    # per-query ADC lookup tables: dtab[q, m, k] = ||q_m − c_{m,k}||²
-    dtab = np.stack(
-        [
-            ((q_mat[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
-              - codebooks[m][None, :, :]) ** 2).sum(axis=2)
-            for m in range(PQ_M)
-        ],
-        axis=1,
-    )
-    q_full = q_mat  # exact rerank needs the full query vectors
-    out_schema = "query_id long, neighbor_id long, d2 double"
 
-    def local_topk(batches):
-        cbs, qids, tabs, qvecs = bc.value
-        nq = len(qids)
-        best_d = np.full((nq, PQ_TOPK), np.inf)
-        best_i = np.full((nq, PQ_TOPK), -1, dtype=np.int64)
-        for batch in batches:
-            ids = batch["vec_id"].to_numpy()
-            x = np.array([list(v) for v in batch["embedding"]], dtype=np.float64)
-            # encode: per subspace, nearest codebook entry
-            codes = np.stack(
-                [
-                    ((x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
-                      - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-                    for m in range(PQ_M)
-                ],
-                axis=1,
-            )
-            # ADC: approx d² of every (query, row) via M table lookups
-            adc = np.zeros((nq, len(ids)))
-            for m in range(PQ_M):
-                adc += tabs[:, m, :][:, codes[:, m]]
-            adc[qids[:, None] == ids[None, :]] = np.inf
-            # shortlist: per-query ADC top-R of this batch, exact-reranked
-            r = min(PQ_RERANK, adc.shape[1])
-            short = np.argsort(adc, axis=1, kind="stable")[:, :r]
-            cand = np.unique(short)
-            # exact d² only on shortlisted rows (≤ nq·R per batch)
-            exact = ((qvecs[:, None, :] - x[cand][None, :, :]) ** 2).sum(axis=2)
-            mask = np.full((nq, len(cand)), np.inf)
-            col_of = {c: j for j, c in enumerate(cand)}
-            for qi in range(nq):
-                for c in short[qi]:
-                    if np.isfinite(adc[qi, c]):
-                        mask[qi, col_of[c]] = exact[qi, col_of[c]]
-            all_d = np.concatenate([best_d, mask], axis=1)
-            all_i = np.concatenate(
-                [best_i, np.broadcast_to(ids[cand], (nq, len(cand)))], axis=1
-            )
-            sel = np.argsort(all_d, axis=1, kind="stable")[:, :PQ_TOPK]
-            best_d = np.take_along_axis(all_d, sel, axis=1)
-            best_i = np.take_along_axis(all_i, sel, axis=1)
-        rows = []
-        for qi in range(nq):
-            for j in range(PQ_TOPK):
-                if np.isfinite(best_d[qi, j]):
-                    rows.append((int(qids[qi]), int(best_i[qi, j]),
-                                 float(best_d[qi, j])))
-        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "d2"])
+        def scan(batches):
+            cbs, qids, dtab, qmat = bc.value
+            cols = ["query_id", "neighbor_id", "d2"]
+            for batch in batches:
+                if not len(batch):
+                    continue
+                nids = batch["vec_id"].to_numpy()
+                x = np.array(
+                    [list(v) for v in batch["embedding"]], dtype=np.float64
+                )
+                res = _pq_adc_topk_kernel(cbs, qids, qmat, dtab, nids, x, rerank)
+                if res is not None:
+                    yield pd.DataFrame(dict(zip(cols, res)))
 
-    bc = spark.sparkContext.broadcast((codebooks, q_ids, dtab, q_full))
-    candidates = e.mapInPandas(local_topk, schema=out_schema)
+        candidates = e.mapInPandas(scan, schema=cand_schema)
+    else:
+        # ---- distributed regime: query blocks × corpus blocks cogroup
+        bc = spark.sparkContext.broadcast(codebooks)
+        nq = queries.count()
+        nqb = -(-nq // PQ_QUERIES_PER_BLOCK)  # ceil div
+
+        def gridded(df: DataFrame, id_col: str, n_blocks: int, key: str) -> DataFrame:
+            # Fresh grid per side (d05 precedent: independent lineage
+            # keeps cogroup clear of the ambiguous-self-join check).
+            # Joining the broadcast grid on one axis replicates the side
+            # across the OTHER axis's blocks.
+            grid = spark.createDataFrame(
+                [(i, j) for i in range(nqb) for j in range(PQ_CORPUS_BLOCKS)],
+                "qb int, cb int",
+            )
+            return (
+                df.withColumn("_blk", F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)))
+                .join(F.broadcast(grid), F.col("_blk") == F.col(key))
+                .drop("_blk")
+            )
+
+        q_side = gridded(
+            queries.select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            ),
+            "q_id",
+            nqb,
+            "qb",
+        )
+        c_side = gridded(
+            e.select(
+                F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+            ),
+            "n_id",
+            PQ_CORPUS_BLOCKS,
+            "cb",
+        )
+
+        def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+            cols = ["query_id", "neighbor_id", "d2"]
+            if not len(qpdf) or not len(cpdf):
+                return pd.DataFrame({c: [] for c in cols}).astype(
+                    {"query_id": "int64", "neighbor_id": "int64", "d2": "float64"}
+                )
+            cbs = bc.value
+            qids = qpdf["q_id"].to_numpy()
+            qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
+            nids = cpdf["n_id"].to_numpy()
+            x = np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64)
+            res = _pq_adc_topk_kernel(
+                cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank
+            )
+            if res is None:
+                return pd.DataFrame({c: [] for c in cols}).astype(
+                    {"query_id": "int64", "neighbor_id": "int64", "d2": "float64"}
+                )
+            return pd.DataFrame(dict(zip(cols, res)))
+
+        candidates = (
+            q_side.groupBy("qb", "cb")
+            .cogroup(c_side.groupBy("qb", "cb"))
+            .applyInPandas(cell, schema=cand_schema)
+        )
+
+    # ---- global merge: per-task top-k → window top-k (shuffle carries
+    # ≤ tasks × queries × k rows, never the corpus)
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return (
         candidates.withColumn("rank", F.row_number().over(w))

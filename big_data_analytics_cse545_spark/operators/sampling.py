@@ -3,9 +3,10 @@ training-data pipeline: deterministic hash-based train/val/test splits
 and temperature-weighted source balancing.
 
 No single reference counterpart; this generalizes the reference's
-hash-partition discipline (``pyspark_hash_partitioning/
-simple_mapreduce_spark.py:24-31`` routes records by
-``ComputeHashOfString % DOP``) from *placement* to *membership*: the
+hash-partition discipline (``Assignment 1/a1p1_ahuja.py:53-67``
+partitionFunction routes records by ``ComputeHashOfString % DOP``,
+with the hash itself at ``Assignment 1/a1p1_ahuja.py:168-172``) from
+*placement* to *membership*: the
 same hash-mod idea, applied to md5 so the assignment is engine-portable
 and stable across reruns/cluster sizes.
 

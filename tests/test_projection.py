@@ -108,11 +108,12 @@ def test_kmeans_converges_and_partitions_corpus(spark, sf_correctness):
 
 
 def test_p07_pq_ann_recall_and_determinism(spark, sf_correctness):
-    """PQ + exact-rerank contract: ≥0.8 recall@3 vs brute force, exact
+    """PQ + exact-rerank contract: ≥0.9 recall@3 vs brute force, exact
     distances monotone per query, self excluded, byte-identical reruns.
     (r4 raised the gate 0.6 → 0.8 alongside PQ_M 8 → 16 and PQ_RERANK
-    32 → 64; measured recall at sf0.01 is 1.0, the gate keeps slack for
-    other SFs.)"""
+    32 → 64; r6 raised it to 0.9 after the hash-spread sub-block
+    shortlist — measured recall is 1.0 on every scale_ann corpus,
+    clustered AND rotated, at the default rerank, SCALE.md ANN table.)"""
     import numpy as np
 
     from big_data_analytics_cse545_spark.sources import load_table
@@ -135,9 +136,46 @@ def test_p07_pq_ann_recall_and_determinism(spark, sf_correctness):
         assert list(sub.sort_values("rank").d2) == sorted(sub.d2)
         hits += len(exact & got)
         tot += projection.PQ_TOPK
-    assert hits / tot >= 0.8, f"recall@{projection.PQ_TOPK} = {hits}/{tot}"
+    assert hits / tot >= 0.9, f"recall@{projection.PQ_TOPK} = {hits}/{tot}"
     again = projection.p07_pq_ann(spark, sf_correctness).toPandas()
     assert df.equals(again), "PQ pipeline must be deterministic"
+
+
+def test_p07_distributed_regime_recall_and_determinism(
+    spark, sf_correctness, monkeypatch
+):
+    """p07's corpus-proportional-query regime (query blocks × corpus
+    blocks cogroup — the path that replaced the round-5 driver-side
+    query collect, VERDICT r5 #1) must satisfy the same contract as the
+    bounded regime: deterministic reruns, self excluded, monotone exact
+    distances, recall@3 ≥ 0.8 vs brute force. Forced here by shrinking
+    the regime threshold below the fixture's query count."""
+    import numpy as np
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    monkeypatch.setattr(projection, "PQ_QUERIES_PER_BLOCK", 4)
+    df = projection.p07_pq_ann(spark, sf_correctness).toPandas()
+    assert not df.empty
+    rows = load_table(spark, sf_correctness, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = tot = 0
+    for qi in np.where(ids % projection.QUERY_MOD == 0)[0]:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[: projection.PQ_TOPK]])
+        sub = df[df.query_id == ids[qi]]
+        got = set(sub.neighbor_id)
+        assert ids[qi] not in got, "self must be excluded"
+        assert list(sub.sort_values("rank").d2) == sorted(sub.d2)
+        hits += len(exact & got)
+        tot += projection.PQ_TOPK
+    assert hits / tot >= 0.9, f"recall@{projection.PQ_TOPK} = {hits}/{tot}"
+    again = projection.p07_pq_ann(spark, sf_correctness).toPandas()
+    assert df.equals(again), "distributed PQ regime must be deterministic"
 
 
 def test_kmeans_survives_empty_parquet_splits(spark, sf_correctness, tmp_path):

@@ -47,9 +47,10 @@ label != q_label predicate BEFORE ranking), exact squared-euclidean asc
 over queries.
 
 Usage:
-  python tools/scale_ann.py [repeats] [modes] [scales] [queries]
-  # e.g. the p07 rerank sweep:
-  #   SPARK_GRAFT_PQ_RERANK=512 python tools/scale_ann.py 2 clustered 10 p07_pq_ann
+  python tools/scale_ann.py [repeats] [modes] [scales] [queries] [pq_rerank]
+  # e.g. the p07 rerank sweep (explicit arg — the operator constant is
+  # fixed; round-5 ADVICE removed the import-time env override):
+  #   python tools/scale_ann.py 2 clustered 10 p07_pq_ann 512
 
 Same session settings as bench.py so timings are comparable with
 bench_runs/*.json. Output recorded at bench_runs/r5_scale_ann.jsonl.
@@ -223,6 +224,8 @@ def main() -> None:
     from big_data_analytics_cse545_spark.operators import projection
     from big_data_analytics_cse545_spark.session import get_spark
 
+    pq_rerank = int(sys.argv[5]) if len(sys.argv) > 5 else projection.PQ_RERANK
+
     spark = get_spark(
         app_name="scale_ann",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -232,6 +235,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.all_queries()
+    if pq_rerank != projection.PQ_RERANK:
+        # sweep override rides the explicit keyword, never the module
+        # constant, so driver-facing results can't inherit it
+        qs["p07_pq_ann"] = lambda s, d: projection.p07_pq_ann(
+            s, d, rerank=pq_rerank
+        )
 
     for mode in modes:
         for k in scales:
@@ -265,7 +274,7 @@ def main() -> None:
                             ),
                             "k": K,
                             **(
-                                {"pq_rerank": projection.PQ_RERANK}
+                                {"pq_rerank": pq_rerank}
                                 if name == "p07_pq_ann"
                                 else {}
                             ),
