@@ -500,8 +500,18 @@ def ann_join(
     ~n_tables/2^n_planes of the corpus. Table t uses plane indices
     t*n_planes..t*n_planes+n_planes-1 of the same md5 sign family, so
     n_tables=1 is exactly the round-2 behavior (and s02's); the
-    driver-checked operator form is s06 (operators/similarity.py), whose
-    measured recall lift is in SCALE.md. The candidate stage is NARROW:
+    driver-checked operator form is s06 (operators/similarity.py).
+
+    Picking ``n_tables`` from a recall target — measured operating
+    points (SCALE.md ANN table, 10× clustered corpus, within-cluster
+    cos ≈ 0.86, n_planes=6): recall@3 is **0.41 at L=1** (s02) and
+    **0.81 at L=3** (s06) for 2.7× the wall time — matching the
+    1−(1−r)^L model within noise, so extrapolate with that formula:
+    L=6 ⇒ ~0.96, L=9 ⇒ ~0.99. Cost is linear in L (the exploded
+    relation is ids only). On structureless data recall ≈ the candidate
+    fraction regardless of L (rotated rows: 0.09 → 0.22 at L=3) — no
+    table count fixes data with no neighborhoods; use bruteforce (s01)
+    or the IVF path there. The candidate stage is NARROW:
     only (id, table, bucket) rows ride the ×n_tables explode and the
     pair-dedup shuffle — embeddings rejoin by id afterwards, so the
     shuffle payload is independent of the embedding width.

@@ -25,10 +25,12 @@ Reference parity (SURVEY §2.4):
        (``a2_ahuja.py:140-170``) — relational form: posexplode + self-join.
 
 Images table: no driver-provided binary fixture exists (FIXTURES.md A4),
-so ``images_df`` synthesizes one inside the query — ids from the
-embeddings table, payload bytes deterministic per id, near-duplicates
-planted at ids ≡ 9 (mod 10) (noisy copy of id−1) so the funnel has true
-positives to find.
+so the engine writes its own REAL one — one deterministic ``.tif`` per
+embeddings vec_id (``_m01_fixture_dir``, atomic once-per-sf write) —
+and ``images_df`` scans it with Spark's native ``binaryFile`` source
+(round 6; through round 5 the bytes were synthesized in-plan). Payload
+bytes are deterministic per id, near-duplicates planted at ids ≡ 9
+(mod 10) (noisy copy of id−1) so the funnel has true positives to find.
 """
 
 from __future__ import annotations
@@ -95,37 +97,65 @@ def _tiff_image_bytes(base_id: int) -> bytes:
     return _tiff_encode(arr)
 
 
+def _m01_fixture_dir(sf_dir: str) -> str:
+    """One real ``.tif`` file per embeddings vec_id (same deterministic
+    pixels as ``_tiff_image_bytes``), written once per scale factor into
+    a shared temp dir via the atomic fixture protocol — m01's flagship
+    funnel scans these with Spark's native ``binaryFile`` source
+    (round-6, VERDICT r5 task #8: the in-plan byte synthesis that m01
+    used through round 5 survives only in ``_image_bytes`` itself; the
+    plan now starts at an actual file scan, like m03)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
+
+    def write(tmp: str) -> None:
+        ids = (
+            pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+            )
+            .column("vec_id")
+            .to_pylist()
+        )
+        for i in ids:
+            with open(os.path.join(tmp, f"img{int(i)}.tif"), "wb") as f:
+                f.write(_tiff_image_bytes(int(i)))
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return ensure_fixture_dir(f"spark_graft_m01_tifs_{tag}_v1", write)
+
+
 def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id string, content binary, width, height, channels) — opaque
-    payload + typed metadata, the engine's multimodal column contract."""
-    # the sf0.1 embeddings table is a single parquet file → 1 scan
-    # partition → the whole Python funnel would run serially. 8-way is
-    # the measured sweet spot for this chained-mapInPandas stage on
-    # local[32]: 1 partition = serial (10s), 32 = cold-worker storm
-    # (19s), 8 = 7s. On a real cluster this would be
+    payload + typed metadata, the engine's multimodal column contract.
+    Backed by a REAL ``binaryFile`` scan over the per-sf ``.tif``
+    fixture (``sc.binaryFiles`` parity, ``a2_ahuja.py:416``); img_id is
+    recovered from the file path (I2 ``getFileName``,
+    ``a2_ahuja.py:21``)."""
+    d = _m01_fixture_dir(sf_dir)
+    # The tiny .tif files pack into ~1 scan split under
+    # maxPartitionBytes, which would serialize the fused Python funnel.
+    # 8-way is the measured sweet spot for this chained-mapInPandas
+    # stage on local[32]: 1 partition = serial (10s), 32 = cold-worker
+    # storm (19s), 8 = 7s. On a real cluster this would be
     # max(8, input splits); the constant is the local-mode bound.
-    ids = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(F.col("vec_id").cast("long").alias("base_id"))
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif")
+        .load(d)
         .repartition(8)
     )
-
-    def make_bytes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            out = [_tiff_image_bytes(int(b)) for b in batch["base_id"]]
-            yield pd.DataFrame(
-                {
-                    "img_id": "img" + batch["base_id"].astype(str),
-                    "content": out,
-                    "width": W,
-                    "height": H,
-                    "channels": CHANNELS,
-                }
-            )
-
-    return ids.mapInPandas(
-        make_bytes,
-        schema="img_id string, content binary, width int, height int, channels int",
+    return raw.select(
+        F.concat(
+            F.lit("img"),
+            F.regexp_extract(F.col("path"), r"img(\d+)\.tif$", 1),
+        ).alias("img_id"),
+        "content",
+        F.lit(W).alias("width"),
+        F.lit(H).alias("height"),
+        F.lit(CHANNELS).alias("channels"),
     )
 
 
