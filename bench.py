@@ -19,6 +19,26 @@ import sys
 import time
 
 
+def short_code_timings(timings: dict[str, float]) -> dict[str, float]:
+    """Key timings by each query's short code (prefix before the first
+    underscore). On a collision, ONLY the colliding names get a stable
+    ordinal suffix — never a fallback to the full-name payload, which
+    is exactly the >1900-char line the short form exists to avoid
+    (round-5 ADVICE)."""
+    from collections import Counter
+
+    counts = Counter(n.split("_", 1)[0] for n in timings)
+    seen: dict[str, int] = {}
+    short: dict[str, float] = {}
+    for n, t in timings.items():
+        code = n.split("_", 1)[0]
+        if counts[code] > 1:
+            seen[code] = seen.get(code, 0) + 1
+            code = f"{code}#{seen[code]}"
+        short[code] = t
+    return short
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -74,22 +94,7 @@ def main() -> None:
     # short code (the prefix before the first underscore: q01, d03, st11,
     # ...); the full-name map still goes to stderr for humans and to the
     # bench_runs/ artifacts written by tools/.
-    # On a short-code collision, disambiguate ONLY the colliding names
-    # (suffix with a stable ordinal) instead of falling back to the
-    # full-name payload — the fallback was exactly the >1900-char line
-    # this exists to avoid (round-5 ADVICE).
-    from collections import Counter
-
-    counts = Counter(n.split("_", 1)[0] for n in timings)
-    seen: dict[str, int] = {}
-    short = {}
-    for n, t in timings.items():
-        code = n.split("_", 1)[0]
-        if counts[code] > 1:
-            seen[code] = seen.get(code, 0) + 1
-            code = f"{code}#{seen[code]}"
-        short[code] = t
-    compact = dict(payload, queries=short)
+    compact = dict(payload, queries=short_code_timings(timings))
     print("bench full-name timings: " + json.dumps(payload), file=sys.stderr)
     line = json.dumps(compact)
     if len(line) > 1900:

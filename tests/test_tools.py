@@ -1,0 +1,60 @@
+"""Unit gates for the audit/ops tools that feed round artifacts —
+pure-python pieces only (the Spark-driving sweeps are run out-of-band;
+their per-round logs live in bench_runs/)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_bench_control_summary_math():
+    from tools.bench_control import summarize
+
+    head = {"q01": 2.0, "q02": 1.0, "q03": 4.5, "only_head": 1.0, "q04": -1.0}
+    prev = {"q01": 1.0, "q02": 1.0, "q03": 3.0, "only_prev": 2.0, "q04": 1.0}
+    s = summarize(head, prev)
+    assert s["common_queries"] == 3
+    assert s["failed_queries"] == ["q04"]  # a crash is reported, not dropped
+    assert s["head_total_common"] == 7.5
+    assert s["prev_total_common"] == 5.0
+    assert s["median_ratio"] == 1.5
+    assert s["worst_query"] == ("q01", 2.0)
+    assert s["ratios_over_1p5"] == {"q01": 2.0, "q03": 1.5}
+
+
+def test_bench_control_summary_empty_inputs():
+    from tools.bench_control import summarize
+
+    s = summarize({}, {})
+    assert s["common_queries"] == 0
+    assert s["median_ratio"] is None and s["worst_query"] is None
+
+
+def test_bench_short_code_collision_disambiguation():
+    """bench.py's driver-tail line keys by short code; colliding codes
+    must be disambiguated per-key, never by falling back to the
+    oversized full-name payload (round-5 ADVICE)."""
+    from bench import short_code_timings
+
+    short = short_code_timings({"q01_a": 1.0, "q01_b": 2.0, "d03_x": 3.0})
+    assert short == {"q01#1": 1.0, "q01#2": 2.0, "d03": 3.0}
+    # no-collision registry: plain short codes, count preserved
+    full = {f"q{i:02d}_name": float(i) for i in range(1, 40)}
+    short = short_code_timings(full)
+    assert len(short) == len(full) and "q05" in short
+
+
+def test_bench_registry_has_no_short_code_collisions():
+    """The REAL registry must produce plain short codes (a collision
+    would change the driver-visible keys between rounds)."""
+    from bench import short_code_timings
+
+    import __spark_entry__ as em
+
+    names = {n: 0.0 for n in em.all_queries()}
+    short = short_code_timings(names)
+    assert len(short) == len(names)
+    assert not any("#" in c for c in short)

@@ -87,30 +87,33 @@ def main() -> int:
         ) as f:
             json.dump(payload, f)
 
-    hq, pq = head["queries"], prev["queries"]
-    common = sorted(
-        k for k in hq if k in pq and hq[k] > 0 and pq[k] > 0
+    summary = summarize(head["queries"], prev["queries"])
+    print(json.dumps({"prev_ref": prev_ref, "sf_dir": sf_dir, **summary}))
+    return 0
+
+
+def summarize(hq: dict, pq: dict) -> dict:
+    """Code-vs-code comparison over the common query set. Failed
+    queries (bench records them as -1.0) are excluded from ratios but
+    reported, so a crash can't silently vanish from the control."""
+    common = sorted(k for k in hq if k in pq and hq[k] > 0 and pq[k] > 0)
+    failed = sorted(
+        k for k in set(hq) | set(pq) if hq.get(k, 1) < 0 or pq.get(k, 1) < 0
     )
     ratios = {k: round(hq[k] / pq[k], 3) for k in common}
-    med = round(statistics.median(ratios.values()), 3) if ratios else None
-    worst = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
-    print(
-        json.dumps(
-            {
-                "prev_ref": prev_ref,
-                "sf_dir": sf_dir,
-                "common_queries": len(common),
-                "head_total_common": round(sum(hq[k] for k in common), 3),
-                "prev_total_common": round(sum(pq[k] for k in common), 3),
-                "median_ratio": med,
-                "worst_query": worst,
-                "ratios_over_1p5": {
-                    k: v for k, v in ratios.items() if v >= 1.5
-                },
-            }
-        )
-    )
-    return 0
+    return {
+        "common_queries": len(common),
+        "failed_queries": failed,
+        "head_total_common": round(sum(hq[k] for k in common), 3),
+        "prev_total_common": round(sum(pq[k] for k in common), 3),
+        "median_ratio": (
+            round(statistics.median(ratios.values()), 3) if ratios else None
+        ),
+        "worst_query": (
+            max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
+        ),
+        "ratios_over_1p5": {k: v for k, v in ratios.items() if v >= 1.5},
+    }
 
 
 if __name__ == "__main__":
