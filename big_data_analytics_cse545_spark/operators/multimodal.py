@@ -105,26 +105,34 @@ def _m01_fixture_dir(sf_dir: str) -> str:
     (round-6, VERDICT r5 task #8: the in-plan byte synthesis that m01
     used through round 5 survives only in ``_image_bytes`` itself; the
     plan now starts at an actual file scan, like m03)."""
+    import hashlib
     import os
 
     import pyarrow.parquet as pq
 
     from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
 
-    def write(tmp: str) -> None:
-        ids = (
-            pq.read_table(
-                os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
-            )
-            .column("vec_id")
-            .to_pylist()
+    ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
         )
+        .column("vec_id")
+        .to_pylist()
+    )
+
+    def write(tmp: str) -> None:
         for i in ids:
             with open(os.path.join(tmp, f"img{int(i)}.tif"), "wb") as f:
                 f.write(_tiff_image_bytes(int(i)))
 
+    # key by corpus basename AND the id-set digest: two corpora sharing
+    # a directory basename (tmp_path twins, chaos rewrites) must never
+    # share a fixture
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return ensure_fixture_dir(f"spark_graft_m01_tifs_{tag}_v1", write)
+    digest = hashlib.md5(
+        ",".join(str(int(i)) for i in sorted(ids)).encode()
+    ).hexdigest()[:10]
+    return ensure_fixture_dir(f"spark_graft_m01_tifs_{tag}_{digest}_v1", write)
 
 
 def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:

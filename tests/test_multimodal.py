@@ -494,6 +494,27 @@ def test_m02_fixture_payloads_are_real_avi_containers():
     assert parsed is not None and np.array_equal(parsed, vid)
 
 
+def test_m01_empty_corpus_yields_empty_result(spark, tmp_path):
+    """Round 6 moved m01's source to a real binaryFile scan over a
+    per-sf .tif fixture — an EMPTY corpus now means a fixture dir with
+    zero matching files, which must still yield 0 rows with the right
+    schema (binaryFile's schema is fixed, so no inference failure)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "m01_empty")
+    os.makedirs(d)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(src, f))
+            pq.write_table(t.slice(0, 0), os.path.join(d, f))
+    out = mm.m01_image_similarity_funnel(spark, d)
+    assert out.count() == 0
+    assert out.columns == ["t1", "t2", "n_bands"]
+
+
 def test_factor_fork_reuses_persisted_tiles(spark, sf_smoke):
     """The reference's extra-credit fork (a2_ahuja.py:322-406,431-433):
     both pooling factors run off ONE persisted tiles relation — the
