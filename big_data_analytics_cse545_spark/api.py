@@ -691,6 +691,62 @@ def ivf_join(
     )
 
 
+def pq_ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    n_sub: int = 16,
+    n_centroids: int = 16,
+    rerank: int = 64,
+    train_cap: int = 2048,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Product-quantization ANN → (q_id, neighbor_id, rk, d2) — the
+    MEMORY-bound member of the ANN triad (ann_join = hyperplane LSH,
+    ivf_join = learned coarse cells, pq_ann_join = compressed-code
+    scan): each corpus vector is encoded as ``n_sub`` sub-codes
+    (dim·4 bytes of float32 → n_sub·log2(n_centroids) bits — 32×
+    compression at the defaults for 64-dim vectors), distances are
+    approximated by ADC table lookups, and only a per-task shortlist is
+    reranked with exact float64 euclidean math.
+
+    Semantics and scale shape are the driver-checked p07 operator's
+    (operators/projection.py — codebooks trained on a ``train_cap``
+    hash-ordered sample; bounded query sets broadcast and scan the
+    corpus in one narrow pass, corpus-proportional query sets cogroup
+    query-blocks × corpus-blocks with no driver materialization; the
+    shortlist cut is hash-spread and tie-inclusive, measured recall@3
+    1.0 on every scale_ann corpus at the defaults, SCALE.md ANN table).
+    Distance is squared euclidean ASCENDING (unlike the cosine-ranked
+    ann_join/ivf_join) — use it when vectors are unnormalized or L2
+    structure matters; on unit-normalized vectors the rankings agree
+    (d² = 2 − 2·cos).
+
+    Pick PQ over IVF when the working set must shrink (codes live in
+    ~1/32 the memory of raw floats); pick IVF when you need sublinear
+    scan cost; real systems compose them (IVF-PQ) — here that is
+    ``ivf_join`` for the candidate cells plus this operator's encoder
+    inside each cell.
+    """
+    from big_data_analytics_cse545_spark.operators.projection import pq_topk_join
+
+    return pq_topk_join(
+        queries,
+        corpus,
+        id_col=id_col,
+        emb_col=emb_col,
+        k=k,
+        n_sub=n_sub,
+        n_centroids=n_centroids,
+        rerank=rerank,
+        train_cap=train_cap,
+        exclude_self=exclude_self,
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     emb_col: str,

@@ -539,21 +539,23 @@ PQ_QUERIES_PER_BLOCK = 1024
 PQ_CORPUS_BLOCKS = 32
 
 
-def _pq_train(train: "object") -> "object":
+def _pq_train(train, n_sub=PQ_M, n_cent=PQ_K, iters=PQ_ITERS):
     """Seeded Lloyd per subspace on the capped training sample (numpy,
-    driver-side): init = first PQ_K distinct subvectors in vec_id order,
-    PQ_ITERS iterations, empty clusters keep their previous centroid.
-    Deterministic: fixed input order, fixed iteration count, no RNG."""
+    driver-side): init = first ``n_cent`` subvectors in hash-sample
+    order, ``iters`` iterations, empty clusters keep their previous
+    centroid. Deterministic: fixed input order, fixed iteration count,
+    no RNG."""
     import numpy as np
 
-    codebooks = np.zeros((PQ_M, PQ_K, PQ_DSUB))
-    for m in range(PQ_M):
-        x = train[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]
-        cents = x[:PQ_K].copy()
-        for _ in range(PQ_ITERS):
+    dsub = train.shape[1] // n_sub
+    codebooks = np.zeros((n_sub, n_cent, dsub))
+    for m in range(n_sub):
+        x = train[:, m * dsub:(m + 1) * dsub]
+        cents = x[:n_cent].copy()
+        for _ in range(iters):
             d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)
-            for c in range(PQ_K):
+            for c in range(n_cent):
                 mask = a == c
                 if mask.any():
                     cents[c] = x[mask].mean(axis=0)
@@ -561,7 +563,9 @@ def _pq_train(train: "object") -> "object":
     return codebooks
 
 
-def _pq_adc_topk_kernel(cbs, qids, qmat, dtab, nids, x, rerank):
+def _pq_adc_topk_kernel(
+    cbs, qids, qmat, dtab, nids, x, rerank, topk=PQ_TOPK, exclude_self=True
+):
     """Shared per-task PQ kernel (both p07 execution regimes): encode
     the corpus slice ``x`` against the broadcast codebooks, ADC-score
     every (query, row) with M table lookups, shortlist, exact-rerank
@@ -584,18 +588,20 @@ def _pq_adc_topk_kernel(cbs, qids, qmat, dtab, nids, x, rerank):
     row order within the task."""
     import numpy as np
 
+    n_sub, _, dsub = cbs.shape
     codes = np.stack(
         [
-            ((x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
+            ((x[:, m * dsub:(m + 1) * dsub][:, None, :]
               - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            for m in range(PQ_M)
+            for m in range(n_sub)
         ],
         axis=1,
     )
     adc = np.zeros((len(qids), len(nids)))
-    for m in range(PQ_M):
+    for m in range(n_sub):
         adc += dtab[:, m, :][:, codes[:, m]]
-    adc[qids[:, None] == nids[None, :]] = np.inf  # self excluded
+    if exclude_self:
+        adc[qids[:, None] == nids[None, :]] = np.inf
     # Fibonacci-multiplicative mix → sub-block id: spreads ANY id
     # pattern (contiguous cluster ids, stride-aligned ids) uniformly.
     blk = (
@@ -617,7 +623,7 @@ def _pq_adc_topk_kernel(cbs, qids, qmat, dtab, nids, x, rerank):
             continue
         # exact d² only on the shortlist
         d2 = ((x[keep] - qmat[qi]) ** 2).sum(axis=1)
-        order = np.lexsort((nids[keep], d2))[:PQ_TOPK]
+        order = np.lexsort((nids[keep], d2))[:topk]
         sel = keep[order]
         out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
         out_n.append(nids[sel])
@@ -635,11 +641,12 @@ def _pq_dtab(qmat, cbs):
     """Per-query ADC lookup tables: dtab[q, m, k] = ||q_m − c_{m,k}||²."""
     import numpy as np
 
+    n_sub, _, dsub = cbs.shape
     return np.stack(
         [
-            ((qmat[:, m * PQ_DSUB:(m + 1) * PQ_DSUB][:, None, :]
+            ((qmat[:, m * dsub:(m + 1) * dsub][:, None, :]
               - cbs[m][None, :, :]) ** 2).sum(axis=2)
-            for m in range(PQ_M)
+            for m in range(n_sub)
         ],
         axis=1,
     )
@@ -697,67 +704,125 @@ def p07_pq_ann(
     code range, rank monotonicity, determinism, recall vs exact —
     pinned in tests/test_projection.py.
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.window import Window
-
     e = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())  # null vectors: unencodable
         .select("vec_id", "embedding")
     )
-    # Deterministic hash-ordered training sample (see docstring).
+    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return (
+        pq_topk_join(
+            queries,
+            e,
+            id_col="vec_id",
+            emb_col="embedding",
+            k=PQ_TOPK,
+            rerank=rerank,
+        )
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("rk").alias("rank"),
+            "neighbor_id",
+            "d2",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    emb_col: str,
+    k: int = PQ_TOPK,
+    n_sub: int = PQ_M,
+    n_centroids: int = PQ_K,
+    rerank: int = PQ_RERANK,
+    train_cap: int = PQ_TRAIN_CAP,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Generic product-quantization top-k join (the p07 machinery over
+    arbitrary DataFrames): train per-subspace codebooks on a capped
+    hash-ordered corpus sample, then answer euclidean top-k for every
+    query row via ADC scan + hash-spread tie-inclusive shortlist +
+    exact float64 rerank, under the two-regime execution described in
+    :func:`p07_pq_ann` (bounded-query broadcast scan / query-block ×
+    corpus-block cogroup). Returns (q_id long, neighbor_id long,
+    rk long, d2 double), d2 rounded to 4 decimals, unordered.
+
+    Requirements: integer ids, fixed-width float vectors whose
+    dimensionality is divisible by ``n_sub``; null embeddings are
+    excluded on both sides. ``exclude_self`` drops pairs whose ids are
+    equal (queries drawn from the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    spark = corpus.sparkSession
+    corpus = corpus.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
+    )
+    queries = queries.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    # Deterministic hash-ordered training sample: first-N ids are
+    # catastrophically biased on id-clustered corpora (SCALE.md).
     train_rows = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_TRAIN_CAP)
+        corpus.orderBy(F.md5(F.col("n_id").cast("string")), "n_id")
+        .limit(train_cap)
         .collect()
     )
-    out_schema = "query_id long, rank long, neighbor_id long, d2 double"
+    out_schema = "q_id long, neighbor_id long, rk long, d2 double"
     if not train_rows:
-        # empty corpus → nothing to train on and no queries to answer
         return spark.createDataFrame([], out_schema)
-    train = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
-    codebooks = _pq_train(train)
+    train = np.array([r["n_emb"] for r in train_rows], dtype=np.float64)
+    dim = train.shape[1]
+    if dim % n_sub:
+        raise ValueError(
+            f"pq_topk_join: embedding dim {dim} not divisible by n_sub {n_sub}"
+        )
+    codebooks = _pq_train(train, n_sub=n_sub, n_cent=n_centroids)
 
-    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0)
     # One bounded probe decides the regime AND (when small) delivers the
     # query rows — never an unguarded corpus-proportional collect.
     probe = queries.limit(PQ_QUERIES_PER_BLOCK + 1).collect()
     if not probe:
         return spark.createDataFrame([], out_schema)
 
-    cand_schema = "query_id long, neighbor_id long, d2 double"
+    cand_schema = "q_id long, neighbor_id long, d2 double"
+    cols = ["q_id", "neighbor_id", "d2"]
     if len(probe) <= PQ_QUERIES_PER_BLOCK:
         # ---- bounded-query regime: one narrow Arrow pass, no shuffle
-        q_ids = np.array([r["vec_id"] for r in probe])
-        q_mat = np.array([r["embedding"] for r in probe], dtype=np.float64)
+        q_ids = np.array([r["q_id"] for r in probe])
+        q_mat = np.array([r["q_emb"] for r in probe], dtype=np.float64)
         bc = spark.sparkContext.broadcast(
             (codebooks, q_ids, _pq_dtab(q_mat, codebooks), q_mat)
         )
 
         def scan(batches):
             cbs, qids, dtab, qmat = bc.value
-            cols = ["query_id", "neighbor_id", "d2"]
             for batch in batches:
                 if not len(batch):
                     continue
-                nids = batch["vec_id"].to_numpy()
-                x = np.array(
-                    [list(v) for v in batch["embedding"]], dtype=np.float64
+                nids = batch["n_id"].to_numpy()
+                x = np.array([list(v) for v in batch["n_emb"]], dtype=np.float64)
+                res = _pq_adc_topk_kernel(
+                    cbs, qids, qmat, dtab, nids, x, rerank,
+                    topk=k, exclude_self=exclude_self,
                 )
-                res = _pq_adc_topk_kernel(cbs, qids, qmat, dtab, nids, x, rerank)
                 if res is not None:
                     yield pd.DataFrame(dict(zip(cols, res)))
 
-        candidates = e.mapInPandas(scan, schema=cand_schema)
+        candidates = corpus.mapInPandas(scan, schema=cand_schema)
     else:
         # ---- distributed regime: query blocks × corpus blocks cogroup
         bc = spark.sparkContext.broadcast(codebooks)
         nq = queries.count()
         nqb = -(-nq // PQ_QUERIES_PER_BLOCK)  # ceil div
 
-        def gridded(df: DataFrame, id_col: str, n_blocks: int, key: str) -> DataFrame:
+        def gridded(df: DataFrame, blk_col: str, n_blocks: int, key: str) -> DataFrame:
             # Fresh grid per side (d05 precedent: independent lineage
             # keeps cogroup clear of the ambiguous-self-join check).
             # Joining the broadcast grid on one axis replicates the side
@@ -767,47 +832,30 @@ def p07_pq_ann(
                 "qb int, cb int",
             )
             return (
-                df.withColumn("_blk", F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)))
+                df.withColumn("_blk", F.pmod(F.hash(F.col(blk_col)), F.lit(n_blocks)))
                 .join(F.broadcast(grid), F.col("_blk") == F.col(key))
                 .drop("_blk")
             )
 
-        q_side = gridded(
-            queries.select(
-                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-            ),
-            "q_id",
-            nqb,
-            "qb",
-        )
-        c_side = gridded(
-            e.select(
-                F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
-            ),
-            "n_id",
-            PQ_CORPUS_BLOCKS,
-            "cb",
-        )
+        q_side = gridded(queries, "q_id", nqb, "qb")
+        c_side = gridded(corpus, "n_id", PQ_CORPUS_BLOCKS, "cb")
 
         def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-            cols = ["query_id", "neighbor_id", "d2"]
+            empty = pd.DataFrame({c: [] for c in cols}).astype(
+                {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"}
+            )
             if not len(qpdf) or not len(cpdf):
-                return pd.DataFrame({c: [] for c in cols}).astype(
-                    {"query_id": "int64", "neighbor_id": "int64", "d2": "float64"}
-                )
+                return empty
             cbs = bc.value
             qids = qpdf["q_id"].to_numpy()
             qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
             nids = cpdf["n_id"].to_numpy()
             x = np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64)
             res = _pq_adc_topk_kernel(
-                cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank
+                cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank,
+                topk=k, exclude_self=exclude_self,
             )
-            if res is None:
-                return pd.DataFrame({c: [] for c in cols}).astype(
-                    {"query_id": "int64", "neighbor_id": "int64", "d2": "float64"}
-                )
-            return pd.DataFrame(dict(zip(cols, res)))
+            return empty if res is None else pd.DataFrame(dict(zip(cols, res)))
 
         candidates = (
             q_side.groupBy("qb", "cb")
@@ -817,17 +865,16 @@ def p07_pq_ann(
 
     # ---- global merge: per-task top-k → window top-k (shuffle carries
     # ≤ tasks × queries × k rows, never the corpus)
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
     return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PQ_TOPK)
+        candidates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
         .select(
-            "query_id",
-            F.col("rank").cast("long").alias("rank"),
+            "q_id",
             "neighbor_id",
+            F.col("rk").cast("long").alias("rk"),
             F.round("d2", 4).alias("d2"),
         )
-        .orderBy("query_id", "rank")
     )
 
 

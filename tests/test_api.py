@@ -153,6 +153,47 @@ def test_ann_join_exclude_self_flag(spark):
     assert {r["neighbor_id"] for r in without} == {2}
 
 
+def test_pq_ann_join_recall_vs_exact(spark, sf_correctness):
+    """pq_ann_join (the ANN triad's memory-bound member) must recover
+    nearly all exact euclidean top-k at the defaults, exclude self,
+    keep per-query d2 monotone, and be deterministic."""
+    import numpy as np
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    df = api.pq_ann_join(q, e, "embedding", "vec_id", k=3).toPandas()
+    assert list(df.columns) == ["q_id", "neighbor_id", "rk", "d2"]
+    rows = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = tot = 0
+    for qi in np.where(ids % similarity.QUERY_MOD == 0)[0]:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:3]])
+        sub = df[df.q_id == ids[qi]]
+        assert ids[qi] not in set(sub.neighbor_id), "self must be excluded"
+        assert list(sub.sort_values("rk").d2) == sorted(sub.d2)
+        hits += len(exact & set(sub.neighbor_id))
+        tot += 3
+    assert hits / tot >= 0.9, f"recall@3 = {hits}/{tot}"
+    again = api.pq_ann_join(q, e, "embedding", "vec_id", k=3).toPandas()
+    assert df.sort_values(["q_id", "rk"]).reset_index(drop=True).equals(
+        again.sort_values(["q_id", "rk"]).reset_index(drop=True)
+    )
+
+
+def test_pq_ann_join_validates_subspace_divisibility(spark, sf_correctness):
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.limit(5)
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        api.pq_ann_join(q, e, "embedding", "vec_id", n_sub=7).collect()
+
+
 def test_ivf_join_learned_centroids(spark, sf_correctness):
     """ivf_join with learned KMeans centroids: probing ALL cells must
     equal exact brute force; probing 2 of 8 must keep decent recall while
