@@ -747,6 +747,153 @@ def pq_ann_join(
     )
 
 
+def ivf_pq_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 16,
+    n_centroids: int = 16,
+    rerank: int = 64,
+    train_cap: int = 2048,
+    seed: int = 42,
+    max_iter: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ ANN → (q_id, neighbor_id, rk, d2): the production
+    composition real vector stores ship — ``ivf_join``'s learned coarse
+    cells prune the scan to ~n_probe/n_cells of the corpus AND the
+    in-cell scan runs on PQ codes with ADC lookups instead of raw-float
+    kernels, so the index is simultaneously SUBLINEAR (probe) and
+    COMPRESSED (code scan). Squared-euclidean ascending, like
+    ``pq_ann_join``.
+
+    Plan shape: KMeans learns n_cells centroids (driver holds k×d
+    floats only); PQ codebooks train on a ``train_cap`` hash-ordered
+    sample; each query ranks the centroid literals in-plan and explodes
+    to its n_probe nearest cells; queries-by-cell cogroup with
+    corpus-by-cell, and each cell task runs the shared p07 kernel —
+    encode, ADC, hash-spread tie-inclusive shortlist, exact float64
+    rerank, per-cell top-k — with a window merging per-cell winners.
+    No driver materialization grows with the corpus. Per-task work is
+    one cell's corpus (~N/n_cells — raise n_cells ~ √N so cells stay
+    partition-sized) times the queries probing it; for
+    corpus-proportional query sets prefer a larger n_cells so the
+    per-cell query load stays bounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from big_data_analytics_cse545_spark.operators.projection import (
+        _pq_adc_topk_kernel,
+        _pq_dtab,
+        _pq_train,
+    )
+
+    spark = corpus.sparkSession
+    corpus = corpus.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
+    )
+    queries = queries.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    out_schema = "q_id long, neighbor_id long, rk long, d2 double"
+    train_rows = (
+        corpus.orderBy(F.md5(F.col("n_id").cast("string")), "n_id")
+        .limit(train_cap)
+        .collect()
+    )
+    if not train_rows:
+        return spark.createDataFrame([], out_schema)
+    train = np.array([r["n_emb"] for r in train_rows], dtype=np.float64)
+    if train.shape[1] % n_sub:
+        raise ValueError(
+            f"ivf_pq_join: embedding dim {train.shape[1]} not divisible "
+            f"by n_sub {n_sub}"
+        )
+    bc = spark.sparkContext.broadcast(
+        _pq_train(train, n_sub=n_sub, n_cent=n_centroids)
+    )
+
+    # coarse cells on RAW vectors (euclidean geometry matches the PQ/
+    # rerank metric, unlike ivf_join's spherical-cosine normalization)
+    c_vec = corpus.withColumn(
+        "_v", array_to_vector(F.col("n_emb").cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_v",
+        predictionCol="_cell",
+    ).fit(c_vec)
+    centers = [list(map(float, ctr)) for ctr in km.clusterCenters()]
+    c_side = km.transform(c_vec).select("_cell", "n_id", "n_emb")
+
+    def d2_to(center: list[float]):
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(
+                F.col("q_emb").cast("array<double>"),
+                arr,
+                lambda x, ctr: (x - ctr) * (x - ctr),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cells = F.array(
+        *[
+            F.struct(d2_to(center).alias("d"), F.lit(i).alias("cell"))
+            for i, center in enumerate(centers)
+        ]
+    )
+    q_side = (
+        queries.withColumn("_probe", F.slice(F.array_sort(cells), 1, n_probe))
+        .select("q_id", "q_emb", F.explode("_probe.cell").alias("_cell"))
+    )
+
+    cols = ["q_id", "neighbor_id", "d2"]
+
+    def cell_task(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: [] for c in cols}).astype(
+            {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"}
+        )
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        cbs = bc.value
+        qids = qpdf["q_id"].to_numpy()
+        qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
+        nids = cpdf["n_id"].to_numpy()
+        x = np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64)
+        res = _pq_adc_topk_kernel(
+            cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank,
+            topk=k, exclude_self=exclude_self,
+        )
+        return empty if res is None else pd.DataFrame(dict(zip(cols, res)))
+
+    candidates = (
+        q_side.groupBy("_cell")
+        .cogroup(c_side.groupBy("_cell"))
+        .applyInPandas(cell_task, schema="q_id long, neighbor_id long, d2 double")
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
+    return (
+        candidates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.round("d2", 4).alias("d2"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     emb_col: str,

@@ -245,6 +245,48 @@ def test_ivf_join_recall_on_clustered_data(spark):
     assert hits / len(exact) >= 0.8, f"IVF recall {hits}/{len(exact)}"
 
 
+def test_ivf_pq_join_recall_on_clustered_data(spark):
+    """IVF-PQ (sublinear probe + compressed in-cell scan) on the same
+    8-bundle fixture: probing 2 of 8 learned cells with PQ-coded
+    in-cell scoring must recover nearly all exact euclidean top-3,
+    deterministically, with self excluded and monotone distances."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + 0.15 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = df.filter(F.col("id") % 40 == 0)
+    got = api.ivf_pq_join(
+        q, df, "emb", "id", k=3, n_cells=8, n_probe=2, n_sub=8
+    ).toPandas()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows])
+    hits = tot = 0
+    for qi in np.where(ids % 40 == 0)[0]:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:3]])
+        sub = got[got.q_id == ids[qi]]
+        assert ids[qi] not in set(sub.neighbor_id)
+        assert list(sub.sort_values("rk").d2) == sorted(sub.d2)
+        hits += len(exact & set(sub.neighbor_id))
+        tot += 3
+    assert hits / tot >= 0.8, f"IVF-PQ recall@3 = {hits}/{tot}"
+    again = api.ivf_pq_join(
+        q, df, "emb", "id", k=3, n_cells=8, n_probe=2, n_sub=8
+    ).toPandas()
+    key = ["q_id", "rk"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
 def test_embedding_near_dup_pairs_matches_operator(spark, sf_correctness):
     e = load_table(spark, sf_correctness, "embeddings")
     got = {
