@@ -894,6 +894,285 @@ def ivf_pq_join(
     )
 
 
+def pq_index(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    n_sub: int = 16,
+    n_centroids: int = 16,
+    train_cap: int = 2048,
+) -> dict:
+    """Build the persistable half of PQ vector search: train codebooks
+    on a ``train_cap`` hash-ordered sample and encode the whole corpus
+    ONCE into a codes relation (``n_sub``·log2(``n_centroids``) bits
+    per vector — 8 bytes at the defaults, a 32× cut from 64-dim
+    float32). ``pq_search`` then answers any number of query batches —
+    possibly in different jobs, days apart via :func:`save_pq_index` /
+    :func:`load_pq_index` — against the codes without ever re-reading
+    corpus floats. The dedup-side precedent is
+    ``dedup_index``/``incremental_dedup``: encode per ingest cycle,
+    search per batch.
+
+    Returns ``{"codes": DataFrame(n_id, codes), "params": {...}}``;
+    params embeds the trained codebooks (n_sub×n_centroids×dsub doubles
+    — model-sized) plus the build geometry, and ``pq_search`` refuses
+    queries whose dimensionality disagrees."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analytics_cse545_spark.operators.projection import _pq_train
+
+    corpus = corpus.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
+    )
+    train_rows = (
+        corpus.orderBy(F.md5(F.col("n_id").cast("string")), "n_id")
+        .limit(train_cap)
+        .collect()
+    )
+    if not train_rows:
+        raise ValueError("pq_index: corpus has no non-null embeddings")
+    train = np.array([r["n_emb"] for r in train_rows], dtype=np.float64)
+    dim = train.shape[1]
+    if dim % n_sub:
+        raise ValueError(
+            f"pq_index: embedding dim {dim} not divisible by n_sub {n_sub}"
+        )
+    codebooks = _pq_train(train, n_sub=n_sub, n_cent=n_centroids)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    dsub = dim // n_sub
+
+    def encode(batches):
+        cbs = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = np.array([list(v) for v in batch["n_emb"]], dtype=np.float64)
+            codes = np.stack(
+                [
+                    ((x[:, m * dsub:(m + 1) * dsub][:, None, :]
+                      - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                    for m in range(n_sub)
+                ],
+                axis=1,
+            ).astype(np.int16)
+            yield pd.DataFrame(
+                {"n_id": batch["n_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return {
+        "codes": corpus.mapInPandas(encode, schema="n_id long, codes array<smallint>"),
+        "params": {
+            "n_sub": n_sub,
+            "n_centroids": n_centroids,
+            "dim": dim,
+            "train_cap": train_cap,
+            "codebooks": [[list(map(float, c)) for c in book] for book in codebooks],
+        },
+    }
+
+
+def save_pq_index(index: dict, path: str) -> None:
+    """Persist a :func:`pq_index` (codes parquet + one-row params
+    parquet embedding the codebooks). On a real deployment the codes
+    relation would be written bucketed by n_id for co-located rerank
+    joins; plain parquet keeps this filesystem-agnostic."""
+    import json
+
+    spark = index["codes"].sparkSession
+    index["codes"].write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(json.dumps(index["params"]),)], "params string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_pq_index(spark, path: str) -> dict:
+    """Load a persisted PQ index; the embedded codebooks and geometry
+    come back with it, so ``pq_search``'s dimension guard protects
+    loaded indexes exactly like fresh ones."""
+    import json
+
+    return {
+        "codes": spark.read.parquet(f"{path}/codes"),
+        "params": json.loads(
+            spark.read.parquet(f"{path}/params").collect()[0]["params"]
+        ),
+    }
+
+
+def pq_search(
+    index: dict,
+    queries: DataFrame,
+    emb_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    rerank: int = 64,
+    corpus: DataFrame | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Answer top-k against a prebuilt :func:`pq_index` by scanning
+    CODES, never corpus floats.
+
+    Without ``corpus``: compressed-only ranking — returns (q_id,
+    neighbor_id, rk, adc_d2) where adc_d2 is the ADC approximation of
+    squared euclidean. Recall then depends on code RESOLUTION relative
+    to the data's neighbor distances: coarse codes tie whole clusters
+    at one ADC distance and the cut inside the tie is arbitrary
+    (measured on the 8-bundle clustered fixture: recall@3 0.37 at
+    n_sub=8/16 centroids → 0.67 at 16/16 → 0.93 at 16/32; ~0.4 on the
+    structureless sf fixture at any resolution). Build the index with
+    finer codebooks for compressed-only serving, or pass ``corpus``
+    for exact rerank at default resolution (measured 1.0). With
+    ``corpus`` (the original (id, embedding) relation): the shortlist
+    joins back to the floats and d² is computed exactly JVM-side
+    (fused zip_with/aggregate, whole-stage codegen) — returns (q_id,
+    neighbor_id, rk, d2) with pq_ann_join-grade precision while the
+    scan cost stays on the 8-byte codes.
+
+    Query handling mirrors the two-regime p07 design: bounded query
+    sets (≤1024) broadcast their ADC tables over one narrow scan of
+    the codes; larger sets cogroup query-blocks × code-blocks (codes
+    are ~24 B/row, so the grid replication ships no floats)."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analytics_cse545_spark.operators.projection import (
+        PQ_CORPUS_BLOCKS,
+        PQ_QUERIES_PER_BLOCK,
+        _pq_adc_codes_kernel,
+        _pq_dtab,
+    )
+
+    params = index["params"]
+    codebooks = np.array(params["codebooks"], dtype=np.float64)
+    codes_df = index["codes"]
+    spark = codes_df.sparkSession
+    queries = queries.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    dcol = "d2" if corpus is not None else "adc_d2"
+    out_schema = f"q_id long, neighbor_id long, rk long, {dcol} double"
+    probe = queries.limit(PQ_QUERIES_PER_BLOCK + 1).collect()
+    if not probe:
+        return spark.createDataFrame([], out_schema)
+    if len(probe[0]["q_emb"]) != params["dim"]:
+        raise ValueError(
+            f"pq_search: query dim {len(probe[0]['q_emb'])} != index dim "
+            f"{params['dim']}"
+        )
+    # shortlist mode when an exact rerank follows; direct ADC top-k
+    # otherwise
+    kernel_topk = None if corpus is not None else k
+    cols = ["q_id", "neighbor_id", "adc"]
+    cand_schema = "q_id long, neighbor_id long, adc double"
+
+    if len(probe) <= PQ_QUERIES_PER_BLOCK:
+        q_ids = np.array([r["q_id"] for r in probe])
+        q_mat = np.array([r["q_emb"] for r in probe], dtype=np.float64)
+        bc = spark.sparkContext.broadcast(
+            (q_ids, _pq_dtab(q_mat, codebooks))
+        )
+
+        def scan(batches):
+            qids, dtab = bc.value
+            for batch in batches:
+                if not len(batch):
+                    continue
+                nids = batch["n_id"].to_numpy()
+                c = np.array([list(v) for v in batch["codes"]], dtype=np.int64)
+                res = _pq_adc_codes_kernel(
+                    dtab, qids, nids, c, rerank,
+                    topk=kernel_topk, exclude_self=exclude_self,
+                )
+                if res is not None:
+                    yield pd.DataFrame(dict(zip(cols, res)))
+
+        candidates = codes_df.mapInPandas(scan, schema=cand_schema)
+    else:
+        bc = spark.sparkContext.broadcast(codebooks)
+        nq = queries.count()
+        nqb = -(-nq // PQ_QUERIES_PER_BLOCK)
+
+        def gridded(df: DataFrame, blk_col: str, n_blocks: int, key: str) -> DataFrame:
+            grid = spark.createDataFrame(
+                [(i, j) for i in range(nqb) for j in range(PQ_CORPUS_BLOCKS)],
+                "qb int, cb int",
+            )
+            return (
+                df.withColumn("_blk", F.pmod(F.hash(F.col(blk_col)), F.lit(n_blocks)))
+                .join(F.broadcast(grid), F.col("_blk") == F.col(key))
+                .drop("_blk")
+            )
+
+        q_side = gridded(queries, "q_id", nqb, "qb")
+        c_side = gridded(codes_df, "n_id", PQ_CORPUS_BLOCKS, "cb")
+
+        def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({c: [] for c in cols}).astype(
+                {"q_id": "int64", "neighbor_id": "int64", "adc": "float64"}
+            )
+            if not len(qpdf) or not len(cpdf):
+                return empty
+            cbs = bc.value
+            qids = qpdf["q_id"].to_numpy()
+            qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
+            nids = cpdf["n_id"].to_numpy()
+            c = np.array([list(v) for v in cpdf["codes"]], dtype=np.int64)
+            res = _pq_adc_codes_kernel(
+                _pq_dtab(qmat, cbs), qids, nids, c, rerank,
+                topk=kernel_topk, exclude_self=exclude_self,
+            )
+            return empty if res is None else pd.DataFrame(dict(zip(cols, res)))
+
+        candidates = (
+            q_side.groupBy("qb", "cb")
+            .cogroup(c_side.groupBy("qb", "cb"))
+            .applyInPandas(cell, schema=cand_schema)
+        )
+
+    if corpus is not None:
+        # exact rerank JVM-side: shortlist ids join back to the floats,
+        # d² fused into codegen'd zip_with/aggregate
+        nv = corpus.filter(F.col(emb_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("n_emb")
+        )
+        qv = queries.select(F.col("q_id"), F.col("q_emb"))
+        d2 = F.aggregate(
+            F.zip_with(
+                "q_emb",
+                "n_emb",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            candidates.select("q_id", "neighbor_id")
+            .join(qv, "q_id")
+            .join(nv, "neighbor_id")
+            .select("q_id", "neighbor_id", d2.alias(dcol))
+        )
+    else:
+        scored = candidates.select(
+            "q_id", "neighbor_id", F.col("adc").alias(dcol)
+        )
+    w = Window.partitionBy("q_id").orderBy(dcol, "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.round(dcol, 4).alias(dcol),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     emb_col: str,

@@ -652,6 +652,60 @@ def _pq_dtab(qmat, cbs):
     )
 
 
+def _pq_adc_codes_kernel(
+    dtab, qids, nids, codes, rerank, *, topk=None, exclude_self=True
+):
+    """Codes-relation variant of :func:`_pq_adc_topk_kernel` for
+    pre-encoded indexes (api.pq_index / pq_search): the corpus slice
+    arrives as PQ CODES, so the kernel never touches floats — it
+    ADC-scores via table lookups and applies the same hash-spread
+    tie-inclusive shortlist cut.
+
+    ``topk=None`` returns the whole shortlist as (q_id, n_id, adc)
+    triples (for an exact-rerank join downstream); ``topk=k`` returns
+    the per-task ADC top-k directly (compressed-only ranking — the
+    global ADC top-k is always inside the shortlist because every
+    globally-top row is top-k within its own sub-block)."""
+    import numpy as np
+
+    n_sub = codes.shape[1]
+    adc = np.zeros((len(qids), len(nids)))
+    for m in range(n_sub):
+        adc += dtab[:, m, :][:, codes[:, m]]
+    if exclude_self:
+        adc[qids[:, None] == nids[None, :]] = np.inf
+    blk = (
+        (nids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        >> np.uint64(52)
+    ) % np.uint64(PQ_CORPUS_BLOCKS)
+    keep_mask = np.zeros_like(adc, dtype=bool)
+    for b in np.unique(blk):
+        cols = np.nonzero(blk == b)[0]
+        r_b = min(rerank, len(cols))
+        sub = adc[:, cols]
+        th = np.partition(sub, r_b - 1, axis=1)[:, r_b - 1 : r_b]
+        keep_mask[:, cols] = sub <= th  # tie-inclusive, order-free
+    keep_mask &= np.isfinite(adc)
+    out_q, out_n, out_d = [], [], []
+    for qi in range(len(qids)):
+        keep = np.nonzero(keep_mask[qi])[0]
+        if not len(keep):
+            continue
+        if topk is not None:
+            order = np.lexsort((nids[keep], adc[qi, keep]))[:topk]
+            keep = keep[order]
+        out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
+        out_n.append(nids[keep])
+        out_d.append(adc[qi, keep])
+    if not out_q:
+        return None
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_n),
+        np.concatenate(out_d),
+    )
+
+
 def p07_pq_ann(
     spark: SparkSession, sf_dir: str, *, rerank: int = PQ_RERANK
 ) -> DataFrame:

@@ -287,6 +287,92 @@ def test_ivf_pq_join_recall_on_clustered_data(spark):
     )
 
 
+def test_pq_index_search_rerank_recall_and_roundtrip(spark, sf_correctness, tmp_path):
+    """pq_index/pq_search: encode-once-search-many. With the corpus
+    supplied for exact rerank, recall matches pq_ann_join grade (≥0.9
+    measured 1.0); a saved+loaded index answers identically to the
+    fresh one; query-dim mismatch is refused."""
+    import numpy as np
+
+    import pytest
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    idx = api.pq_index(e, "embedding", "vec_id")
+    got = api.pq_search(idx, q, "embedding", "vec_id", k=3, corpus=e).toPandas()
+    assert list(got.columns) == ["q_id", "neighbor_id", "rk", "d2"]
+    rows = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = tot = 0
+    for qi in np.where(ids % similarity.QUERY_MOD == 0)[0]:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:3]])
+        sub = got[got.q_id == ids[qi]]
+        assert ids[qi] not in set(sub.neighbor_id)
+        hits += len(exact & set(sub.neighbor_id))
+        tot += 3
+    assert hits / tot >= 0.9, f"rerank recall@3 = {hits}/{tot}"
+
+    d = str(tmp_path / "pq_index")
+    api.save_pq_index(idx, d)
+    idx2 = api.load_pq_index(spark, d)
+    assert idx2["params"]["n_sub"] == idx["params"]["n_sub"]
+    again = api.pq_search(idx2, q, "embedding", "vec_id", k=3, corpus=e).toPandas()
+    key = ["q_id", "rk"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    ), "a loaded index must answer identically to the fresh one"
+
+    bad_q = q.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="query dim"):
+        api.pq_search(idx2, bad_q, "embedding", "vec_id", k=3).collect()
+
+
+def test_pq_search_compressed_only_on_clustered_data(spark):
+    """Without the corpus, pq_search ranks by ADC distance alone (the
+    codes ARE the index — no float reads at all). On data with real
+    cluster structure the compressed ranking recovers the true
+    neighborhood; on structureless data quantization error dominates
+    (measured 0.4 on the random sf fixture — use corpus= rerank
+    there), so the gate lives on the clustered fixture. Resolution is
+    the knob: with coarse codes every same-cluster member ties at the
+    same ADC distance and the top-k is arbitrary within the cluster
+    (measured 0.37 at n_sub=8/16 centroids on this fixture, 0.67 at
+    16/16, 0.93 at 16/32 — compressed-only ranking needs finer
+    codebooks than rerank mode, which hits 1.0 at the defaults)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + 0.1 * rng.normal(size=16)
+        rows.append((i, [float(t) for t in v]))
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = df.filter(F.col("id") % 40 == 0)
+    idx = api.pq_index(df, "emb", "id", n_sub=16, n_centroids=32)
+    got = api.pq_search(idx, q, "emb", "id", k=3).toPandas()
+    assert list(got.columns) == ["q_id", "neighbor_id", "rk", "adc_d2"]
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows])
+    hits = tot = 0
+    for qi in np.where(ids % 40 == 0)[0]:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:3]])
+        sub = got[got.q_id == ids[qi]]
+        assert ids[qi] not in set(sub.neighbor_id)
+        assert list(sub.sort_values("rk").adc_d2) == sorted(sub.adc_d2)
+        hits += len(exact & set(sub.neighbor_id))
+        tot += 3
+    assert hits / tot >= 0.7, f"compressed-only recall@3 = {hits}/{tot}"
+
+
 def test_embedding_near_dup_pairs_matches_operator(spark, sf_correctness):
     e = load_table(spark, sf_correctness, "embeddings")
     got = {
