@@ -823,13 +823,17 @@ def ivf_pq_join(
     )
 
     # coarse cells on RAW vectors (euclidean geometry matches the PQ/
-    # rerank metric, unlike ivf_join's spherical-cosine normalization)
+    # rerank metric, unlike ivf_join's spherical-cosine normalization).
+    # A corpus smaller than n_cells would fail the KMeans fit; the
+    # train sample's size bounds the true count from below whenever it
+    # is under the cap, so clamping against it is exact for small
+    # corpora and a no-op for large ones.
     c_vec = corpus.withColumn(
         "_v", array_to_vector(F.col("n_emb").cast("array<double>"))
     )
     km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_v",
-        predictionCol="_cell",
+        k=min(n_cells, len(train_rows)), seed=seed, maxIter=max_iter,
+        featuresCol="_v", predictionCol="_cell",
     ).fit(c_vec)
     centers = [list(map(float, ctr)) for ctr in km.clusterCenters()]
     c_side = km.transform(c_vec).select("_cell", "n_id", "n_emb")

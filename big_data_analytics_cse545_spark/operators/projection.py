@@ -548,6 +548,10 @@ def _pq_train(train, n_sub=PQ_M, n_cent=PQ_K, iters=PQ_ITERS):
     import numpy as np
 
     dsub = train.shape[1] // n_sub
+    # fewer training rows than centroids (tiny corpus / tail partition):
+    # clamp — every downstream consumer reads the centroid count from
+    # the codebook shape, and codes stay in range by construction
+    n_cent = min(n_cent, len(train))
     codebooks = np.zeros((n_sub, n_cent, dsub))
     for m in range(n_sub):
         x = train[:, m * dsub:(m + 1) * dsub]

@@ -373,6 +373,30 @@ def test_pq_search_compressed_only_on_clustered_data(spark):
     assert hits / tot >= 0.7, f"compressed-only recall@3 = {hits}/{tot}"
 
 
+def test_pq_and_ivfpq_degenerate_inputs(spark, sf_correctness):
+    """Production states the fixtures never show: a corpus smaller than
+    n_cells (IVF-PQ must clamp the KMeans k, not crash), an empty query
+    set (empty result, right schema), and an all-null-embedding corpus
+    (pq_index refuses with a clear error)."""
+    import pytest
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    tiny = e.limit(5)
+    out = api.ivf_pq_join(tiny, tiny, "embedding", "vec_id", k=2, n_cells=16)
+    assert out.count() > 0  # 5 rows, 2 neighbors each minus ranks cutoff
+
+    no_q = e.filter(F.col("vec_id") < 0)
+    idx = api.pq_index(e, "embedding", "vec_id")
+    empty = api.pq_search(idx, no_q, "embedding", "vec_id", k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["q_id", "neighbor_id", "rk", "adc_d2"]
+    assert api.ivf_pq_join(no_q, e, "embedding", "vec_id", k=3).count() == 0
+
+    nulls = e.withColumn("embedding", F.lit(None).cast("array<float>"))
+    with pytest.raises(ValueError, match="no non-null embeddings"):
+        api.pq_index(nulls, "embedding", "vec_id")
+
+
 def test_embedding_near_dup_pairs_matches_operator(spark, sf_correctness):
     e = load_table(spark, sf_correctness, "embeddings")
     got = {
