@@ -793,10 +793,12 @@ def ivf_pq_join(
 
     from big_data_analytics_cse545_spark.operators.projection import (
         _pq_adc_topk_kernel,
+        _pq_cell_fn,
         _pq_dtab,
         _pq_train,
     )
 
+    rerank = max(rerank, k)  # shortlist must be ≥ k deep per pool
     spark = corpus.sparkSession
     corpus = corpus.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
@@ -824,15 +826,20 @@ def ivf_pq_join(
 
     # coarse cells on RAW vectors (euclidean geometry matches the PQ/
     # rerank metric, unlike ivf_join's spherical-cosine normalization).
-    # A corpus smaller than n_cells would fail the KMeans fit; the
-    # train sample's size bounds the true count from below whenever it
-    # is under the cap, so clamping against it is exact for small
-    # corpora and a no-op for large ones.
+    # A corpus smaller than n_cells would fail the KMeans fit. When the
+    # train sample is under its cap its length IS the corpus count, so
+    # the clamp is exact and free; only when the sample hit the cap AND
+    # the caller asked for more cells than the cap does deciding need a
+    # real count — never a silent clamp to the unrelated train_cap.
+    if n_cells > len(train_rows):
+        n_cells = min(n_cells, corpus.count()) if len(
+            train_rows
+        ) == train_cap else len(train_rows)
     c_vec = corpus.withColumn(
         "_v", array_to_vector(F.col("n_emb").cast("array<double>"))
     )
     km = KMeans(
-        k=min(n_cells, len(train_rows)), seed=seed, maxIter=max_iter,
+        k=n_cells, seed=seed, maxIter=max_iter,
         featuresCol="_v", predictionCol="_cell",
     ).fit(c_vec)
     centers = [list(map(float, ctr)) for ctr in km.clusterCenters()]
@@ -863,27 +870,28 @@ def ivf_pq_join(
 
     cols = ["q_id", "neighbor_id", "d2"]
 
-    def cell_task(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({c: [] for c in cols}).astype(
-            {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"}
-        )
-        if not len(qpdf) or not len(cpdf):
-            return empty
+    def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
         cbs = bc.value
         qids = qpdf["q_id"].to_numpy()
         qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
         nids = cpdf["n_id"].to_numpy()
         x = np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64)
-        res = _pq_adc_topk_kernel(
+        return _pq_adc_topk_kernel(
             cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank,
             topk=k, exclude_self=exclude_self,
         )
-        return empty if res is None else pd.DataFrame(dict(zip(cols, res)))
 
     candidates = (
         q_side.groupBy("_cell")
         .cogroup(c_side.groupBy("_cell"))
-        .applyInPandas(cell_task, schema="q_id long, neighbor_id long, d2 double")
+        .applyInPandas(
+            _pq_cell_fn(
+                kernel,
+                cols,
+                {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"},
+            ),
+            schema="q_id long, neighbor_id long, d2 double",
+        )
     )
     w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
     return (
@@ -970,7 +978,10 @@ def pq_index(
         "codes": corpus.mapInPandas(encode, schema="n_id long, codes array<smallint>"),
         "params": {
             "n_sub": n_sub,
-            "n_centroids": n_centroids,
+            # record the EFFECTIVE centroid count — _pq_train clamps to
+            # the training-sample size on tiny corpora, and persisted
+            # metadata must agree with the embedded codebooks
+            "n_centroids": int(codebooks.shape[1]),
             "dim": dim,
             "train_cap": train_cap,
             "codebooks": [[list(map(float, c)) for c in book] for book in codebooks],
@@ -1044,12 +1055,14 @@ def pq_search(
     import pandas as pd
 
     from big_data_analytics_cse545_spark.operators.projection import (
-        PQ_CORPUS_BLOCKS,
         PQ_QUERIES_PER_BLOCK,
         _pq_adc_codes_kernel,
+        _pq_cell_fn,
         _pq_dtab,
+        _pq_grid_cogroup,
     )
 
+    rerank = max(rerank, k)  # shortlist must be ≥ k deep per pool
     params = index["params"]
     codebooks = np.array(params["codebooks"], dtype=np.float64)
     codes_df = index["codes"]
@@ -1097,44 +1110,29 @@ def pq_search(
         candidates = codes_df.mapInPandas(scan, schema=cand_schema)
     else:
         bc = spark.sparkContext.broadcast(codebooks)
-        nq = queries.count()
-        nqb = -(-nq // PQ_QUERIES_PER_BLOCK)
 
-        def gridded(df: DataFrame, blk_col: str, n_blocks: int, key: str) -> DataFrame:
-            grid = spark.createDataFrame(
-                [(i, j) for i in range(nqb) for j in range(PQ_CORPUS_BLOCKS)],
-                "qb int, cb int",
-            )
-            return (
-                df.withColumn("_blk", F.pmod(F.hash(F.col(blk_col)), F.lit(n_blocks)))
-                .join(F.broadcast(grid), F.col("_blk") == F.col(key))
-                .drop("_blk")
-            )
-
-        q_side = gridded(queries, "q_id", nqb, "qb")
-        c_side = gridded(codes_df, "n_id", PQ_CORPUS_BLOCKS, "cb")
-
-        def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({c: [] for c in cols}).astype(
-                {"q_id": "int64", "neighbor_id": "int64", "adc": "float64"}
-            )
-            if not len(qpdf) or not len(cpdf):
-                return empty
+        def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
             cbs = bc.value
             qids = qpdf["q_id"].to_numpy()
             qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
             nids = cpdf["n_id"].to_numpy()
             c = np.array([list(v) for v in cpdf["codes"]], dtype=np.int64)
-            res = _pq_adc_codes_kernel(
+            return _pq_adc_codes_kernel(
                 _pq_dtab(qmat, cbs), qids, nids, c, rerank,
                 topk=kernel_topk, exclude_self=exclude_self,
             )
-            return empty if res is None else pd.DataFrame(dict(zip(cols, res)))
 
-        candidates = (
-            q_side.groupBy("qb", "cb")
-            .cogroup(c_side.groupBy("qb", "cb"))
-            .applyInPandas(cell, schema=cand_schema)
+        candidates = _pq_grid_cogroup(
+            queries,
+            codes_df,
+            queries.count(),
+            codes_df.count(),
+            _pq_cell_fn(
+                kernel,
+                cols,
+                {"q_id": "int64", "neighbor_id": "int64", "adc": "float64"},
+            ),
+            cand_schema,
         )
 
     if corpus is not None:

@@ -112,27 +112,36 @@ def _m01_fixture_dir(sf_dir: str) -> str:
 
     from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
 
-    ids = (
-        pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
-        )
-        .column("vec_id")
-        .to_pylist()
-    )
+    # digest memo: images_df builds a plan many times per session, and
+    # re-reading every vec_id just to recompute an unchanged cache key
+    # is O(N) driver work per plan build — key the memo on the parquet
+    # file's identity (path, mtime, size) so the hit path is O(1)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stat_key = (os.path.abspath(src), os.path.getmtime(src), os.path.getsize(src))
+    cached = _M01_DIGEST_MEMO.get(stat_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+
+    ids = [int(i) for i in pq.read_table(src, columns=["vec_id"]).column("vec_id").to_pylist()]
 
     def write(tmp: str) -> None:
         for i in ids:
-            with open(os.path.join(tmp, f"img{int(i)}.tif"), "wb") as f:
-                f.write(_tiff_image_bytes(int(i)))
+            with open(os.path.join(tmp, f"img{i}.tif"), "wb") as f:
+                f.write(_tiff_image_bytes(i))
 
     # key by corpus basename AND the id-set digest: two corpora sharing
     # a directory basename (tmp_path twins, chaos rewrites) must never
     # share a fixture
     tag = os.path.basename(os.path.normpath(sf_dir))
     digest = hashlib.md5(
-        ",".join(str(int(i)) for i in sorted(ids)).encode()
+        ",".join(str(i) for i in sorted(ids)).encode()
     ).hexdigest()[:10]
-    return ensure_fixture_dir(f"spark_graft_m01_tifs_{tag}_{digest}_v1", write)
+    d = ensure_fixture_dir(f"spark_graft_m01_tifs_{tag}_{digest}_v1", write)
+    _M01_DIGEST_MEMO[stat_key] = d
+    return d
+
+
+_M01_DIGEST_MEMO: dict = {}
 
 
 def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,9 +165,12 @@ def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8)
     )
     return raw.select(
+        # sign-aware: a corpus with negative vec_ids writes img-5.tif,
+        # and an unsigned pattern would collapse every such file to the
+        # duplicate img_id 'img'
         F.concat(
             F.lit("img"),
-            F.regexp_extract(F.col("path"), r"img(\d+)\.tif$", 1),
+            F.regexp_extract(F.col("path"), r"img(-?\d+)\.tif$", 1),
         ).alias("img_id"),
         "content",
         F.lit(W).alias("width"),

@@ -534,9 +534,20 @@ PQ_RERANK = 64
 # block's float matrix + its M×K ADC tables) to a constant regardless
 # of corpus size; the number of query blocks scales as ceil(nq / this).
 PQ_QUERIES_PER_BLOCK = 1024
-# Corpus-code blocks per query block. Each (qblock, cblock) task ADC-
-# scans one 1/NCB slice of the 8-byte code relation.
+# Corpus blocks for the distributed regime's cogroup, and the sub-block
+# count for the in-kernel hash-spread shortlist. The cogroup block
+# COUNT scales with the corpus (ceil(N / PQ_CORPUS_ROWS_PER_BLOCK),
+# floored at this) so a cell's pandas materialization stays bounded;
+# 32 is also the fixed sub-block fan-out of the shortlist cut.
 PQ_CORPUS_BLOCKS = 32
+# Max corpus rows per cogroup cell (~70 MB of 64-dim float64 + ids per
+# cell). Bounds what applyInPandas materializes per task; the ADC
+# matrix is bounded separately by PQ_KERNEL_CHUNK.
+PQ_CORPUS_ROWS_PER_BLOCK = 262_144
+# Corpus rows scored per kernel invocation inside a cell — bounds the
+# nq_block × chunk ADC matrix (1024 × 8192 doubles ≈ 64 MB) no matter
+# how large the cell is; the window merge makes per-chunk top-k safe.
+PQ_KERNEL_CHUNK = 8192
 
 
 def _pq_train(train, n_sub=PQ_M, n_cent=PQ_K, iters=PQ_ITERS):
@@ -710,6 +721,70 @@ def _pq_adc_codes_kernel(
     )
 
 
+def _pq_cell_fn(kernel, cols, dtypes, chunk=PQ_KERNEL_CHUNK):
+    """Wrap a per-chunk numpy kernel into an applyInPandas cell
+    function: empty-frame safe, and the corpus side is processed in
+    ``chunk``-row slices so the nq×chunk ADC matrix stays bounded no
+    matter how large the cogroup cell is (per-chunk top-k is safe —
+    the global window merge selects across chunks exactly as it
+    selects across cells)."""
+    import pandas as pd
+
+    def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: [] for c in cols}).astype(dtypes)
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        outs = []
+        for s in range(0, len(cpdf), chunk):
+            res = kernel(qpdf, cpdf.iloc[s:s + chunk])
+            if res is not None:
+                outs.append(pd.DataFrame(dict(zip(cols, res))))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return cell
+
+
+def _pq_grid_cogroup(
+    q_df: DataFrame,
+    c_df: DataFrame,
+    nq: int,
+    n_corpus: int,
+    cell_fn,
+    out_schema: str,
+) -> DataFrame:
+    """The distributed-regime shard shared by pq_topk_join /
+    api.pq_search / api.ivf-style callers: queries hash-block into
+    NQB = ⌈nq/PQ_QUERIES_PER_BLOCK⌉ blocks (bounded per-task query
+    memory) and the corpus into
+    NCB = max(PQ_CORPUS_BLOCKS, ⌈N/PQ_CORPUS_ROWS_PER_BLOCK⌉) blocks
+    (bounded per-cell pandas materialization — NCB grows WITH the
+    corpus, so cell size never does), replicated across a broadcast
+    NQB×NCB grid (fresh per side, the d05 precedent that keeps cogroup
+    clear of the ambiguous-self-join check) and cogrouped on (qb, cb).
+    ``q_df`` must carry ``q_id`` and ``c_df`` ``n_id``; payload columns
+    ride along untouched."""
+    spark = q_df.sparkSession
+    nqb = max(1, -(-nq // PQ_QUERIES_PER_BLOCK))
+    ncb = max(PQ_CORPUS_BLOCKS, -(-n_corpus // PQ_CORPUS_ROWS_PER_BLOCK))
+
+    def gridded(df: DataFrame, blk_col: str, n_blocks: int, key: str) -> DataFrame:
+        grid = spark.createDataFrame(
+            [(i, j) for i in range(nqb) for j in range(ncb)], "qb int, cb int"
+        )
+        return (
+            df.withColumn("_blk", F.pmod(F.hash(F.col(blk_col)), F.lit(n_blocks)))
+            .join(F.broadcast(grid), F.col("_blk") == F.col(key))
+            .drop("_blk")
+        )
+
+    return (
+        gridded(q_df, "q_id", nqb, "qb")
+        .groupBy("qb", "cb")
+        .cogroup(gridded(c_df, "n_id", ncb, "cb").groupBy("qb", "cb"))
+        .applyInPandas(cell_fn, schema=out_schema)
+    )
+
+
 def p07_pq_ann(
     spark: SparkSession, sf_dir: str, *, rerank: int = PQ_RERANK
 ) -> DataFrame:
@@ -818,6 +893,9 @@ def pq_topk_join(
 
     from pyspark.sql.window import Window
 
+    # the shortlist must be at least k deep per pool, or true top-k
+    # members silently fall off before the exact rerank
+    rerank = max(rerank, k)
     spark = corpus.sparkSession
     corpus = corpus.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
@@ -876,49 +954,32 @@ def pq_topk_join(
         candidates = corpus.mapInPandas(scan, schema=cand_schema)
     else:
         # ---- distributed regime: query blocks × corpus blocks cogroup
+        # (two extra scans — nq and N — only in this rare regime; the
+        # common bounded path pays exactly one probe job)
         bc = spark.sparkContext.broadcast(codebooks)
-        nq = queries.count()
-        nqb = -(-nq // PQ_QUERIES_PER_BLOCK)  # ceil div
 
-        def gridded(df: DataFrame, blk_col: str, n_blocks: int, key: str) -> DataFrame:
-            # Fresh grid per side (d05 precedent: independent lineage
-            # keeps cogroup clear of the ambiguous-self-join check).
-            # Joining the broadcast grid on one axis replicates the side
-            # across the OTHER axis's blocks.
-            grid = spark.createDataFrame(
-                [(i, j) for i in range(nqb) for j in range(PQ_CORPUS_BLOCKS)],
-                "qb int, cb int",
-            )
-            return (
-                df.withColumn("_blk", F.pmod(F.hash(F.col(blk_col)), F.lit(n_blocks)))
-                .join(F.broadcast(grid), F.col("_blk") == F.col(key))
-                .drop("_blk")
-            )
-
-        q_side = gridded(queries, "q_id", nqb, "qb")
-        c_side = gridded(corpus, "n_id", PQ_CORPUS_BLOCKS, "cb")
-
-        def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({c: [] for c in cols}).astype(
-                {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"}
-            )
-            if not len(qpdf) or not len(cpdf):
-                return empty
+        def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
             cbs = bc.value
             qids = qpdf["q_id"].to_numpy()
             qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
             nids = cpdf["n_id"].to_numpy()
             x = np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64)
-            res = _pq_adc_topk_kernel(
+            return _pq_adc_topk_kernel(
                 cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank,
                 topk=k, exclude_self=exclude_self,
             )
-            return empty if res is None else pd.DataFrame(dict(zip(cols, res)))
 
-        candidates = (
-            q_side.groupBy("qb", "cb")
-            .cogroup(c_side.groupBy("qb", "cb"))
-            .applyInPandas(cell, schema=cand_schema)
+        candidates = _pq_grid_cogroup(
+            queries,
+            corpus,
+            queries.count(),
+            corpus.count(),
+            _pq_cell_fn(
+                kernel,
+                cols,
+                {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"},
+            ),
+            cand_schema,
         )
 
     # ---- global merge: per-task top-k → window top-k (shuffle carries
