@@ -332,6 +332,43 @@ def test_pq_index_search_rerank_recall_and_roundtrip(spark, sf_correctness, tmp_
         api.pq_search(idx2, bad_q, "embedding", "vec_id", k=3).collect()
 
 
+def test_pq_search_distributed_regime(spark, sf_correctness, monkeypatch):
+    """pq_search's corpus-proportional-query regime (query blocks ×
+    code blocks via the shared grid cogroup) must meet the same rerank
+    contract as the bounded regime: recall ≥0.9 vs exact, self
+    excluded, deterministic. Forced by shrinking the regime threshold
+    below the fixture's query count."""
+    import numpy as np
+
+    from big_data_analytics_cse545_spark.operators import projection
+
+    monkeypatch.setattr(projection, "PQ_QUERIES_PER_BLOCK", 4)
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    idx = api.pq_index(e, "embedding", "vec_id")
+    got = api.pq_search(idx, q, "embedding", "vec_id", k=3, corpus=e).toPandas()
+    rows = e.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    hits = tot = 0
+    for qi in np.where(ids % similarity.QUERY_MOD == 0)[0]:
+        d2 = ((x - x[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:3]])
+        sub = got[got.q_id == ids[qi]]
+        assert ids[qi] not in set(sub.neighbor_id)
+        hits += len(exact & set(sub.neighbor_id))
+        tot += 3
+    assert hits / tot >= 0.9, f"distributed pq_search recall@3 = {hits}/{tot}"
+    again = api.pq_search(idx, q, "embedding", "vec_id", k=3, corpus=e).toPandas()
+    key = ["q_id", "rk"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
 def test_pq_search_compressed_only_on_clustered_data(spark):
     """Without the corpus, pq_search ranks by ADC distance alone (the
     codes ARE the index — no float reads at all). On data with real
