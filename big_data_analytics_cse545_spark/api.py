@@ -795,7 +795,8 @@ def ivf_pq_join(
         _pq_adc_topk_kernel,
         _pq_cell_fn,
         _pq_dtab,
-        _pq_train,
+        _pq_fit,
+        _pq_rank_tail,
     )
 
     rerank = max(rerank, k)  # shortlist must be ≥ k deep per pool
@@ -807,22 +808,13 @@ def ivf_pq_join(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
     )
     out_schema = "q_id long, neighbor_id long, rk long, d2 double"
-    train_rows = (
-        corpus.orderBy(F.md5(F.col("n_id").cast("string")), "n_id")
-        .limit(train_cap)
-        .collect()
+    codebooks, n_train = _pq_fit(
+        corpus, n_sub=n_sub, n_centroids=n_centroids,
+        train_cap=train_cap, caller="ivf_pq_join",
     )
-    if not train_rows:
+    if codebooks is None:
         return spark.createDataFrame([], out_schema)
-    train = np.array([r["n_emb"] for r in train_rows], dtype=np.float64)
-    if train.shape[1] % n_sub:
-        raise ValueError(
-            f"ivf_pq_join: embedding dim {train.shape[1]} not divisible "
-            f"by n_sub {n_sub}"
-        )
-    bc = spark.sparkContext.broadcast(
-        _pq_train(train, n_sub=n_sub, n_cent=n_centroids)
-    )
+    bc = spark.sparkContext.broadcast(codebooks)
 
     # coarse cells on RAW vectors (euclidean geometry matches the PQ/
     # rerank metric, unlike ivf_join's spherical-cosine normalization).
@@ -831,10 +823,10 @@ def ivf_pq_join(
     # the clamp is exact and free; only when the sample hit the cap AND
     # the caller asked for more cells than the cap does deciding need a
     # real count — never a silent clamp to the unrelated train_cap.
-    if n_cells > len(train_rows):
-        n_cells = min(n_cells, corpus.count()) if len(
-            train_rows
-        ) == train_cap else len(train_rows)
+    if n_cells > n_train:
+        n_cells = min(n_cells, corpus.count()) if (
+            n_train == train_cap
+        ) else n_train
     c_vec = corpus.withColumn(
         "_v", array_to_vector(F.col("n_emb").cast("array<double>"))
     )
@@ -893,17 +885,7 @@ def ivf_pq_join(
             schema="q_id long, neighbor_id long, d2 double",
         )
     )
-    w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
-    return (
-        candidates.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.col("rk").cast("long").alias("rk"),
-            F.round("d2", 4).alias("d2"),
-        )
-    )
+    return _pq_rank_tail(candidates, k)
 
 
 def pq_index(
@@ -930,52 +912,24 @@ def pq_index(
     params embeds the trained codebooks (n_sub×n_centroids×dsub doubles
     — model-sized) plus the build geometry, and ``pq_search`` refuses
     queries whose dimensionality disagrees."""
-    import numpy as np
-    import pandas as pd
-
-    from big_data_analytics_cse545_spark.operators.projection import _pq_train
+    from big_data_analytics_cse545_spark.operators.projection import (
+        _pq_encode_df,
+        _pq_fit,
+    )
 
     corpus = corpus.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
     )
-    train_rows = (
-        corpus.orderBy(F.md5(F.col("n_id").cast("string")), "n_id")
-        .limit(train_cap)
-        .collect()
+    codebooks, _ = _pq_fit(
+        corpus, n_sub=n_sub, n_centroids=n_centroids,
+        train_cap=train_cap, caller="pq_index",
     )
-    if not train_rows:
+    if codebooks is None:
         raise ValueError("pq_index: corpus has no non-null embeddings")
-    train = np.array([r["n_emb"] for r in train_rows], dtype=np.float64)
-    dim = train.shape[1]
-    if dim % n_sub:
-        raise ValueError(
-            f"pq_index: embedding dim {dim} not divisible by n_sub {n_sub}"
-        )
-    codebooks = _pq_train(train, n_sub=n_sub, n_cent=n_centroids)
-    spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(codebooks)
-    dsub = dim // n_sub
-
-    def encode(batches):
-        cbs = bc.value
-        for batch in batches:
-            if not len(batch):
-                continue
-            x = np.array([list(v) for v in batch["n_emb"]], dtype=np.float64)
-            codes = np.stack(
-                [
-                    ((x[:, m * dsub:(m + 1) * dsub][:, None, :]
-                      - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-                    for m in range(n_sub)
-                ],
-                axis=1,
-            ).astype(np.int16)
-            yield pd.DataFrame(
-                {"n_id": batch["n_id"].to_numpy(), "codes": list(codes)}
-            )
+    dim = codebooks.shape[0] * codebooks.shape[2]
 
     return {
-        "codes": corpus.mapInPandas(encode, schema="n_id long, codes array<smallint>"),
+        "codes": _pq_encode_df(corpus, codebooks),
         "params": {
             "n_sub": n_sub,
             # record the EFFECTIVE centroid count — _pq_train clamps to
@@ -1059,7 +1013,9 @@ def pq_search(
         _pq_adc_codes_kernel,
         _pq_cell_fn,
         _pq_dtab,
+        _pq_exact_rerank,
         _pq_grid_cogroup,
+        _pq_rank_tail,
     )
 
     rerank = max(rerank, k)  # shortlist must be ≥ k deep per pool
@@ -1080,11 +1036,17 @@ def pq_search(
             f"pq_search: query dim {len(probe[0]['q_emb'])} != index dim "
             f"{params['dim']}"
         )
-    # shortlist mode when an exact rerank follows; direct ADC top-k
+    # shortlist mode when an exact rerank follows (candidates carry the
+    # kernel-emitted sub-block id for the global cut); direct ADC top-k
     # otherwise
     kernel_topk = None if corpus is not None else k
     cols = ["q_id", "neighbor_id", "adc"]
     cand_schema = "q_id long, neighbor_id long, adc double"
+    dtypes = {"q_id": "int64", "neighbor_id": "int64", "adc": "float64"}
+    if kernel_topk is None:
+        cols = cols + ["blk"]
+        cand_schema += ", blk int"
+        dtypes = dict(dtypes, blk="int32")
 
     if len(probe) <= PQ_QUERIES_PER_BLOCK:
         q_ids = np.array([r["q_id"] for r in probe])
@@ -1127,52 +1089,24 @@ def pq_search(
             codes_df,
             queries.count(),
             codes_df.count(),
-            _pq_cell_fn(
-                kernel,
-                cols,
-                {"q_id": "int64", "neighbor_id": "int64", "adc": "float64"},
-            ),
+            _pq_cell_fn(kernel, cols, dtypes),
             cand_schema,
         )
 
     if corpus is not None:
-        # exact rerank JVM-side: shortlist ids join back to the floats,
-        # d² fused into codegen'd zip_with/aggregate
+        # exact rerank JVM-side: global tie-inclusive ADC cut bounds the
+        # join input to ~PQ_CORPUS_BLOCKS·rerank rows per query (the
+        # uncut union of per-task shortlists is corpus-proportional,
+        # round-6 review), then shortlist ids join back to the floats
+        # and d² fuses into codegen'd zip_with/aggregate
         nv = corpus.filter(F.col(emb_col).isNotNull()).select(
-            F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("n_emb")
+            F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
         )
-        qv = queries.select(F.col("q_id"), F.col("q_emb"))
-        d2 = F.aggregate(
-            F.zip_with(
-                "q_emb",
-                "n_emb",
-                lambda a, b: (a.cast("double") - b.cast("double"))
-                * (a.cast("double") - b.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = (
-            candidates.select("q_id", "neighbor_id")
-            .join(qv, "q_id")
-            .join(nv, "neighbor_id")
-            .select("q_id", "neighbor_id", d2.alias(dcol))
-        )
-    else:
-        scored = candidates.select(
-            "q_id", "neighbor_id", F.col("adc").alias(dcol)
-        )
-    w = Window.partitionBy("q_id").orderBy(dcol, "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.col("rk").cast("long").alias("rk"),
-            F.round(dcol, 4).alias(dcol),
-        )
+        return _pq_exact_rerank(candidates, queries, nv, k, rerank, dcol=dcol)
+    scored = candidates.select(
+        "q_id", "neighbor_id", F.col("adc").alias(dcol)
     )
+    return _pq_rank_tail(scored, k, dcol)
 
 
 def embedding_near_dup_pairs(

@@ -123,6 +123,17 @@ def _m01_fixture_dir(sf_dir: str) -> str:
         return cached
 
     ids = [int(i) for i in pq.read_table(src, columns=["vec_id"]).column("vec_id").to_pylist()]
+    # This is FIXTURE PREP, not engine work: it stands in for an image
+    # corpus that already exists on storage in any real deployment, and
+    # it writes one file per row serially on the driver. Bound it so a
+    # misuse at data scale fails loudly instead of blocking the driver
+    # for minutes and exhausting inodes (round-6 review) — the bench
+    # SFs are thousands of rows; a real corpus never goes through here.
+    if len(ids) > 250_000:
+        raise ValueError(
+            f"_m01_fixture_dir: {len(ids)} rows is data scale, not fixture "
+            "scale; point images_df at a real binaryFile directory instead"
+        )
 
     def write(tmp: str) -> None:
         for i in ids:
@@ -136,7 +147,13 @@ def _m01_fixture_dir(sf_dir: str) -> str:
     digest = hashlib.md5(
         ",".join(str(i) for i in sorted(ids)).encode()
     ).hexdigest()[:10]
-    d = ensure_fixture_dir(f"spark_graft_m01_tifs_{tag}_{digest}_v1", write)
+    # prune_prefix: a rewritten corpus under the same basename (chaos
+    # sweeps) replaces its stale-digest fixture instead of accumulating
+    d = ensure_fixture_dir(
+        f"spark_graft_m01_tifs_{tag}_{digest}_v1",
+        write,
+        prune_prefix=f"spark_graft_m01_tifs_{tag}_",
+    )
     _M01_DIGEST_MEMO[stat_key] = d
     return d
 

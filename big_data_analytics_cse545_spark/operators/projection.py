@@ -578,15 +578,44 @@ def _pq_train(train, n_sub=PQ_M, n_cent=PQ_K, iters=PQ_ITERS):
     return codebooks
 
 
-def _pq_adc_topk_kernel(
-    cbs, qids, qmat, dtab, nids, x, rerank, topk=PQ_TOPK, exclude_self=True
-):
-    """Shared per-task PQ kernel (both p07 execution regimes): encode
-    the corpus slice ``x`` against the broadcast codebooks, ADC-score
-    every (query, row) with M table lookups, shortlist, exact-rerank
-    only the shortlist in float64, and return the per-task top-PQ_TOPK
-    (query_id, neighbor_id, d2) triples with ties broken by
-    neighbor_id.
+# Fibonacci-multiplicative mix constant for the hash-spread sub-block
+# id (golden-ratio multiplier): spreads ANY id pattern (contiguous
+# cluster ids, stride-aligned ids) uniformly.
+PQ_BLK_MIX = 0x9E3779B97F4A7C15
+
+
+def _pq_blk_of(nids):
+    """Sub-block id per corpus id — a pure function of the id. Shortlist
+    kernels EMIT it with each candidate so the global cut can partition
+    on it without re-deriving the hash in SQL (the wrapping uint64
+    multiply is not ANSI-expressible — Spark 4's ANSI mode throws on
+    long overflow)."""
+    import numpy as np
+
+    return (
+        (nids.astype(np.uint64) * np.uint64(PQ_BLK_MIX)) >> np.uint64(52)
+    ) % np.uint64(PQ_CORPUS_BLOCKS)
+
+
+def _pq_encode(x, cbs):
+    """Nearest-centroid PQ codes (rows × n_sub ints) for a float
+    matrix — the one encode used by kernels and the codes relation."""
+    import numpy as np
+
+    n_sub, _, dsub = cbs.shape
+    return np.stack(
+        [
+            ((x[:, m * dsub:(m + 1) * dsub][:, None, :]
+              - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for m in range(n_sub)
+        ],
+        axis=1,
+    )
+
+
+def _pq_shortlist(dtab, qids, nids, codes, rerank, exclude_self):
+    """ADC-score every (query, row) with M table lookups and apply the
+    hash-spread tie-inclusive shortlist cut; returns (adc, keep_mask).
 
     The shortlist is taken per (query, ID-HASH SUB-BLOCK) — rows are
     mixed into PQ_CORPUS_BLOCKS sub-blocks by a multiplicative hash of
@@ -603,26 +632,12 @@ def _pq_adc_topk_kernel(
     row order within the task."""
     import numpy as np
 
-    n_sub, _, dsub = cbs.shape
-    codes = np.stack(
-        [
-            ((x[:, m * dsub:(m + 1) * dsub][:, None, :]
-              - cbs[m][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            for m in range(n_sub)
-        ],
-        axis=1,
-    )
     adc = np.zeros((len(qids), len(nids)))
-    for m in range(n_sub):
+    for m in range(codes.shape[1]):
         adc += dtab[:, m, :][:, codes[:, m]]
     if exclude_self:
         adc[qids[:, None] == nids[None, :]] = np.inf
-    # Fibonacci-multiplicative mix → sub-block id: spreads ANY id
-    # pattern (contiguous cluster ids, stride-aligned ids) uniformly.
-    blk = (
-        (nids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        >> np.uint64(52)
-    ) % np.uint64(PQ_CORPUS_BLOCKS)
+    blk = _pq_blk_of(nids)
     keep_mask = np.zeros_like(adc, dtype=bool)
     for b in np.unique(blk):
         cols = np.nonzero(blk == b)[0]
@@ -631,6 +646,21 @@ def _pq_adc_topk_kernel(
         th = np.partition(sub, r_b - 1, axis=1)[:, r_b - 1 : r_b]
         keep_mask[:, cols] = sub <= th  # tie-inclusive, order-free
     keep_mask &= np.isfinite(adc)
+    return adc, keep_mask, blk
+
+
+def _pq_adc_topk_kernel(
+    cbs, qids, qmat, dtab, nids, x, rerank, topk=PQ_TOPK, exclude_self=True
+):
+    """Shared per-task PQ kernel (float-corpus form): encode the corpus
+    slice ``x`` against the broadcast codebooks, shortlist via
+    :func:`_pq_shortlist`, exact-rerank only the shortlist in float64,
+    and return the per-task top-``topk`` (query_id, neighbor_id, d2)
+    triples with ties broken by neighbor_id."""
+    import numpy as np
+
+    codes = _pq_encode(x, cbs)
+    adc, keep_mask, _ = _pq_shortlist(dtab, qids, nids, codes, rerank, exclude_self)
     out_q, out_n, out_d = [], [], []
     for qi in range(len(qids)):
         keep = np.nonzero(keep_mask[qi])[0]
@@ -676,32 +706,20 @@ def _pq_adc_codes_kernel(
     ADC-scores via table lookups and applies the same hash-spread
     tie-inclusive shortlist cut.
 
-    ``topk=None`` returns the whole shortlist as (q_id, n_id, adc)
-    triples (for an exact-rerank join downstream); ``topk=k`` returns
-    the per-task ADC top-k directly (compressed-only ranking — the
-    global ADC top-k is always inside the shortlist because every
-    globally-top row is top-k within its own sub-block)."""
+    ``topk=None`` returns the whole shortlist as (q_id, n_id, adc, blk)
+    quadruples — blk is the candidate's hash sub-block, emitted so the
+    downstream global cut (:func:`_pq_global_cut`) can partition on it
+    without re-deriving the non-ANSI hash in SQL; ``topk=k`` returns
+    the per-task ADC top-k (q_id, n_id, adc) directly (compressed-only
+    ranking — the global ADC top-k is always inside the shortlist
+    because every globally-top row is top-k within its own
+    sub-block)."""
     import numpy as np
 
-    n_sub = codes.shape[1]
-    adc = np.zeros((len(qids), len(nids)))
-    for m in range(n_sub):
-        adc += dtab[:, m, :][:, codes[:, m]]
-    if exclude_self:
-        adc[qids[:, None] == nids[None, :]] = np.inf
-    blk = (
-        (nids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        >> np.uint64(52)
-    ) % np.uint64(PQ_CORPUS_BLOCKS)
-    keep_mask = np.zeros_like(adc, dtype=bool)
-    for b in np.unique(blk):
-        cols = np.nonzero(blk == b)[0]
-        r_b = min(rerank, len(cols))
-        sub = adc[:, cols]
-        th = np.partition(sub, r_b - 1, axis=1)[:, r_b - 1 : r_b]
-        keep_mask[:, cols] = sub <= th  # tie-inclusive, order-free
-    keep_mask &= np.isfinite(adc)
-    out_q, out_n, out_d = [], [], []
+    adc, keep_mask, blk = _pq_shortlist(
+        dtab, qids, nids, codes, rerank, exclude_self
+    )
+    out_q, out_n, out_d, out_b = [], [], [], []
     for qi in range(len(qids)):
         keep = np.nonzero(keep_mask[qi])[0]
         if not len(keep):
@@ -712,33 +730,48 @@ def _pq_adc_codes_kernel(
         out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
         out_n.append(nids[keep])
         out_d.append(adc[qi, keep])
+        out_b.append(blk[keep].astype(np.int32))
     if not out_q:
         return None
-    return (
+    res = (
         np.concatenate(out_q),
         np.concatenate(out_n),
         np.concatenate(out_d),
     )
+    return res if topk is not None else res + (np.concatenate(out_b),)
 
 
-def _pq_cell_fn(kernel, cols, dtypes, chunk=PQ_KERNEL_CHUNK):
+def _pq_cell_fn(kernel, cols, dtypes, chunk=PQ_KERNEL_CHUNK, id_col="n_id"):
     """Wrap a per-chunk numpy kernel into an applyInPandas cell
-    function: empty-frame safe, and the corpus side is processed in
-    ``chunk``-row slices so the nq×chunk ADC matrix stays bounded no
-    matter how large the cogroup cell is (per-chunk top-k is safe —
-    the global window merge selects across chunks exactly as it
-    selects across cells)."""
+    function: empty-frame safe, BOTH sides processed in bounded slices
+    so per-invocation memory never depends on cell size — the corpus in
+    ``chunk``-row slices and the queries in PQ_QUERIES_PER_BLOCK-row
+    slices (a hot cell — one IVF cell probed by a corpus-proportional
+    query set, or a skewed grid block — would otherwise build an
+    unbounded nq_cell × chunk ADC matrix; round-6 review). Per-slice
+    output is safe: each query's candidates depend only on (query,
+    corpus slice), and the global window merge selects across slices
+    exactly as it selects across cells.
+
+    The corpus is sorted by ``id_col`` before slicing: a cogrouped
+    cell's row order comes from shuffle fetch order, which is NOT
+    deterministic on a multi-executor cluster, and the shortlist cut
+    applies per chunk — sorting makes chunk membership (hence the
+    candidate set) a pure function of the data (round-6 review)."""
     import pandas as pd
 
     def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: [] for c in cols}).astype(dtypes)
         if not len(qpdf) or not len(cpdf):
             return empty
+        cpdf = cpdf.sort_values(id_col, kind="mergesort", ignore_index=True)
         outs = []
-        for s in range(0, len(cpdf), chunk):
-            res = kernel(qpdf, cpdf.iloc[s:s + chunk])
-            if res is not None:
-                outs.append(pd.DataFrame(dict(zip(cols, res))))
+        for qs in range(0, len(qpdf), PQ_QUERIES_PER_BLOCK):
+            qslice = qpdf.iloc[qs:qs + PQ_QUERIES_PER_BLOCK]
+            for s in range(0, len(cpdf), chunk):
+                res = kernel(qslice, cpdf.iloc[s:s + chunk])
+                if res is not None:
+                    outs.append(pd.DataFrame(dict(zip(cols, res))))
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     return cell
@@ -785,6 +818,143 @@ def _pq_grid_cogroup(
     )
 
 
+def _pq_fit(corpus: DataFrame, *, n_sub: int, n_centroids: int,
+            train_cap: int, caller: str):
+    """Shared codebook fit (pq_topk_join / ivf_pq_join / pq_index):
+    collect the capped hash-ordered training sample (first-N ids are
+    catastrophically biased on id-clustered corpora, SCALE.md), guard
+    the geometry, and run seeded Lloyd. ``corpus`` must already carry
+    (n_id, n_emb). Returns (codebooks, n_train) — or (None, 0) on an
+    empty corpus, which each caller maps to its own empty/raise
+    contract."""
+    import numpy as np
+
+    if not 0 < n_centroids <= 32767:
+        # the codes relation stores int16 sub-codes; a larger codebook
+        # would silently wrap to negative codes that still index the
+        # ADC tables (numpy negative indexing) — wrong neighbors with
+        # no error anywhere (round-6 review)
+        raise ValueError(
+            f"{caller}: n_centroids {n_centroids} outside 1..32767 "
+            "(codes encode as int16)"
+        )
+    train_rows = (
+        corpus.orderBy(F.md5(F.col("n_id").cast("string")), "n_id")
+        .limit(train_cap)
+        .collect()
+    )
+    if not train_rows:
+        return None, 0
+    train = np.array([r["n_emb"] for r in train_rows], dtype=np.float64)
+    if train.shape[1] % n_sub:
+        raise ValueError(
+            f"{caller}: embedding dim {train.shape[1]} not divisible "
+            f"by n_sub {n_sub}"
+        )
+    return _pq_train(train, n_sub=n_sub, n_cent=n_centroids), len(train_rows)
+
+
+def _pq_encode_df(corpus: DataFrame, codebooks) -> DataFrame:
+    """Encode (n_id, n_emb) → (n_id, codes array<smallint>) in ONE
+    narrow Arrow pass with the model-sized codebooks broadcast — the
+    encode-once relation shared by api.pq_index and pq_topk_join's
+    distributed regime (the grid then replicates ~24 B/row codes, never
+    corpus floats)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        cbs = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            x = np.array([list(v) for v in batch["n_emb"]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n_id": batch["n_id"].to_numpy(),
+                    "codes": list(_pq_encode(x, cbs).astype(np.int16)),
+                }
+            )
+
+    return corpus.mapInPandas(encode, schema="n_id long, codes array<smallint>")
+
+
+def _pq_global_cut(candidates: DataFrame, rerank: int) -> DataFrame:
+    """Tie-inclusive global shortlist cut over (q_id, neighbor_id, adc,
+    blk) candidates: within each (query, id-hash sub-block) keep the
+    ``rerank``-deep ADC prefix, ties at the boundary included (F.rank).
+    This is the kernels' own cut re-applied ACROSS tasks — without it
+    the union of per-task shortlists grows with the number of tasks
+    (~32·rerank per query PER corpus chunk), and the exact-rerank join
+    downstream touches a corpus-proportional relation (round-6 review).
+    After the cut the join input is ≤ PQ_CORPUS_BLOCKS·rerank + ADC
+    ties per query — the single-task pool depth the SCALE.md recall
+    numbers were measured at — so at fixture scale the cut keeps
+    everything and recall gates are unchanged. ``blk`` is the kernel-
+    emitted sub-block id (:func:`_pq_blk_of`), consumed here."""
+    w = Window.partitionBy("q_id", "blk").orderBy("adc")
+    return (
+        candidates.withColumn("_r", F.rank().over(w))
+        .filter(F.col("_r") <= rerank)
+        .drop("_r", "blk")
+    )
+
+
+def _pq_rank_tail(scored: DataFrame, k: int, dcol: str = "d2") -> DataFrame:
+    """Global merge shared by every PQ entry point: per-task candidates
+    → window top-k per query (two-phase exact-top-k, x05), distances
+    rounded to 4 decimals, ties broken by neighbor_id."""
+    w = Window.partitionBy("q_id").orderBy(dcol, "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.round(dcol, 4).alias(dcol),
+        )
+    )
+
+
+def _pq_exact_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    rerank: int,
+    dcol: str = "d2",
+) -> DataFrame:
+    """Exact float64 rerank of an ADC shortlist, JVM-side: global
+    tie-inclusive cut (:func:`_pq_global_cut`), then the surviving
+    (q_id, neighbor_id) pairs join back to the float relations and d²
+    is computed in codegen'd zip_with/aggregate — scan cost stays on
+    the codes, float reads are shortlist-sized."""
+    d2 = F.aggregate(
+        F.zip_with(
+            "q_emb",
+            "n_emb",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        _pq_global_cut(candidates, rerank)
+        .select("q_id", "neighbor_id")
+        .join(queries.select("q_id", "q_emb"), "q_id")
+        .join(
+            corpus.select(F.col("n_id").alias("neighbor_id"), "n_emb"),
+            "neighbor_id",
+        )
+        .select("q_id", "neighbor_id", d2.alias(dcol))
+    )
+    return _pq_rank_tail(scored, k, dcol)
+
+
 def p07_pq_ann(
     spark: SparkSession, sf_dir: str, *, rerank: int = PQ_RERANK
 ) -> DataFrame:
@@ -810,28 +980,33 @@ def p07_pq_ann(
       narrow Arrow pass: per-batch ADC scan → tie-inclusive shortlist →
       local exact rerank → per-task top-k. Zero corpus shuffle.
     * **corpus-proportional queries** — the query relation never leaves
-      the cluster: it is hash-blocked into NQB = ⌈nq/1024⌉ blocks
-      (bounded per-task memory) and cogrouped with the corpus across a
+      the cluster: the corpus is encoded ONCE into an 8-byte codes
+      relation (the api.pq_index shape), queries hash-block into
+      NQB = ⌈nq/1024⌉ blocks and cogroup with the CODES across a
       broadcast NQB×PQ_CORPUS_BLOCKS grid (the d05
-      ``blocked_cosine_pairs`` shard); each task runs the same kernel
-      on its (query-block × corpus-block) cell. The only driver values
-      are the probe and one ``count()`` scalar. An exact scan with
-      corpus-proportional queries is inherently O(nq·N) lookups — for
-      sublinear answering use the IVF path (s03, api.ann_join); this
-      regime exists so the exact scan distributes instead of dying on
-      the driver.
+      ``blocked_cosine_pairs`` shard) — the grid replicates ~24 B/row
+      codes, never corpus floats, and nothing re-encodes per query
+      block. Each cell emits its ADC shortlist; a global tie-inclusive
+      cut bounds it to ~32·rerank rows per query, and the exact float64
+      rerank is a shortlist-sized JVM join back to the float relations.
+      The only driver values are the probe and two ``count()`` scalars.
+      An exact scan with corpus-proportional queries is inherently
+      O(nq·N) lookups — for sublinear answering use the IVF path (s03,
+      api.ann_join); this regime exists so the exact scan distributes
+      instead of dying on the driver.
 
-    Both regimes share the kernel: the shortlist cut keeps every ADC
-    tie of the r-th candidate (a pure function of the scores — the cut
-    no longer depends on row order within a task, unlike the round-5
-    per-batch argsort cut, which cost clustered-corpus recall:
+    Both regimes share the shortlist semantics: the cut keeps every ADC
+    tie of the r-th candidate per id-hash sub-block (a pure function of
+    (vec_id, score) — never of row order within a task, unlike the
+    round-5 per-batch argsort cut, which cost clustered-corpus recall:
     0.46 → 1.0 at rerank 64, SCALE.md), exact float64 rerank touches
     only the shortlist, and a final window merges per-task top-k
     (two-phase exact-top-k, x05). Each regime is individually
     deterministic and meets the recall gate; like any shortlist-based
     ANN, results can differ BETWEEN regimes where a true neighbor sits
-    beyond one regime's per-task rerank depth (the cogroup's 32-block
-    pool is effectively deeper than the single-pass per-batch pool).
+    beyond one regime's effective pool depth (the bounded regime pools
+    per Arrow batch; the distributed regime pools globally after the
+    tie-inclusive cut).
 
     No oracle (k-means training is not SQL-expressible); invariants —
     code range, rank monotonicity, determinism, recall vs exact —
@@ -891,8 +1066,6 @@ def pq_topk_join(
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql.window import Window
-
     # the shortlist must be at least k deep per pool, or true top-k
     # members silently fall off before the exact rerank
     rerank = max(rerank, k)
@@ -903,23 +1076,13 @@ def pq_topk_join(
     queries = queries.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
     )
-    # Deterministic hash-ordered training sample: first-N ids are
-    # catastrophically biased on id-clustered corpora (SCALE.md).
-    train_rows = (
-        corpus.orderBy(F.md5(F.col("n_id").cast("string")), "n_id")
-        .limit(train_cap)
-        .collect()
-    )
     out_schema = "q_id long, neighbor_id long, rk long, d2 double"
-    if not train_rows:
+    codebooks, _ = _pq_fit(
+        corpus, n_sub=n_sub, n_centroids=n_centroids,
+        train_cap=train_cap, caller="pq_topk_join",
+    )
+    if codebooks is None:
         return spark.createDataFrame([], out_schema)
-    train = np.array([r["n_emb"] for r in train_rows], dtype=np.float64)
-    dim = train.shape[1]
-    if dim % n_sub:
-        raise ValueError(
-            f"pq_topk_join: embedding dim {dim} not divisible by n_sub {n_sub}"
-        )
-    codebooks = _pq_train(train, n_sub=n_sub, n_cent=n_centroids)
 
     # One bounded probe decides the regime AND (when small) delivers the
     # query rows — never an unguarded corpus-proportional collect.
@@ -952,49 +1115,48 @@ def pq_topk_join(
                     yield pd.DataFrame(dict(zip(cols, res)))
 
         candidates = corpus.mapInPandas(scan, schema=cand_schema)
-    else:
-        # ---- distributed regime: query blocks × corpus blocks cogroup
-        # (two extra scans — nq and N — only in this rare regime; the
-        # common bounded path pays exactly one probe job)
-        bc = spark.sparkContext.broadcast(codebooks)
+        # global merge: per-task top-k → window top-k (shuffle carries
+        # ≤ tasks × queries × k rows, never the corpus)
+        return _pq_rank_tail(candidates, k)
 
-        def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
-            cbs = bc.value
-            qids = qpdf["q_id"].to_numpy()
-            qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
-            nids = cpdf["n_id"].to_numpy()
-            x = np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64)
-            return _pq_adc_topk_kernel(
-                cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank,
-                topk=k, exclude_self=exclude_self,
-            )
+    # ---- distributed regime: encode ONCE to a codes relation (the
+    # pq_index shape), grid-cogroup the ~24 B/row CODES with query
+    # blocks, then global tie-inclusive ADC cut + JVM exact rerank.
+    # Corpus floats never replicate across the grid — the previous
+    # shape cogrouped floats directly, which shipped them ×NQB and
+    # re-encoded every corpus block once per query block (round-6
+    # review); now floats are touched exactly twice: one narrow encode
+    # pass and the final shortlist-sized rerank join. (Two extra scans
+    # — nq and N counts — only in this rare regime; the common bounded
+    # path pays exactly one probe job.)
+    codes_df = _pq_encode_df(corpus, codebooks)
+    bc = spark.sparkContext.broadcast(codebooks)
 
-        candidates = _pq_grid_cogroup(
-            queries,
-            corpus,
-            queries.count(),
-            corpus.count(),
-            _pq_cell_fn(
-                kernel,
-                cols,
-                {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"},
-            ),
-            cand_schema,
+    def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+        cbs = bc.value
+        qids = qpdf["q_id"].to_numpy()
+        qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
+        nids = cpdf["n_id"].to_numpy()
+        c = np.array([list(v) for v in cpdf["codes"]], dtype=np.int64)
+        return _pq_adc_codes_kernel(
+            _pq_dtab(qmat, cbs), qids, nids, c, rerank,
+            topk=None, exclude_self=exclude_self,
         )
 
-    # ---- global merge: per-task top-k → window top-k (shuffle carries
-    # ≤ tasks × queries × k rows, never the corpus)
-    w = Window.partitionBy("q_id").orderBy("d2", "neighbor_id")
-    return (
-        candidates.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.col("rk").cast("long").alias("rk"),
-            F.round("d2", 4).alias("d2"),
-        )
+    shortlist = _pq_grid_cogroup(
+        queries,
+        codes_df,
+        queries.count(),
+        corpus.count(),
+        _pq_cell_fn(
+            kernel,
+            ["q_id", "neighbor_id", "adc", "blk"],
+            {"q_id": "int64", "neighbor_id": "int64",
+             "adc": "float64", "blk": "int32"},
+        ),
+        "q_id long, neighbor_id long, adc double, blk int",
     )
+    return _pq_exact_rerank(shortlist, queries, corpus, k, rerank)
 
 
 QUERIES = {

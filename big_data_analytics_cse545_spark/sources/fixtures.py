@@ -17,9 +17,21 @@ import tempfile
 from collections.abc import Callable
 
 
-def ensure_fixture_dir(name: str, writer: Callable[[str], None]) -> str:
+def ensure_fixture_dir(
+    name: str, writer: Callable[[str], None], prune_prefix: str | None = None
+) -> str:
     """Return the shared fixture dir ``$TMPDIR/<name>``, creating it
-    atomically via ``writer(tmp_dir)`` + ``os.replace`` on first use."""
+    atomically via ``writer(tmp_dir)`` + ``os.replace`` on first use.
+
+    ``prune_prefix``: for digest-keyed fixtures (name =
+    ``<prefix><content-digest>``), remove stale siblings that share the
+    prefix but not the digest when a NEW digest is materialized — a
+    rewritten source corpus (chaos sweeps, tmp_path twins reusing a
+    basename) would otherwise mint an unbounded series of abandoned
+    fixture dirs in TMPDIR (round-6 review). Only on first creation, so
+    the steady state never touches siblings; best-effort (a concurrent
+    reader of a truly stale digest loses its files, which is the same
+    contract as the corpus rewrite that invalidated it)."""
     d = os.path.join(tempfile.gettempdir(), name)
     if os.path.isdir(d):
         return d
@@ -33,4 +45,16 @@ def ensure_fixture_dir(name: str, writer: Callable[[str], None]) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.isdir(d):
             raise
+    if prune_prefix:
+        root = tempfile.gettempdir()
+        for entry in os.listdir(root):
+            # leave in-flight .tmp-<pid> dirs alone — their writers
+            # clean up after themselves and deleting one mid-write
+            # would break a concurrent creation
+            if (
+                entry.startswith(prune_prefix)
+                and entry != name
+                and ".tmp-" not in entry
+            ):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     return d

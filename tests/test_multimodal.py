@@ -567,3 +567,34 @@ def test_audio_feature_extraction(spark, sf_smoke):
     r0 = sorted(by_clip["aud0"], key=lambda r: r["frame_no"])[0]
     assert abs(r0["rms"] - float(np.sqrt((w * w).mean()))) < 1e-12
     assert abs(r0["zcr"] - float((np.diff(np.sign(w)) != 0).mean())) < 1e-12
+
+
+def test_fixture_prune_replaces_stale_digests(tmp_path, monkeypatch):
+    """Digest-keyed fixtures must not accumulate: materializing a NEW
+    digest under the same prefix prunes stale siblings (a chaos sweep
+    rewriting one corpus dir used to mint an unbounded series of
+    abandoned TMPDIR fixture dirs — round-6 review), while in-flight
+    .tmp dirs of concurrent writers are left alone."""
+    import os
+    import tempfile
+
+    from big_data_analytics_cse545_spark.sources.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None  # drop the cached location
+    try:
+        def w(d):
+            with open(os.path.join(d, "x"), "w") as f:
+                f.write("x")
+
+        old = ensure_fixture_dir("pfx_aaa_v1", w, prune_prefix="pfx_")
+        inflight = tmp_path / "pfx_zzz_v1.tmp-99999"
+        inflight.mkdir()
+        new = ensure_fixture_dir("pfx_bbb_v1", w, prune_prefix="pfx_")
+        assert os.path.isdir(new)
+        assert not os.path.isdir(old), "stale digest must be pruned"
+        assert inflight.is_dir(), "in-flight .tmp dirs are not ours to kill"
+    finally:
+        tempfile.tempdir = None

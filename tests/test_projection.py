@@ -273,3 +273,90 @@ def test_null_embeddings_are_excluded_not_crashes(spark, tmp_path):
         projection.p07_pq_ann,
     ):
         assert fn(spark, d).count() >= 0, fn.__name__
+
+
+def test_pq_cell_fn_order_free_and_query_bounded():
+    """The cogroup cell wrapper's two scale contracts (round-6 review):
+    (1) candidates are invariant to the cell's ROW ORDER — a cogrouped
+    cell's order comes from shuffle fetch order, nondeterministic on a
+    real cluster, and the shortlist cut applies per corpus chunk, so
+    chunk membership must be a pure function of the data; (2) the
+    query side is processed in bounded slices with output identical to
+    the unsliced kernel (per-query candidates depend only on (query,
+    corpus slice))."""
+    import numpy as np
+
+    cbs = projection._pq_train(
+        np.arange(64, dtype=np.float64).reshape(8, 8), n_sub=4, n_cent=2
+    )
+    rng = np.random.default_rng(11)
+    n, nq = 300, 7
+    x = rng.standard_normal((n, 8))
+    codes = projection._pq_encode(x, cbs).astype(np.int64)
+    qmat = rng.standard_normal((nq, 8))
+    qids = np.arange(nq) + 10_000
+    dtab = projection._pq_dtab(qmat, cbs)
+
+    def kernel(qpdf, cpdf):
+        return projection._pq_adc_codes_kernel(
+            projection._pq_dtab(
+                np.stack(qpdf["q_emb"].to_numpy()), cbs
+            ),
+            qpdf["q_id"].to_numpy(),
+            cpdf["n_id"].to_numpy(),
+            np.stack(cpdf["codes"].to_numpy()).astype(np.int64),
+            rerank=4,
+            topk=None,
+            exclude_self=False,
+        )
+
+    import pandas as pd
+
+    qpdf = pd.DataFrame({"q_id": qids, "q_emb": list(qmat)})
+    cpdf = pd.DataFrame({"n_id": np.arange(n), "codes": list(codes)})
+    cols = ["q_id", "neighbor_id", "adc", "blk"]
+    dtypes = {"q_id": "int64", "neighbor_id": "int64",
+              "adc": "float64", "blk": "int32"}
+    # tiny chunk so the cell actually slices the corpus several times
+    cell = projection._pq_cell_fn(kernel, cols, dtypes, chunk=32)
+
+    def canon(df):
+        return (
+            df.sort_values(["q_id", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+
+    base = canon(cell(qpdf, cpdf))
+    assert len(base), "kernel must emit candidates"
+    shuffled = cpdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    assert canon(cell(qpdf, shuffled)).equals(base), (
+        "cell output must not depend on cogroup row order"
+    )
+    # query side sliced (PQ_QUERIES_PER_BLOCK=3 forces 3 slices) —
+    # identical output to the single-slice run above
+    orig = projection.PQ_QUERIES_PER_BLOCK
+    try:
+        projection.PQ_QUERIES_PER_BLOCK = 3
+        sliced = projection._pq_cell_fn(kernel, cols, dtypes, chunk=32)
+        assert canon(sliced(qpdf, cpdf)).equals(base), (
+            "query-side slicing must not change candidates"
+        )
+    finally:
+        projection.PQ_QUERIES_PER_BLOCK = orig
+
+
+def test_pq_rejects_int16_overflowing_codebooks(spark, sf_correctness):
+    """n_centroids above int16 range must be refused up front: the
+    codes relation stores int16 sub-codes, and a silent wrap would
+    negative-index the ADC tables — wrong neighbors, no error
+    (round-6 review)."""
+    from big_data_analytics_cse545_spark import api
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    with pytest.raises(ValueError, match="n_centroids"):
+        api.pq_index(e, "embedding", "vec_id", n_centroids=40_000)
+    with pytest.raises(ValueError, match="n_centroids"):
+        api.pq_ann_join(
+            e.limit(10), e, "embedding", "vec_id", n_centroids=40_000
+        )

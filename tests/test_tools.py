@@ -58,3 +58,13 @@ def test_bench_registry_has_no_short_code_collisions():
     short = short_code_timings(names)
     assert len(short) == len(names)
     assert not any("#" in c for c in short)
+
+
+def test_bench_control_usage_without_args(monkeypatch, capsys):
+    """Invoking the control protocol with no prev ref must print usage
+    and exit 2, not die with a raw IndexError (round-5 ADVICE)."""
+    import tools.bench_control as bc
+
+    monkeypatch.setattr(sys, "argv", ["bench_control.py"])
+    assert bc.main() == 2
+    assert "usage:" in capsys.readouterr().err

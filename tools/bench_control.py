@@ -58,6 +58,12 @@ def _run_bench(cwd: str, sf_dir: str) -> dict:
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(
+            "usage: python tools/bench_control.py <prev_ref> [sf_dir] [out_prefix]",
+            file=sys.stderr,
+        )
+        return 2
     prev_ref = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     prefix = sys.argv[3] if len(sys.argv) > 3 else "control"
