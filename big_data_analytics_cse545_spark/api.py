@@ -796,6 +796,7 @@ def ivf_pq_join(
         _pq_cell_fn,
         _pq_dtab,
         _pq_fit,
+        _pq_parse_floats,
         _pq_rank_tail,
     )
 
@@ -862,23 +863,27 @@ def ivf_pq_join(
 
     cols = ["q_id", "neighbor_id", "d2"]
 
-    def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+    def make_kernel(qpdf: pd.DataFrame):
         cbs = bc.value
         qids = qpdf["q_id"].to_numpy()
         qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
-        nids = cpdf["n_id"].to_numpy()
-        x = np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64)
-        return _pq_adc_topk_kernel(
-            cbs, qids, qmat, _pq_dtab(qmat, cbs), nids, x, rerank,
-            topk=k, exclude_self=exclude_self,
-        )
+        dtab = _pq_dtab(qmat, cbs)
+
+        def run(nids, x):
+            return _pq_adc_topk_kernel(
+                cbs, qids, qmat, dtab, nids, x, rerank,
+                topk=k, exclude_self=exclude_self,
+            )
+
+        return run
 
     candidates = (
         q_side.groupBy("_cell")
         .cogroup(c_side.groupBy("_cell"))
         .applyInPandas(
             _pq_cell_fn(
-                kernel,
+                make_kernel,
+                _pq_parse_floats,
                 cols,
                 {"q_id": "int64", "neighbor_id": "int64", "d2": "float64"},
             ),
@@ -1015,6 +1020,7 @@ def pq_search(
         _pq_dtab,
         _pq_exact_rerank,
         _pq_grid_cogroup,
+        _pq_parse_codes,
         _pq_rank_tail,
     )
 
@@ -1073,23 +1079,26 @@ def pq_search(
     else:
         bc = spark.sparkContext.broadcast(codebooks)
 
-        def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+        def make_kernel(qpdf: pd.DataFrame):
             cbs = bc.value
             qids = qpdf["q_id"].to_numpy()
             qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
-            nids = cpdf["n_id"].to_numpy()
-            c = np.array([list(v) for v in cpdf["codes"]], dtype=np.int64)
-            return _pq_adc_codes_kernel(
-                _pq_dtab(qmat, cbs), qids, nids, c, rerank,
-                topk=kernel_topk, exclude_self=exclude_self,
-            )
+            dtab = _pq_dtab(qmat, cbs)
+
+            def run(nids, c):
+                return _pq_adc_codes_kernel(
+                    dtab, qids, nids, c, rerank,
+                    topk=kernel_topk, exclude_self=exclude_self,
+                )
+
+            return run
 
         candidates = _pq_grid_cogroup(
             queries,
             codes_df,
             queries.count(),
             codes_df.count(),
-            _pq_cell_fn(kernel, cols, dtypes),
+            _pq_cell_fn(make_kernel, _pq_parse_codes, cols, dtypes),
             cand_schema,
         )
 

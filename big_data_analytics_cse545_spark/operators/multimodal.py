@@ -36,6 +36,7 @@ bytes are deterministic per id, near-duplicates planted at ids ≡ 9
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -140,19 +141,26 @@ def _m01_fixture_dir(sf_dir: str) -> str:
             with open(os.path.join(tmp, f"img{i}.tif"), "wb") as f:
                 f.write(_tiff_image_bytes(i))
 
-    # key by corpus basename AND the id-set digest: two corpora sharing
+    # key by SOURCE-PATH hash AND the id-set digest: two corpora sharing
     # a directory basename (tmp_path twins, chaos rewrites) must never
-    # share a fixture
+    # share a fixture, and pruning must only ever touch fixtures of
+    # THIS exact source path — a basename-keyed prefix would let a
+    # rewrite of /x/sf delete the live fixture of /y/sf (round-6
+    # review). The basename rides along for human readability only.
     tag = os.path.basename(os.path.normpath(sf_dir))
+    path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
     digest = hashlib.md5(
         ",".join(str(i) for i in sorted(ids)).encode()
     ).hexdigest()[:10]
-    # prune_prefix: a rewritten corpus under the same basename (chaos
-    # sweeps) replaces its stale-digest fixture instead of accumulating
+    # prune: a REWRITE of this source (new digest, same path) replaces
+    # its stale-digest fixture instead of accumulating; the fullmatch
+    # regex keeps a prefix collision from ever widening the blast radius
+    prefix = f"spark_graft_m01_tifs_{tag}_{path_key}_"
     d = ensure_fixture_dir(
-        f"spark_graft_m01_tifs_{tag}_{digest}_v1",
+        f"{prefix}{digest}_v1",
         write,
-        prune_prefix=f"spark_graft_m01_tifs_{tag}_",
+        prune_prefix=prefix,
+        prune_re=rf"{re.escape(prefix)}[0-9a-f]{{10}}_v1",
     )
     _M01_DIGEST_MEMO[stat_key] = d
     return d

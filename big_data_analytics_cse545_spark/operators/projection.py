@@ -730,7 +730,8 @@ def _pq_adc_codes_kernel(
         out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
         out_n.append(nids[keep])
         out_d.append(adc[qi, keep])
-        out_b.append(blk[keep].astype(np.int32))
+        if topk is None:  # blk rides only in shortlist mode
+            out_b.append(blk[keep].astype(np.int32))
     if not out_q:
         return None
     res = (
@@ -741,7 +742,10 @@ def _pq_adc_codes_kernel(
     return res if topk is not None else res + (np.concatenate(out_b),)
 
 
-def _pq_cell_fn(kernel, cols, dtypes, chunk=PQ_KERNEL_CHUNK, id_col="n_id"):
+def _pq_cell_fn(
+    make_kernel, parse_corpus, cols, dtypes,
+    chunk=PQ_KERNEL_CHUNK, id_col="n_id",
+):
     """Wrap a per-chunk numpy kernel into an applyInPandas cell
     function: empty-frame safe, BOTH sides processed in bounded slices
     so per-invocation memory never depends on cell size — the corpus in
@@ -752,6 +756,14 @@ def _pq_cell_fn(kernel, cols, dtypes, chunk=PQ_KERNEL_CHUNK, id_col="n_id"):
     output is safe: each query's candidates depend only on (query,
     corpus slice), and the global window merge selects across slices
     exactly as it selects across cells.
+
+    ``make_kernel(qslice_pdf) -> run(nids, corpus_arr)`` hoists the
+    per-slice query prep (id/float extraction, ADC table build) out of
+    the chunk loop, and ``parse_corpus(chunk_pdf) -> (nids, arr)`` is
+    called ONCE per corpus chunk with the query slices iterating inside
+    — without the split a cell with S query slices re-parsed every
+    corpus row S times and rebuilt every ADC table once per chunk
+    (round-6 review).
 
     The corpus is sorted by ``id_col`` before slicing: a cogrouped
     cell's row order comes from shuffle fetch order, which is NOT
@@ -765,16 +777,42 @@ def _pq_cell_fn(kernel, cols, dtypes, chunk=PQ_KERNEL_CHUNK, id_col="n_id"):
         if not len(qpdf) or not len(cpdf):
             return empty
         cpdf = cpdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        runs = [
+            make_kernel(qpdf.iloc[qs:qs + PQ_QUERIES_PER_BLOCK])
+            for qs in range(0, len(qpdf), PQ_QUERIES_PER_BLOCK)
+        ]
         outs = []
-        for qs in range(0, len(qpdf), PQ_QUERIES_PER_BLOCK):
-            qslice = qpdf.iloc[qs:qs + PQ_QUERIES_PER_BLOCK]
-            for s in range(0, len(cpdf), chunk):
-                res = kernel(qslice, cpdf.iloc[s:s + chunk])
+        for s in range(0, len(cpdf), chunk):
+            nids, arr = parse_corpus(cpdf.iloc[s:s + chunk])
+            for run in runs:
+                res = run(nids, arr)
                 if res is not None:
                     outs.append(pd.DataFrame(dict(zip(cols, res))))
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     return cell
+
+
+def _pq_parse_codes(cpdf):
+    """parse_corpus for codes relations: (n_id, codes) → numpy once per
+    chunk."""
+    import numpy as np
+
+    return (
+        cpdf["n_id"].to_numpy(),
+        np.array([list(v) for v in cpdf["codes"]], dtype=np.int64),
+    )
+
+
+def _pq_parse_floats(cpdf):
+    """parse_corpus for float relations: (n_id, n_emb) → numpy once per
+    chunk."""
+    import numpy as np
+
+    return (
+        cpdf["n_id"].to_numpy(),
+        np.array([list(v) for v in cpdf["n_emb"]], dtype=np.float64),
+    )
 
 
 def _pq_grid_cogroup(
@@ -854,16 +892,18 @@ def _pq_fit(corpus: DataFrame, *, n_sub: int, n_centroids: int,
     return _pq_train(train, n_sub=n_sub, n_cent=n_centroids), len(train_rows)
 
 
-def _pq_encode_df(corpus: DataFrame, codebooks) -> DataFrame:
+def _pq_encode_df(corpus: DataFrame, codebooks, bc=None) -> DataFrame:
     """Encode (n_id, n_emb) → (n_id, codes array<smallint>) in ONE
     narrow Arrow pass with the model-sized codebooks broadcast — the
     encode-once relation shared by api.pq_index and pq_topk_join's
     distributed regime (the grid then replicates ~24 B/row codes, never
-    corpus floats)."""
+    corpus floats). Pass ``bc`` to reuse a caller-held broadcast of the
+    same codebooks instead of shipping a duplicate."""
     import numpy as np
     import pandas as pd
 
-    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    if bc is None:
+        bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
 
     def encode(batches):
         cbs = bc.value
@@ -1129,19 +1169,22 @@ def pq_topk_join(
     # pass and the final shortlist-sized rerank join. (Two extra scans
     # — nq and N counts — only in this rare regime; the common bounded
     # path pays exactly one probe job.)
-    codes_df = _pq_encode_df(corpus, codebooks)
     bc = spark.sparkContext.broadcast(codebooks)
+    codes_df = _pq_encode_df(corpus, codebooks, bc=bc)
 
-    def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+    def make_kernel(qpdf: pd.DataFrame):
         cbs = bc.value
         qids = qpdf["q_id"].to_numpy()
         qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
-        nids = cpdf["n_id"].to_numpy()
-        c = np.array([list(v) for v in cpdf["codes"]], dtype=np.int64)
-        return _pq_adc_codes_kernel(
-            _pq_dtab(qmat, cbs), qids, nids, c, rerank,
-            topk=None, exclude_self=exclude_self,
-        )
+        dtab = _pq_dtab(qmat, cbs)
+
+        def run(nids, c):
+            return _pq_adc_codes_kernel(
+                dtab, qids, nids, c, rerank,
+                topk=None, exclude_self=exclude_self,
+            )
+
+        return run
 
     shortlist = _pq_grid_cogroup(
         queries,
@@ -1149,7 +1192,8 @@ def pq_topk_join(
         queries.count(),
         corpus.count(),
         _pq_cell_fn(
-            kernel,
+            make_kernel,
+            _pq_parse_codes,
             ["q_id", "neighbor_id", "adc", "blk"],
             {"q_id": "int64", "neighbor_id": "int64",
              "adc": "float64", "blk": "int32"},

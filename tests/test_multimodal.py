@@ -592,9 +592,62 @@ def test_fixture_prune_replaces_stale_digests(tmp_path, monkeypatch):
         old = ensure_fixture_dir("pfx_aaa_v1", w, prune_prefix="pfx_")
         inflight = tmp_path / "pfx_zzz_v1.tmp-99999"
         inflight.mkdir()
-        new = ensure_fixture_dir("pfx_bbb_v1", w, prune_prefix="pfx_")
+        bystander = tmp_path / "pfx_other_shape"
+        bystander.mkdir()
+        new = ensure_fixture_dir(
+            "pfx_bbb_v1", w, prune_prefix="pfx_",
+            prune_re=r"pfx_[a-z]{3}_v1",
+        )
         assert os.path.isdir(new)
         assert not os.path.isdir(old), "stale digest must be pruned"
         assert inflight.is_dir(), "in-flight .tmp dirs are not ours to kill"
+        assert bystander.is_dir(), (
+            "prune_re must keep prefix collisions from widening the blast radius"
+        )
+    finally:
+        tempfile.tempdir = None
+
+
+def test_m01_fixture_twin_corpora_do_not_prune_each_other(tmp_path, monkeypatch):
+    """Two LIVE corpora sharing a directory basename must keep
+    independent fixtures: pruning is keyed on the SOURCE PATH, so only
+    a rewrite of the same parquet replaces a fixture (round-6 review —
+    a basename-keyed prune let corpus A delete corpus B's fixture and
+    break B's already-built binaryFile plans)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path / "tmpdir"))
+    (tmp_path / "tmpdir").mkdir()
+    tempfile.tempdir = None
+    try:
+        dirs = []
+        for name, ids in (("a", [1, 2]), ("b", [3, 4])):
+            d = tmp_path / name / "sf"
+            d.mkdir(parents=True)
+            papq.write_table(
+                pa.table({"vec_id": pa.array(ids, pa.int64())}),
+                str(d / "embeddings.parquet"),
+            )
+            dirs.append(str(d))
+        fa = mm._m01_fixture_dir(dirs[0])
+        fb = mm._m01_fixture_dir(dirs[1])
+        assert fa != fb
+        assert os.path.isdir(fa) and os.path.isdir(fb), (
+            "same-basename corpora must coexist"
+        )
+        # a REWRITE of corpus b (same path, new ids) prunes only b's old
+        # fixture; a's fixture survives
+        papq.write_table(
+            pa.table({"vec_id": pa.array([5, 6], pa.int64())}),
+            os.path.join(dirs[1], "embeddings.parquet"),
+        )
+        fb2 = mm._m01_fixture_dir(dirs[1])
+        assert fb2 != fb
+        assert not os.path.isdir(fb), "rewrites must replace the stale fixture"
+        assert os.path.isdir(fa), "the twin corpus fixture must survive"
     finally:
         tempfile.tempdir = None

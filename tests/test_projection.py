@@ -295,20 +295,17 @@ def test_pq_cell_fn_order_free_and_query_bounded():
     codes = projection._pq_encode(x, cbs).astype(np.int64)
     qmat = rng.standard_normal((nq, 8))
     qids = np.arange(nq) + 10_000
-    dtab = projection._pq_dtab(qmat, cbs)
 
-    def kernel(qpdf, cpdf):
-        return projection._pq_adc_codes_kernel(
-            projection._pq_dtab(
-                np.stack(qpdf["q_emb"].to_numpy()), cbs
-            ),
-            qpdf["q_id"].to_numpy(),
-            cpdf["n_id"].to_numpy(),
-            np.stack(cpdf["codes"].to_numpy()).astype(np.int64),
-            rerank=4,
-            topk=None,
-            exclude_self=False,
-        )
+    def make_kernel(qpdf):
+        dtab = projection._pq_dtab(np.stack(qpdf["q_emb"].to_numpy()), cbs)
+        kq = qpdf["q_id"].to_numpy()
+
+        def run(nids, c):
+            return projection._pq_adc_codes_kernel(
+                dtab, kq, nids, c, rerank=4, topk=None, exclude_self=False
+            )
+
+        return run
 
     import pandas as pd
 
@@ -318,7 +315,9 @@ def test_pq_cell_fn_order_free_and_query_bounded():
     dtypes = {"q_id": "int64", "neighbor_id": "int64",
               "adc": "float64", "blk": "int32"}
     # tiny chunk so the cell actually slices the corpus several times
-    cell = projection._pq_cell_fn(kernel, cols, dtypes, chunk=32)
+    cell = projection._pq_cell_fn(
+        make_kernel, projection._pq_parse_codes, cols, dtypes, chunk=32
+    )
 
     def canon(df):
         return (
@@ -337,7 +336,9 @@ def test_pq_cell_fn_order_free_and_query_bounded():
     orig = projection.PQ_QUERIES_PER_BLOCK
     try:
         projection.PQ_QUERIES_PER_BLOCK = 3
-        sliced = projection._pq_cell_fn(kernel, cols, dtypes, chunk=32)
+        sliced = projection._pq_cell_fn(
+            make_kernel, projection._pq_parse_codes, cols, dtypes, chunk=32
+        )
         assert canon(sliced(qpdf, cpdf)).equals(base), (
             "query-side slicing must not change candidates"
         )
