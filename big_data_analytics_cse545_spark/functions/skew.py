@@ -30,7 +30,10 @@ def skew_resistant_count_distinct(
         df.select(key, value)
         .distinct()
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias(out_col))
+        # count(value), not count(*): COUNT(DISTINCT value) ignores
+        # NULLs, and the distinct pass keeps a (key, NULL) row that
+        # must contribute 0 here (round-6 review)
+        .agg(F.count(F.col(value)).alias(out_col))
     )
 
 
@@ -52,7 +55,11 @@ def skew_resistant_distinct_and_total(
     pairs after the map-side combine."""
     pairs = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_cnt"))
     return pairs.groupBy(key).agg(
-        F.count(F.lit(1)).alias(distinct_col),
+        # count(value): the (key, NULL) pair row must count toward the
+        # total but NOT the distinct — COUNT(DISTINCT value) ignores
+        # NULLs and this helper's contract is exact equivalence
+        # (round-6 review)
+        F.count(F.col(value)).alias(distinct_col),
         F.sum("_cnt").alias(total_col),
     )
 

@@ -35,6 +35,29 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def bigrams(ts: Column, sep: str = "_") -> Column:
+    """Adjacent-token bigrams of a token ARRAY, ``sep``-joined; ``[]``
+    for arrays shorter than 2. The one n-gram construction shared by
+    every consumer (t02 set difference, t13 repetition signals) — two
+    hand-rolled variants with separately-maintained empty/singleton
+    edge handling is exactly the drift surface the per-operator
+    null-semantics fixes kept re-touching (round-6 review).
+
+    Equivalent DuckDB expression:
+      list_transform(range(1, len(ts)), i -> ts[i] || sep || ts[i+1])
+    (DuckDB range(1, n) is empty for n <= 1, so no CASE is needed
+    there.)"""
+    return F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                sep, F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def stopword_count(col: Column) -> Column:
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, t)))

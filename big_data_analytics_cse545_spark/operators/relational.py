@@ -537,7 +537,10 @@ def q13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.col("p_brand")).alias("brand_upper"),
             F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
             F.substring(F.col("p_type"), 1, 3).alias("type_prefix"),
-            F.regexp_extract(F.col("p_brand"), "#(\\d+)", 1).cast("int").alias("brand_num"),
+            # try_cast: under ANSI, regexp_extract's no-match '' would
+            # throw CAST_INVALID_INPUT and one malformed p_brand kills
+            # the whole scan (round-6 review); NULL-on-garbage instead
+            F.regexp_extract(F.col("p_brand"), "#(\\d+)", 1).try_cast("int").alias("brand_num"),
             F.concat_ws("|", F.col("p_type"), F.col("p_brand")).alias("type_brand"),
             F.length(F.col("p_name")).cast("bigint").alias("name_len"),
         )
@@ -552,7 +555,7 @@ SELECT
   UPPER(p_brand) AS brand_upper,
   string_split(p_name, ' ')[1] AS first_word,
   SUBSTRING(p_type, 1, 3) AS type_prefix,
-  CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
+  TRY_CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
   CONCAT_WS('|', p_type, p_brand) AS type_brand,
   LENGTH(p_name) AS name_len
 FROM part
@@ -610,7 +613,9 @@ def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-provided via get_json_object (JVM-side, no UDF).
     """
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # try_cast: a non-numeric '$.k' must become NULL, not an ANSI
+    # CAST_INVALID_INPUT that aborts the scan (round-6 review)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
     # full map surface too: parse to map<string,bigint>, inspect keys,
     # point-look-up a value (SURVEY §2.5 'map/json functions')
     m = F.from_json(F.col("props"), "map<string,bigint>")
@@ -620,7 +625,10 @@ def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             k.alias("k"),
             F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
-            (F.element_at(m, "k") == k).cast("int").alias("map_matches"),
+            # try_element_at: under ANSI, element_at throws
+            # MAP_KEY_DOES_NOT_EXIST for valid JSON lacking 'k' —
+            # one such row would kill the job (round-6 review)
+            (F.try_element_at(m, F.lit("k")) == k).cast("int").alias("map_matches"),
         )
         .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("bigint"))
         .groupBy("k_bucket")
@@ -641,13 +649,13 @@ def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q15_SQL = """
 SELECT
-  CAST(FLOOR(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+  CAST(FLOOR(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) / 10) AS BIGINT) AS k_bucket,
   COUNT(*) AS n_events,
-  MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS min_k,
-  MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
+  MIN(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS min_k,
+  MAX(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
   CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_json_keys,
-  CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
-                     = CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+  CAST(SUM(CASE WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                     = TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_map_match
 FROM events
 GROUP BY 1
@@ -662,14 +670,31 @@ ORDER BY k_bucket
 def q16_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineitems priced above 1.5× their part's average — the TPC-H Q17
     shape. Expressed as agg + self-join (Catalyst turns the correlated
-    form into the same plan)."""
+    form into the same plan).
+
+    The membership predicate runs in EXACT integer cents:
+    ``price > 1.5·avg`` ⟺ ``2·cents·n > 3·sum_cents`` (prices are
+    2-decimal values, so ROUND(price·100) recovers exact cents). The
+    earlier float form compared against a rounded double AVG — a
+    summation-order-dependent value that sits INSIDE a row-membership
+    predicate, so a sub-ULP engine difference near a rounding boundary
+    flips whole rows in or out (round-6 review); boundary probability
+    grows with group count, i.e. exactly at scale. Rounding belongs at
+    the output edge (the module float-parity policy); predicates get
+    integer arithmetic.
+    """
     l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    l = l.withColumn("_cents", cents)
     part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price")
+        F.sum("_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_items"),
     )
     return (
         l.join(part_avg, l.l_partkey == part_avg.pk)
-        .filter(F.col("l_extendedprice") > 1.5 * F.col("avg_price"))
+        .filter(
+            2 * F.col("_cents") * F.col("n_items") > 3 * F.col("sum_cents")
+        )
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_above"), _dsum(F.col("l_extendedprice")).alias("sum_price"))
         .orderBy("l_returnflag")
@@ -677,16 +702,21 @@ def q16_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q16_SQL = """
-WITH part_avg AS (
-  SELECT l_partkey AS pk, ROUND(AVG(l_extendedprice), 6) AS avg_price
-  FROM lineitem GROUP BY l_partkey
+WITH c AS (
+  SELECT l_returnflag, l_partkey, l_extendedprice,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+part_avg AS (
+  SELECT l_partkey AS pk, SUM(cents) AS sum_cents, COUNT(*) AS n_items
+  FROM c GROUP BY l_partkey
 )
 SELECT
   l_returnflag,
   COUNT(*) AS n_above,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-FROM lineitem JOIN part_avg ON l_partkey = pk
-WHERE l_extendedprice > 1.5 * avg_price
+FROM c JOIN part_avg ON l_partkey = pk
+WHERE 2 * cents * n_items > 3 * sum_cents
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
@@ -744,6 +774,12 @@ def q18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     clicks = (
         e.filter(F.col("event_type") == "click")
+        # NULL-user clicks can never match: JOIN semantics treat NULL
+        # keys as unequal, but a window partitionBy groups NULLs
+        # together — without this filter a NULL-user purchase would
+        # "match" a NULL-user click and diverge from ASOF LEFT JOIN
+        # (round-6 null probe)
+        .filter(F.col("user_id").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
     )
@@ -1495,8 +1531,10 @@ def q31_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("user_id") % 7).alias("segment"),
                     ).alias("user"),
                     F.col("event_type").alias("kind"),
+                    # try_cast: non-numeric '$.k' → NULL, never an
+                    # ANSI abort (round-6 review)
                     F.get_json_object("props", "$.k")
-                    .cast("int")
+                    .try_cast("int")
                     .alias("k"),
                 )
             )
@@ -1523,7 +1561,7 @@ _Q31_SQL = """
 SELECT event_type AS kind, user_id % 7 AS segment,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
          AS sum_k
 FROM events
 GROUP BY kind, segment
@@ -1666,13 +1704,14 @@ def q34_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The change batch is derived deterministically from the snapshot
     itself (reproducible input): keys ≡1 (mod 10) get a price update
     (+1000, exact in binary), keys ≡2 (mod 10) a delete, and keys
-    ≡3 (mod 10) spawn an insert under key+10^8 at half price (exact
-    /2). The offset keeps insert keys disjoint from real orderkeys for
-    every driver/bench fixture (orderkeys reach ~150k·SF·10 here, so
-    the derivation holds through SF≈60; it is a FIXTURE construction,
-    not an operator contract — the general not-matched case is
+    ≡3 (mod 10) spawn an insert under the NEGATED key at half price
+    (exact /2). Negation makes insert keys disjoint from the snapshot
+    STRUCTURALLY — orderkeys are positive at every scale factor — so
+    the fast path's precondition cannot silently break as the fixture
+    grows (the previous key+10^8 offset collided with real orderkeys
+    past SF≈60; round-6 review). The general not-matched case is
     ``api.merge_upsert``, which anti-joins inserts against the
-    snapshot instead of assuming disjointness). Deletes vanish from
+    snapshot instead of assuming disjointness. Deletes vanish from
     the output; every surviving row carries its ``action`` as the
     merge audit.
     """
@@ -1691,7 +1730,7 @@ def q34_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inserts = o.where(mod == 3).select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         (F.col("o_totalprice") / 2.0).alias("o_totalprice"),
         F.lit("insert").alias("action"),
     )
@@ -1719,7 +1758,7 @@ WITH changes AS (
          'delete' AS op
   FROM orders WHERE o_orderkey % 10 = 2
   UNION ALL
-  SELECT o_orderkey + 100000000 AS k, o_totalprice / 2.0 AS new_price,
+  SELECT -o_orderkey AS k, o_totalprice / 2.0 AS new_price,
          'insert' AS op
   FROM orders WHERE o_orderkey % 10 = 3
 )
@@ -1748,8 +1787,8 @@ def q36_merge_upsert_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r4 task #8). Change derivation: keys ≡1 (mod 10) update
     (+1000, exact), ≡2 delete, and ≡3 spawn TWO inserts — one at
     key+1 (which ALWAYS exists in the dense order fixture → dropped by
-    the anti-join) and one at key+10⁸ (genuinely new → appended), both
-    at half price. The oracle spells the same semantics as FULL OUTER
+    the anti-join) and one at the NEGATED key (genuinely new at every
+    SF, since orderkeys are positive → appended), both at half price. The oracle spells the same semantics as FULL OUTER
     JOIN + NOT EXISTS, so the hash-compare doubles as a
     cross-formulation equivalence proof.
 
@@ -1777,7 +1816,7 @@ def q36_merge_upsert_general(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).unionByName(
         base3.select(
-            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (-F.col("o_orderkey")).alias("o_orderkey"),
             (F.col("o_totalprice") / 2.0).alias("o_totalprice"),
             F.lit("insert").alias("op"),
         )
@@ -1799,7 +1838,7 @@ WITH changes AS (
   SELECT o_orderkey + 1 AS k, o_totalprice / 2.0 AS new_price, 'insert' AS op
   FROM orders WHERE o_orderkey % 10 = 3
   UNION ALL
-  SELECT o_orderkey + 100000000 AS k, o_totalprice / 2.0 AS new_price,
+  SELECT -o_orderkey AS k, o_totalprice / 2.0 AS new_price,
          'insert' AS op
   FROM orders WHERE o_orderkey % 10 = 3
 ),

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_cse545_spark.functions.text import (
     STOPWORDS,
     TOKEN_SPLIT_RE,
+    bigrams,
     stopword_count,
     token_count,
     tokens,
@@ -86,15 +87,9 @@ def t02_word_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order array functions.
     """
     d = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "CASE WHEN size(ts) >= 2 THEN "
-        "transform(sequence(1, size(ts) - 1), "
-        "i -> concat_ws('_', element_at(ts, i), element_at(ts, i + 1))) "
-        "ELSE array() END"
-    )
     grams = (
         d.select("lang", tokens(F.col("text")).alias("ts"))
-        .select("lang", F.explode(bigrams).alias("bigram"))
+        .select("lang", F.explode(bigrams(F.col("ts"), "_")).alias("bigram"))
     )
     r = grams.filter(F.col("lang") == "en").select("bigram").distinct()
     s = grams.filter(F.col("lang") == "de").select("bigram").distinct()
@@ -732,13 +727,7 @@ def t13_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", tokens(F.col("text")).alias("ts"))
         .withColumn("n_tok", F.size("ts").cast("long"))
         .withColumn("n_distinct", F.size(F.array_distinct("ts")).cast("long"))
-        .withColumn(
-            "bigrams",
-            F.expr(
-                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
-                " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
-            ),
-        )
+        .withColumn("bigrams", bigrams(F.col("ts"), " "))
     )
     top = (
         base.select("doc_id", F.explode("bigrams").alias("bg"))
@@ -812,20 +801,28 @@ def t14_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stays in integers until the final division (freq_mass and n_tok are
     exact counts), so the oracle compare has no float-summation hazard.
 
-    Shape at scale: the vocab table is Zipf-heavy — the join is a plain
-    shuffle join on `word` so AQE's skew split can kick in for stopword
-    keys; when the vocabulary is known-small it collapses to a broadcast
-    (Catalyst decides from stats). Both passes are partial+final aggs.
+    Shape at scale: the vocab join runs on the PRE-AGGREGATED
+    (doc_id, word, tf) relation, not the raw per-occurrence explosion —
+    grouping first is bit-identical (freq_mass = Σ tf·cnt,
+    n_tok = Σ tf are the same exact integer sums) and shrinks the
+    shuffled join input from every token occurrence to the distinct
+    (doc, word) pairs, i.e. by the average term frequency — which is
+    precisely largest on the Zipf-hot stopword keys that make the
+    naive join skew (round-6 review; t21's hits stage is the same
+    pattern). AQE's skew split still covers the residual hot keys;
+    a known-small vocab collapses to a broadcast (Catalyst decides
+    from stats). All passes are partial+final aggs.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
-    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = doc_tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
     return (
-        tok.join(vocab, "word")
+        doc_tf.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("cnt").alias("freq_mass"),
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("freq_mass"),
         )
         .withColumn(
             "avg_tok_freq",
@@ -1557,14 +1554,18 @@ def t22_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers) hash-matches the oracle.
 
     Plan at scale: pass 1 is WordCount (vocab-keyed partial+final agg);
-    pass 2 joins the vocab table back on `word` — Zipf-skewed on
-    stopword keys, exactly t14's AQE-skew-split case — then reduces to
+    pass 2 joins the LM back against the PRE-AGGREGATED (doc_id, word,
+    tf) relation — not the raw token explosion — which is bit-identical
+    (n_tok = Σ tf, sum_nll = Σ tf·nll_micro are the same exact integer
+    sums) and cuts the Zipf-hot shuffle on `word` by the average term
+    frequency (round-6 review; the t14/t21 pattern) — then reduces to
     (doc_id, BIGINT). Text never shuffles; the LM itself is the
     vocab-sized relation, which Catalyst broadcasts when stats allow.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
-    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = doc_tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
     tot = vocab.agg(
         F.sum("cnt").alias("big_t"), F.count(F.lit(1)).alias("big_v")
     )
@@ -1581,11 +1582,11 @@ def t22_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lm = vocab.crossJoin(F.broadcast(tot)).select("word", nll)
     scored = (
-        tok.join(lm, "word")
+        doc_tf.join(lm, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("nll_micro").alias("sum_nll_micro"),
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("nll_micro")).alias("sum_nll_micro"),
         )
     )
     # float-parity policy: never ROUND a raw double ratio (a .5-micro
@@ -1684,8 +1685,15 @@ def t23_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = hosted.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # when/otherwise(0), not a cast boolean: a NULL n_chars (torn
+        # crawl field) must count 0 like the oracle's CASE..ELSE 0 —
+        # the cast form propagates NULL, and an all-NULL host summed to
+        # NULL junk_docs, silently taking the 'keep' branch (round-6
+        # review)
         F.sum(
-            (F.col("n_chars") < T23_JUNK_CHARS).cast("bigint")
+            F.when(F.col("n_chars") < T23_JUNK_CHARS, 1)
+            .otherwise(0)
+            .cast("bigint")
         ).alias("junk_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )

@@ -246,7 +246,10 @@ def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        # count(user_id), not count(*): dropDuplicates keeps one row
+        # for the NULL-user group per event_type, but COUNT(DISTINCT
+        # user_id) ignores NULLs (round-6 null probe)
+        .agg(F.count(F.col("user_id")).alias("n_unique_users"))
     )
     out = _run_to_table(dedup, spark, "st04_mem")
     return out.orderBy("event_type")
@@ -589,7 +592,10 @@ def st10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = e.select(
         "user_id", F.window("ts", "7 days", "1 day").alias("w"), "ts"
     ).dropDuplicates(["user_id", "w"])
-    agg = ud.groupBy("w").agg(F.count(F.lit(1)).alias("wau"))
+    # count(user_id): the NULL-user (user, window) state row must not
+    # count toward WAU — COUNT(DISTINCT user_id) ignores NULLs
+    # (round-6 null probe)
+    agg = ud.groupBy("w").agg(F.count(F.col("user_id")).alias("wau"))
     out = _run_to_table(agg, spark, "st10_mem", output_mode="append")
     return out.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),

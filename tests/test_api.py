@@ -782,7 +782,9 @@ def test_merge_upsert_matches_q34(spark, sf_correctness):
         )
         .unionByName(
             o.where(mod == 3).select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                # q34's insert keys: NEGATED source key (structurally
+                # disjoint from the positive snapshot at every SF)
+                (-F.col("o_orderkey")).alias("o_orderkey"),
                 (F.col("o_totalprice") / 2.0).alias("o_totalprice"),
                 F.lit("insert").alias("op"),
             )

@@ -85,7 +85,9 @@ def test_q34_merge_audit_balances(spark, sf_correctness):
     for r in by_action["update"]:
         assert r["o_totalprice"] == base[r["o_orderkey"]] + 1000.0
     for r in by_action["insert"]:
-        src = r["o_orderkey"] - 100000000
+        # inserts carry the NEGATED source key — structurally disjoint
+        # from the (positive) snapshot at every SF (round-6 review)
+        src = -r["o_orderkey"]
         assert src % 10 == 3 and r["o_totalprice"] == base[src] / 2.0
 
 

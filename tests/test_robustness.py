@@ -51,3 +51,68 @@ def test_csv_malformed_rows_dropped_in_dropmalformed(spark, tmp_path):
         .csv(str(p))
     )
     assert {r["id"] for r in df.collect()} == {1, 2}
+
+
+def test_null_key_semantics_match_sql(spark, sf_correctness, tmp_path):
+    """NULL join/distinct keys must follow SQL semantics, pinned on a
+    null-injected twin corpus (round-6 null probe): COUNT(DISTINCT)
+    ignores NULL user_ids (q29's skew helper, st04/st10's
+    dropDuplicates+count lowering used to count the NULL group); a
+    NULL-user purchase never as-of-matches a NULL-user click (window
+    partitionBy groups NULLs, joins do not — q18); an all-NULL-n_chars
+    host sums junk_docs to 0, not NULL (t23); a NULL p_brand flows
+    through q13's try_cast as NULL instead of killing the scan."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_cse545_spark.operators import relational, text
+    from big_data_analytics_cse545_spark.streaming import ops as st
+    from tests.oracle_utils import assert_parity
+
+    plan = {
+        "events.parquet": ("event_id", [("user_id", 3, 1)]),
+        "documents.parquet": ("doc_id", [("n_chars", 3, 2)]),
+        "part.parquet": ("p_partkey", [("p_brand", 3, 0)]),
+    }
+    d = str(tmp_path / "null_keys_sf")
+    os.makedirs(d)
+    planted = 0
+    for f in os.listdir(sf_correctness):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(sf_correctness, f))
+        key, cols = plan.get(f, (None, []))
+        for col, mod, rem in cols:
+            keys = t.column(key).to_numpy()
+            mask = pa.array((keys % mod) == rem)
+            idx = t.schema.get_field_index(col)
+            t = t.set_column(
+                idx,
+                col,
+                pc.if_else(
+                    mask,
+                    pa.scalar(None, t.schema.field(col).type),
+                    t.column(col).combine_chunks(),
+                ),
+            )
+            planted += t.column(col).null_count
+        pq.write_table(t, os.path.join(d, f))
+    assert planted > 0, "fixture must actually plant nulls"
+    for name, fn in (
+        ("q29", relational.q29_skew_safe_distinct),
+        ("q18", relational.q18_asof_join),
+        ("q13", relational.q13_string_funcs),
+        ("t23", text.t23_host_reputation),
+        ("st04", st.st04_streaming_dedup),
+        ("st10", st.st10_sliding_distinct_users),
+    ):
+        mod = text if name.startswith("t2") else (
+            st if name.startswith("st") else relational
+        )
+        oracle = next(
+            sql for qname, sql in mod.ORACLE.items() if qname.startswith(name)
+        )
+        assert_parity(fn(spark, d), oracle, d, name)

@@ -124,9 +124,12 @@ def _null_twin(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     plan = {
-        "documents.parquet": ("doc_id", [("text", 13, 3), ("lang", 17, 5), ("source", 19, 7)]),
-        "events.parquet": ("event_id", [("props", 11, 2), ("event_type", 23, 9), ("value", 29, 13)]),
+        # round-6 review: user_id / n_chars / p_brand were never nulled,
+        # leaving COUNT(DISTINCT)-vs-NULL and ANSI-cast edges unprobed
+        "documents.parquet": ("doc_id", [("text", 13, 3), ("lang", 17, 5), ("source", 19, 7), ("n_chars", 43, 21)]),
+        "events.parquet": ("event_id", [("props", 11, 2), ("event_type", 23, 9), ("value", 29, 13), ("user_id", 31, 11)]),
         "embeddings.parquet": ("vec_id", [("embedding", 37, 17), ("label", 41, 19)]),
+        "part.parquet": ("p_partkey", [("p_brand", 7, 3)]),
     }
     d = "/tmp/chaos_null_sf"
     os.makedirs(d, exist_ok=True)
