@@ -376,11 +376,17 @@ def dup_clusters(
     id_col: str,
     *,
     ham_k: int = 3,
+    wide_keys: bool = False,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Transitive near-dup clusters over any corpus: 64-bit SimHash
     hamming-banded pairs (d04 semantics) closed into components by
-    distributed min-label propagation (d08). Returns one row per doc
+    distributed min-label propagation (d08).
+
+    ``wide_keys=True`` switches the candidate stage to the Manku-style
+    3-of-(ham_k+3)-block keys (~32-bit key space instead of 16-bit) —
+    identical output (both schemes are exact), ~2¹⁶ less bucket
+    collision mass; the setting for corpora ≫10⁷ docs. Returns one row per doc
     that has at least one near-dup: (id_col, cluster_id, cluster_size),
     cluster_id = min member id.
 
@@ -406,7 +412,7 @@ def dup_clusters(
     d = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    pairs = simhash_near_dup_pairs(d, ham_k)
+    pairs = simhash_near_dup_pairs(d, ham_k, wide_keys=wide_keys)
     cc = connected_components(
         pairs, "d1", "d2", reliable_checkpoint=reliable_checkpoint
     )

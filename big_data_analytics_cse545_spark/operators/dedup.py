@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_analytics_cse545_spark.functions.text import TOKEN_SPLIT_RE
+from big_data_analytics_cse545_spark.functions.text import TOKEN_SPLIT_RE, tokens
 from big_data_analytics_cse545_spark.sources import load_table
 
 _SQL_TOKENS = (
@@ -36,9 +36,10 @@ JACCARD_THRESHOLD_D10 = 0.7  # batch-vs-corpus near-dup verify (d10), same
 
 
 def _tokens_col():
-    return F.filter(
-        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
-    )
+    # the one shared tokenizer (functions.text.tokens) — a verbatim
+    # local copy used to live here, a silent-divergence surface for any
+    # future tokenization change (round-6 review)
+    return tokens(F.col("text"))
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +157,7 @@ SELECT d1, d2,
 FROM inter
 JOIN cnt c1 ON d1 = c1.doc_id
 JOIN cnt c2 ON d2 = c2.doc_id
-WHERE inter / CAST(c1.n + c2.n - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+WHERE ROUND(inter / CAST(c1.n + c2.n - inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
 ORDER BY d1, d2
 """
 
@@ -272,7 +273,7 @@ SELECT d1, d2,
 FROM inter
 JOIN cnt c1 ON d1 = c1.doc_id
 JOIN cnt c2 ON d2 = c2.doc_id
-WHERE inter / CAST(c1.n + c2.n - inter AS DOUBLE) >= 0.7
+WHERE ROUND(inter / CAST(c1.n + c2.n - inter AS DOUBLE), 6) >= 0.7
 ORDER BY d1, d2
 """
 
@@ -347,13 +348,40 @@ def d04_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles carry (doc_id, 16-bit band key) — never the text.
     """
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d)
+    # display ordering lives HERE, not in the shared pair builder: the
+    # edge-list consumers (d08/x06 connected components) re-shuffle by
+    # key immediately, so a global sort of the largest intermediate in
+    # the job would be pure wasted shuffle for them (round-6 review)
+    return simhash_near_dup_pairs(d).orderBy("d1", "d2")
 
 
-def simhash_near_dup_pairs(d: DataFrame, ham_k: int = HAMMING_MAX) -> DataFrame:
+def simhash_near_dup_pairs(
+    d: DataFrame, ham_k: int = HAMMING_MAX, wide_keys: bool = True
+) -> DataFrame:
     """The d04 pipeline over any (doc_id, text) DataFrame → (d1, d2,
     hamming) pairs with hamming ≤ ham_k. Hamming-banded: candidates from
-    any equal 16-bit band, exact bit_count(xor) verify on candidates."""
+    any equal band key, exact bit_count(xor) verify on candidates.
+
+    Two exact banding schemes (identical output, different collision
+    mass — both guarantee recall 1 by pigeonhole):
+
+    * ``wide_keys=True`` (default — the Manku/Jain/Sarma WWW'07
+      shape): split the 64 bits into ``ham_k+3`` blocks; ≤ ham_k
+      differing bits leave at least 3 blocks exact, so keying every
+      3-block combination (C(ham_k+3, 3) tables — 20 at ham_k=3) still
+      catches every true pair, but each key is ~32 bits wide →
+      collision mass per bucket drops by ~2¹⁶ at the same corpus.
+      Costs 20 exploded rows per doc instead of 4 and is ALREADY 2.8×
+      faster at sf0.1 (9.1 s → 3.2 s, 312 identical pairs — 20k docs
+      into 65k buckets is birthday territory); the only setting that
+      survives ≫10⁷ docs.
+    * ``wide_keys=False`` (the reference-analogous 4 × 16-bit bands,
+      computeBuckets2's banding arithmetic): a 16-bit key space caps at
+      65,536 buckets, so candidate volume is Θ(N²/2¹⁶) — the round-1
+      failure mode past ~10⁷ docs (round-6 review). Kept for parity
+      demonstration; the two schemes returning identical pairs is
+      test-pinned.
+    """
     toks = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
     # ONE md5 per token, parsed into four 16-bit integer quarters with
     # conv(); each of the 64 vote sums is then an integer shift+mask on
@@ -380,13 +408,48 @@ def simhash_near_dup_pairs(d: DataFrame, ham_k: int = HAMMING_MAX) -> DataFrame:
             for j in range(SIMHASH_BITS)
         ]
     )
-    fps = votes.select(
-        "doc_id",
-        F.expr(_simhash_value_sql()).cast("bigint").alias("simhash"),
-        F.array(
-            *[F.expr(_band_value_sql(b)).cast("int") for b in range(SIMHASH_BANDS)]
-        ).alias("bands"),
-    )
+    if wide_keys:
+        import itertools
+
+        n_blocks = ham_k + 3
+        base_len = SIMHASH_BITS // n_blocks
+        rem = SIMHASH_BITS % n_blocks
+        lens = [base_len + (1 if i < rem else 0) for i in range(n_blocks)]
+        offs = [sum(lens[:i]) for i in range(n_blocks)]
+
+        def block(i: int) -> str:
+            # shiftrightunsigned: bit 63 (sign) extracts like any other
+            return (
+                f"(shiftrightunsigned(simhash, {offs[i]})"
+                f" & {(1 << lens[i]) - 1})"
+            )
+
+        key_exprs = [
+            # pack the 3 chosen blocks into fixed 16-bit slots (each
+            # block ≤ 13 bits at ham_k ≤ 10) → one ~34-48-bit bigint key
+            F.expr(
+                " | ".join(
+                    f"shiftleft({block(i)}, {16 * pos})"
+                    for pos, i in enumerate(combo)
+                )
+            ).cast("bigint")
+            for combo in itertools.combinations(range(n_blocks), 3)
+        ]
+        fps = votes.select(
+            "doc_id",
+            F.expr(_simhash_value_sql()).cast("bigint").alias("simhash"),
+        ).select("doc_id", "simhash", F.array(*key_exprs).alias("bands"))
+    else:
+        fps = votes.select(
+            "doc_id",
+            F.expr(_simhash_value_sql()).cast("bigint").alias("simhash"),
+            F.array(
+                *[
+                    F.expr(_band_value_sql(b)).cast("bigint")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            ).alias("bands"),
+        )
     bands = fps.select("doc_id", "simhash", F.posexplode("bands").alias("band", "bval"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -405,10 +468,13 @@ def simhash_near_dup_pairs(d: DataFrame, ham_k: int = HAMMING_MAX) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    # unordered by design: the display entry point (d04) sorts; the
+    # edge-list consumers (connected components) re-shuffle by key
+    # immediately, so a global sort here would be wasted shuffle of the
+    # job's largest intermediate (round-6 review)
     return (
         cand.select("d1", "d2", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= ham_k)
-        .orderBy("d1", "d2")
     )
 
 
@@ -474,6 +540,15 @@ def blocked_cosine_pairs(
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold as a DISTRIBUTED block-pair
     cogroup — no driver collect, no closure-captured corpus (I26 policy).
+
+    Float-parity caveat (round-6 review, accepted): the kernel scores
+    with normalize-then-BLAS-matmul while the DuckDB oracle folds the
+    dot sequentially, so the two engines can differ by a few ulps; a
+    pair whose true cosine lies within ~1e-15 of a 0.5e-6 rounding
+    boundary (or of the threshold after rounding) could round apart.
+    On 64-dim data that is ~1e-9 per pair — traded deliberately for the
+    ~100× BLAS throughput (the expression-cosine twin d05 keeps exact
+    fold-order parity where the oracle hash is the point).
 
     Rows are hashed into ``n_blocks`` blocks; the B·(B+1)/2 unordered
     block pairs form the join keys. Each (block_i, block_j) task receives
@@ -669,11 +744,15 @@ def d07_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % BENCH_MOD == 0 stands in for an eval set).
 
     The step every LLM training pipeline runs before training. Shape at
-    100 TB: the benchmark shingle set is small (an eval suite, ~10⁵-10⁶
-    n-grams) → broadcast it; the corpus side streams its shingles
-    through the broadcast-hash semi-join and never shuffles text. Here
-    the broadcast is explicit; at larger benchmark sizes drop the hint
-    and shuffle on md5(shingle) instead.
+    100 TB: a real benchmark shingle set is small (an eval suite,
+    ~10⁵-10⁶ n-grams) → Catalyst/AQE broadcast it from stats and the
+    corpus side streams its shingles through the broadcast-hash
+    semi-join, never shuffling text. The hint is deliberately NOT
+    forced: this fixture derives its "benchmark" from 1/37 of the
+    corpus, so a mandatory broadcast would grow with the data and OOM —
+    size-based planning picks broadcast exactly when it is safe, and a
+    genuinely large contamination set falls back to a shuffle keyed on
+    the shingle.
     """
     sh = _shingles_df(spark, sf_dir)
     bench = (
@@ -682,8 +761,13 @@ def d07_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # no broadcast HINT: this fixture's "benchmark" is 1/37 of the
+    # corpus's shingles — corpus-proportional, so a mandatory broadcast
+    # OOMs at scale (the x06 rule; round-6 review). AQE/stats still
+    # choose broadcast whenever the bench side is actually eval-suite
+    # sized, which is the production case the docstring describes.
     return (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(bench, "shingle")
         # per-doc shingles are already distinct (_shingles_df), so the
         # count is the distinct-shared-shingle count
         .groupBy("doc_id")
@@ -793,6 +877,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the budget with labels still moving means the
+        # returned components are WRONG (fragments of real clusters) —
+        # downstream consumers like x06's leakage-safe split would then
+        # scatter near-duplicates across train/test with no signal
+        # anywhere. Raise instead of silently returning (round-6
+        # review); long-diameter graphs need a bigger budget or the
+        # large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iters} iterations ({changed} moved last pass) — "
+            "raise max_iters for long-chain graphs"
+        )
     return labels
 
 

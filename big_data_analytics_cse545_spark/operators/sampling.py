@@ -285,14 +285,20 @@ def x04_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
        histogram-sized, ≤ 1001 rows);
     3. running total over the tiny histogram (window over ≤ 1001 rows —
        result-sized, NOT data-sized);
-    4. broadcast the per-bucket running offsets back; each doc needs a
-       cumulative sum only WITHIN its own bucket (window partitioned by
-       bucket — distributed across buckets, and only the single
-       boundary bucket's order actually decides membership).
+    4. broadcast the per-bucket running offsets back and TRIAGE on the
+       histogram alone: buckets whose whole token mass fits under the
+       budget are kept outright, buckets starting past the budget are
+       dropped outright, and ONLY the single boundary bucket runs the
+       within-bucket cumulative-sum window. The earlier form windowed
+       the entire corpus partitioned by ≤ 1001 clustered score values —
+       one hot score (all non-Latin docs score 0) could funnel a
+       double-digit share of a 100 TB corpus through one reducer
+       (round-6 review); now the window input is one bucket, and if
+       even that bucket is hot the x05 salting pattern applies to it.
 
     Keep iff ``bucket_offset + within_bucket_cumsum <= BUDGET``: exact,
     deterministic (ties broken by doc_id), and every data-sized stage
-    is either a narrow projection or a partitioned window.
+    is either a narrow projection or a one-bucket window.
     """
     from pyspark.sql.window import Window
 
@@ -324,17 +330,30 @@ def x04_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offsets = hist.withColumn(
         "prev_tok", F.sum("bucket_tok").over(w_hist) - F.col("bucket_tok")
-    ).select("score", "prev_tok")
+    ).select("score", "prev_tok", "bucket_tok")
+    joined = base.join(F.broadcast(offsets), "score")
+    # histogram triage: fully-fitting buckets need no per-doc order at
+    # all; buckets starting past the budget cannot contribute (cum ≥ 0
+    # for every doc, so prev_tok > BUDGET already fails the test)
+    full = joined.filter(
+        F.col("prev_tok") + F.col("bucket_tok") <= TOKEN_BUDGET
+    )
     w_bucket = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    sel = (
-        base.join(F.broadcast(offsets), "score")
+    boundary = (
+        joined.filter(
+            (F.col("prev_tok") <= TOKEN_BUDGET)
+            & (F.col("prev_tok") + F.col("bucket_tok") > TOKEN_BUDGET)
+        )
         .withColumn("cum", F.sum("n_tok").over(w_bucket))
         .filter(F.col("prev_tok") + F.col("cum") <= TOKEN_BUDGET)
+        .drop("cum")
     )
-    return sel.select("doc_id", "score", "n_tok").orderBy(
-        F.desc("score"), "doc_id"
+    return (
+        full.unionByName(boundary)
+        .select("doc_id", "score", "n_tok")
+        .orderBy(F.desc("score"), "doc_id")
     )
 
 
@@ -555,7 +574,7 @@ def x07_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from big_data_analytics_cse545_spark.functions.text import tokens
+    from big_data_analytics_cse545_spark.functions.text import bigrams, tokens
 
     d = load_table(spark, sf_dir, "documents")
     bg = (
@@ -563,14 +582,7 @@ def x07_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(ts) >= 2 THEN "
-                    "transform(sequence(1, size(ts) - 1), "
-                    "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1))) "
-                    "ELSE cast(array() AS array<string>) END"
-                )
-            ).alias("bg"),
+            F.explode(bigrams(F.col("ts"), "_")).alias("bg"),
         )
         .select(
             "doc_id",
@@ -714,7 +726,7 @@ def x08_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded single divisions), so the full four-stage funnel
     still hash-matches DuckDB end to end.
     """
-    from big_data_analytics_cse545_spark.functions.text import tokens
+    from big_data_analytics_cse545_spark.functions.text import bigrams, tokens
     from big_data_analytics_cse545_spark.operators.text import (
         DUP_TOKEN_MAX,
         PPL_HEAD_MICRO,
@@ -742,12 +754,7 @@ def x08_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         base.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
-                    " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
-                )
-            ).alias("bg"),
+            F.explode(bigrams(F.col("ts"), " ")).alias("bg"),
         )
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -214,7 +214,14 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroid components are rounded to 6 digits before any distance math
     so both engines rank identically despite unordered float summation
-    in the centroid average.
+    in the centroid average. Known bounded caveat (round-6 review): the
+    rounding absorbs summation-order differences only up to ~half an
+    ulp-accumulation of the mean; a centroid component whose true mean
+    sits within ~1e-15·m of a 0.5e-6 rounding boundary can still round
+    differently across runs or engines and re-rank a probed cell. The
+    probability is ~1e-9 per component on this data — accepted rather
+    than paying an exact-arithmetic centroid (which floats cannot give
+    without fixed-point quantization of the INPUT vectors).
     """
     e = load_table(spark, sf_dir, "embeddings")
     # centroids in long form: (label, pos, c_val)

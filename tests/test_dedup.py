@@ -427,3 +427,21 @@ def test_d12_xx_variant_density_and_shift_invariance(spark, sf_correctness):
     for r in d.select("doc_id", F.length("text").alias("l")).collect():
         if r["l"] > 0:
             assert lens[r["doc_id"]] == r["l"]
+
+
+def test_wide_key_banding_is_exact_and_narrower(spark, sf_correctness):
+    """The Manku-style wide-key banding (3-of-(ham_k+3) blocks) must
+    return EXACTLY the classic 4×16 scheme's verified pairs — both are
+    recall-1 by pigeonhole, so any difference is a bug — while keying a
+    ~32-bit space instead of 16-bit (the round-6 scale fix for the
+    Θ(N²/2¹⁶) candidate mass past ~10⁷ docs)."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    classic = sorted(
+        map(tuple, dedup.simhash_near_dup_pairs(d).collect())
+    )
+    wide = sorted(
+        map(tuple, dedup.simhash_near_dup_pairs(d, wide_keys=True).collect())
+    )
+    assert classic == wide and len(classic) > 0
