@@ -426,27 +426,43 @@ def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("j")
     ).select("j.*")
-    good = (
-        d.filter(F.col("_corrupt").isNull())
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("first_doc"),
-            F.min(F.md5(F.col("text"))).alias("content_hash"),
-        )
+    # ONE genuine pass (round-6 review: the previous good/n_all/n_good
+    # arithmetic read and re-parsed the text source 2-3×): corrupt rows
+    # route to the '_corrupt' group by key, per-source stats come from
+    # NULL-skipping conditional aggregates, and the zero-corruption
+    # placeholder row is restored by a result-sized re-aggregation with
+    # a constant — the quarantine bucket is always present, matching
+    # the oracle, even on a clean or empty corpus.
+    key = (
+        F.when(F.col("_corrupt").isNull(), F.col("source"))
+        .otherwise(F.lit("_corrupt"))
+        .alias("source")
     )
-    # every input line yields exactly one parsed row, so the quarantine
-    # count is corrupt = all − good (kept arithmetic so the scan stays
-    # single-pass; the text source makes it prune-safe either way)
-    n_all = d.agg(F.count(F.lit(1)).alias("n_all"))
-    n_good = good.agg(F.sum("n_docs").alias("n_good"))
-    bad = n_all.crossJoin(n_good).select(
+    stats = d.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.when(F.col("_corrupt").isNull(), F.col("doc_id"))).alias(
+            "first_doc"
+        ),
+        F.min(
+            F.when(F.col("_corrupt").isNull(), F.md5(F.col("text")))
+        ).alias("content_hash"),
+    )
+    placeholder = spark.range(1).select(
         F.lit("_corrupt").alias("source"),
-        (F.col("n_all") - F.coalesce("n_good", F.lit(0))).alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_docs"),
         F.lit(None).cast("bigint").alias("first_doc"),
         F.lit(None).cast("string").alias("content_hash"),
     )
-    return good.unionByName(bad).orderBy("source")
+    return (
+        stats.unionByName(placeholder)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.min("first_doc").alias("first_doc"),
+            F.min("content_hash").alias("content_hash"),
+        )
+        .orderBy("source")
+    )
 
 
 def _f03_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:

@@ -46,7 +46,14 @@ def ensure_fixture_dir(
         return d
     tmp = f"{d}.tmp-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    writer(tmp)
+    try:
+        writer(tmp)
+    except BaseException:
+        # a writer crash (disk full, corrupt source) must not leak a
+        # partial .tmp dir — pruning deliberately skips .tmp entries,
+        # so an orphan would survive forever (round-6 review)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.replace(tmp, d)
     except OSError:

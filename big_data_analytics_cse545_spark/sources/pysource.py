@@ -283,6 +283,21 @@ class JsonlSinkWriter(DataSourceWriter):
             _os.replace(m.staged_path, final)
             total += m.n_rows
             files.append(_os.path.basename(final))
+        if self.overwrite:
+            # overwrite semantics publish at commit time, like every
+            # production file sink: once this run's files are in place,
+            # remove prior-run part files (anything the new manifest
+            # doesn't list). The flag used to be stored but never acted
+            # on, so mode('overwrite') silently behaved as append for
+            # consumers globbing *.jsonl (round-6 review).
+            keep = set(files)
+            for entry in _os.listdir(self.path):
+                if (
+                    entry.endswith(".jsonl")
+                    and not entry.startswith(".staged-")
+                    and entry not in keep
+                ):
+                    _os.remove(_os.path.join(self.path, entry))
         with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
             _json.dump({"n_rows": total, "files": sorted(files)}, fh)
 

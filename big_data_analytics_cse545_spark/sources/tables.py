@@ -28,6 +28,18 @@ TABLE_NAMES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """The ONE ns→µs normalization for events.ts, shared by the batch
+    loader and the streaming scan (streaming/ops.py) so the two can
+    never drift (round-6 review): ts read as bigint (TIMESTAMP(NANOS)
+    under nanosAsLong) floor-truncates to microseconds exactly like
+    DuckDB; a native timestamp passes through as session-tz TIMESTAMP."""
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan for one table.
 
@@ -46,12 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session-timezone TIMESTAMP (session tz is pinned UTC) so every
         # downstream window/watermark sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(spark.read.parquet(path))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 

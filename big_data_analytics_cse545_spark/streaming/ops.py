@@ -6,9 +6,11 @@ is batch-only); this is the north-star extension (BASELINE.json). Each
 query runs a real Structured Streaming job (``readStream`` → windowed
 aggregation → ``Trigger.AvailableNow`` → memory sink) and returns the
 materialized result as a batch DataFrame, so the driver's oracle compare
-exercises genuine streaming execution with batch-equivalent semantics
-(events.parquet is a single file → one micro-batch → watermarking drops
-nothing, making results deterministic and SQL-checkable).
+exercises genuine streaming execution with deterministic, SQL-checkable
+semantics: windowed aggregations run in APPEND mode (the one mode where
+the watermark evicts state — round-6 review) and emit exactly the
+watermark-closed windows, a horizon each oracle reproduces explicitly
+(``window_end ≤ max ts − delay``, the st10 pattern).
 """
 
 from __future__ import annotations
@@ -43,28 +45,35 @@ def _stream_shuffle_partitions(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of events with the same ns→µs truncation as the
-    batch loader (sources/tables.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+def _stream_scan(spark: SparkSession, sf_dir: str, table_file: str) -> DataFrame:
+    """Streaming file scan of one table, handling BOTH fixture layouts:
+    a single ``<table>.parquet`` FILE is selected out of the sf dir with
+    a leaf-name glob, while a ``<table>.parquet`` DIRECTORY (the
+    standard Spark writer layout of part-* files) streams the directory
+    itself. The glob alone would silently match zero leaf files on the
+    directory layout — every streaming query would return empty with no
+    error pointing at the scan (round-6 review)."""
+    path = os.path.join(sf_dir, table_file)
     schema = spark.read.parquet(path).schema
-    # ts is LongType when the file is TIMESTAMP(NANOS) (read under
-    # nanosAsLong), or already a timestamp when the file is micros —
-    # normalize exactly like the batch loader (sources/tables.py).
-    ts_is_long = dict((f.name, f.dataType.simpleString()) for f in schema)[
-        "ts"
-    ] == "bigint"
-    # File-stream sources need a directory basePath; select the single
-    # events file out of the sf dir with a glob filter.
-    stream = (
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", table_file)
         .parquet(sf_dir)
     )
-    if ts_is_long:
-        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of events with the same ns→µs truncation as the
+    batch loader — literally the same function (round-6 review:
+    the truncation used to be a hand-kept copy)."""
+    from big_data_analytics_cse545_spark.sources.tables import (
+        normalize_events_ts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(_stream_scan(spark, sf_dir, "events.parquet"))
 
 
 def _run_to_table(
@@ -100,9 +109,14 @@ def _run_to_table(
 def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows with a 1-hour watermark:
     count + value sum per (window, event_type), the baseline stateful
-    streaming aggregation. State holds only open windows (watermark
-    eviction bounds it regardless of stream length); the decimal-cast
-    sum keeps float parity with the oracle."""
+    streaming aggregation — in APPEND output mode, because that is the
+    only mode where the watermark actually EVICTS window state (round-6
+    review: complete mode retains every window's aggregate forever, so
+    the previous complete-mode form contradicted its own bounded-state
+    claim). Append emits exactly the watermark-closed windows
+    (window_end ≤ max ts − 1 h under AvailableNow), which the oracle
+    reproduces — the st10 horizon pattern. The decimal-cast sum keeps
+    float parity with the oracle."""
     e = _events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -112,7 +126,7 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
         )
     )
-    out = _run_to_table(agg, spark, "st01_mem")
+    out = _run_to_table(agg, spark, "st01_mem", output_mode="append")
     return (
         out.select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
@@ -128,12 +142,16 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not to_timestamp(), whose TIMESTAMPTZ rendering depends on the DuckDB
 # session TimeZone (host-local by default, while Spark is pinned UTC).
 _ST01_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
 SELECT
   strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000), '%Y-%m-%d %H:%M') AS window_start,
   event_type,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
 FROM events
+-- append-mode horizon: only watermark-closed windows emit
+WHERE make_timestamp((CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) + 3600) * 1000000)
+      <= (SELECT w FROM wm)
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
@@ -147,15 +165,16 @@ def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1-hour length, 30-minute slide): each event
     lands in exactly 2 windows — Spark fans out window instances per
     event and aggregates per instance, which the oracle mirrors with an
-    explicit 2-start unnest. Same watermark-bounded state story as
-    st01, ×(length/slide) window instances."""
+    explicit 2-start unnest. Append mode like st01 (the one mode where
+    the watermark genuinely evicts window state; round-6 review),
+    ×(length/slide) window instances, same closed-window horizon."""
     e = _events_stream(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = _run_to_table(agg, spark, "st02_mem")
+    out = _run_to_table(agg, spark, "st02_mem", output_mode="append")
     return (
         out.select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
@@ -175,7 +194,10 @@ WITH starts AS (
 )
 SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M') AS window_start,
        COUNT(*) AS n_events
-FROM starts GROUP BY s ORDER BY window_start
+FROM starts
+WHERE make_timestamp((s + 3600) * 1000000)
+      <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+GROUP BY s ORDER BY window_start
 """
 
 
@@ -186,6 +208,10 @@ FROM starts GROUP BY s ORDER BY window_start
 def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 10-minute gap; output = session
     count + size histogram per user bucket (kept small and hash-stable).
+    APPEND mode: session state is evicted when the watermark passes a
+    session's close (round-6 review — complete mode would retain every
+    session forever), so emitted sessions are those whose end
+    (last event + gap) ≤ max ts − 1 h, which the oracle reproduces.
 
     Oracle: the classic gaps-and-islands rewrite. Boundary semantics,
     pinned by tests/test_streaming.py::test_session_window_exact_gap_boundary:
@@ -199,7 +225,7 @@ def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", f"{GAP_SECONDS} seconds").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = _run_to_table(agg, spark, "st03_mem")
+    out = _run_to_table(agg, spark, "st03_mem", output_mode="append")
     return (
         out.groupBy(F.col("n_events").alias("session_size"))
         .agg(
@@ -225,12 +251,17 @@ sessions AS (
   FROM ordered
 ),
 per_session AS (
-  SELECT user_id, sid, COUNT(*) AS session_size FROM sessions GROUP BY user_id, sid
+  SELECT user_id, sid, COUNT(*) AS session_size,
+         max(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end
+  FROM sessions GROUP BY user_id, sid
 )
 SELECT session_size,
        COUNT(*) AS n_sessions,
        COUNT(DISTINCT user_id) AS n_users
-FROM per_session GROUP BY session_size ORDER BY session_size
+FROM per_session
+-- append-mode horizon: only watermark-closed sessions emit
+WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+GROUP BY session_size ORDER BY session_size
 """
 
 
@@ -240,7 +271,21 @@ FROM per_session GROUP BY session_size ORDER BY session_size
 
 def st04_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type): the memory-sink
-    count per event_type equals the batch COUNT(DISTINCT user_id)."""
+    count per event_type equals the batch COUNT(DISTINCT user_id).
+
+    State honesty (round-6 review): GLOBAL exact streaming dedup is
+    inherently unbounded-state — plain dropDuplicates keeps one state
+    row per distinct key forever, and the watermark cannot evict it
+    because the dedup keys carry no event time (this is semantic, not
+    an implementation gap: exact global distinct over an infinite
+    stream requires remembering every key). This query demonstrates
+    that exact semantics on a bounded replay; continuous deployments
+    bound state with ``dropDuplicatesWithinWatermark`` (accepting
+    re-admission of keys separated by more than the delay — pinned in
+    tests/test_streaming.py) or the stream-static anti-join against a
+    persisted index (st09), which keeps ZERO stream-side state. The
+    downstream complete-mode agg holds one row per event_type —
+    constant-sized."""
     e = _events_stream(spark, sf_dir)
     dedup = (
         e.withWatermark("ts", "1 hour")
@@ -319,13 +364,24 @@ GROUP BY n_events ORDER BY n_events
 # ---------------------------------------------------------------------------
 
 def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream inner join: views ⋈ purchases by the
-    same user within 1 hour after the view, reduced to pairs-per-
-    purchase-hour-of-day. Both sides carry watermarks and the join has a
-    time-range condition, so Spark can expire join state — the unbounded
-    state problem every naive stream join hits at scale. With
-    AvailableNow over one file the result equals the batch join exactly,
-    giving a SQL oracle.
+    """Watermarked stream-stream inner join CHAINED into a windowed
+    aggregation — two stateful operators in one standing query: views ⋈
+    purchases by the same user within 1 hour after the view, reduced
+    in-stream to counts per 1-hour purchase window, then rolled up to
+    hour-of-day batch-side. Both sides carry watermarks and the join
+    has a time-range condition, so Spark expires join state; the
+    chained agg means the SINK receives window-level counts, never the
+    pair-granularity join output (round-6 review: the previous form
+    materialized every joined pair in the driver-resident memory sink —
+    a hot user with 10⁴ views × 10⁴ purchases in an hour would have
+    produced 10⁸ driver rows; now that blowup stays inside executor
+    state and the sink is aggregate-sized under ANY fan-out).
+
+    Emission horizon (probed, not assumed): the join shifts the
+    downstream purchase-side watermark by the time-range span, so a
+    window emits iff window_end < least(max view_ts, max purchase_ts)
+    − 1 h (delay) − 1 h (range) — STRICT, the boundary window is
+    withheld. The oracle reproduces exactly that cut.
     """
     e = _events_stream(spark, sf_dir)
     views = (
@@ -345,28 +401,37 @@ def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
         ),
     )
-    out = _run_to_table(
-        joined.select("p_user", "view_ts", "purchase_ts"),
-        spark,
-        "st06_mem",
-        output_mode="append",
+    agg = joined.groupBy(F.window("purchase_ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
     )
+    out = _run_to_table(agg, spark, "st06_mem", output_mode="append")
     return (
-        out.groupBy(F.date_format("purchase_ts", "HH").alias("purchase_hour"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        out.groupBy(F.date_format("w.start", "HH").alias("purchase_hour"))
+        .agg(F.sum("n_pairs").alias("n_pairs"))
         .orderBy("purchase_hour")
     )
 
 
 # The join bound compares timestamps directly (INTERVAL arithmetic is
 # exact integer-microsecond math in DuckDB); epoch() doubles could lose
-# 1 ulp on fractional-microsecond values and flip a boundary pair.
+# 1 ulp on fractional-microsecond values and flip a boundary pair. The
+# wm CTE coalesces each side's max to epoch (least() ignores NULLs —
+# the st08 lesson) and subtracts delay + join range; the cut is STRICT
+# on the purchase window end (probed against Spark's chained emission).
 _ST06_SQL = """
 WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
-p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least(
+           coalesce((SELECT max(vts) FROM v), TIMESTAMP '1970-01-01'),
+           coalesce((SELECT max(pts) FROM p), TIMESTAMP '1970-01-01')
+         ) - INTERVAL 2 HOUR AS w
+)
 SELECT strftime(pts, '%H') AS purchase_hour, COUNT(*) AS n_pairs
 FROM v JOIN p ON v.user_id = p.user_id
  AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR
+WHERE make_timestamp((CAST(floor(epoch(pts) / 3600) AS BIGINT) + 1) * 3600 * 1000000)
+      < (SELECT w FROM wm)
 GROUP BY 1 ORDER BY purchase_hour
 """
 
@@ -421,18 +486,26 @@ ORDER BY c_mktsegment, event_type
 # ---------------------------------------------------------------------------
 
 def st08_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream LEFT OUTER join: every view pairs with
-    a same-user purchase within 1 hour after it, or emits a null-padded
-    row once it can be PROVEN unmatched — i.e. once the global watermark
-    passes the view's one-hour match horizon and its join state is
-    evicted. Views still inside the horizon at end-of-stream are neither
-    matched nor provably unmatched, so they are (correctly) never
-    emitted — the outer-join semantics only a watermark makes safe at
-    scale, and exactly what the oracle reproduces: the final watermark
-    is min(max view_ts, max purchase_ts) − 1 h, and a view null-emits
-    iff view_ts + 1 h < that watermark.
+    """Watermarked stream-stream LEFT OUTER join CHAINED into a windowed
+    aggregation: every view pairs with a same-user purchase within 1
+    hour after it, or emits a null-padded row once it can be PROVEN
+    unmatched (the global watermark passed its one-hour match horizon
+    and its join state was evicted) — then counts aggregate in-stream
+    per (1-hour VIEW window, purchase-hour-or-'unmatched'), so the sink
+    receives window-level counts instead of pair-granularity join
+    output (round-6 review: the previous form materialized every outer
+    row in the driver-resident memory sink). Views still inside the
+    match horizon at end-of-stream are neither matched nor provably
+    unmatched, so they are (correctly) never emitted — the outer-join
+    semantics only a watermark makes safe at scale.
 
-    Output: pairs per purchase-hour plus an 'unmatched' bucket.
+    The oracle reproduces the chained emission exactly: a view-window
+    emits iff window_end < min(max view_ts, max purchase_ts) − 2 h
+    (1 h watermark delay + 1 h join-range shift; strict — probed).
+    Null emission always precedes the window's close, so the chain
+    loses no unmatched views (verified row-for-row on the fixture).
+
+    Output: rows per purchase-hour plus an 'unmatched' bucket.
     """
     e = _events_stream(spark, sf_dir)
     views = (
@@ -453,29 +526,42 @@ def st08_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    out = _run_to_table(
-        joined.select("v_user", "view_ts", "purchase_ts"),
-        spark,
-        "st08_mem",
-        output_mode="append",
-    )
+    # chained stateful agg (round-6 review): window on VIEW time — the
+    # column every output row carries, null-padded ones included — so
+    # the sink receives window-level counts, never pair-granularity
+    # join output. Null emission always precedes the view-window's
+    # close (the null fires when wm passes view_ts + 1 h; the window
+    # closes when wm passes window_end + 1 h ≥ that), so no unmatched
+    # row is ever lost to the chain — verified exactly on the fixture.
+    agg = joined.groupBy(
+        F.window("view_ts", "1 hour").alias("w"),
+        F.coalesce(
+            F.date_format("purchase_ts", "HH"), F.lit("unmatched")
+        ).alias("purchase_hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_table(agg, spark, "st08_mem", output_mode="append")
     return (
-        out.groupBy(
-            F.coalesce(
-                F.date_format("purchase_ts", "HH"), F.lit("unmatched")
-            ).alias("purchase_hour")
-        )
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        out.groupBy("purchase_hour")
+        .agg(F.sum("n").alias("n_rows"))
         .orderBy("purchase_hour")
     )
 
 
+# Horizon: view-window end < least(max vts, max pts) − 1 h (watermark
+# delay) − 1 h (the join's time-range span shifts the downstream
+# watermark) — STRICT, probed against Spark's chained emission and
+# verified row-for-row on the fixture. coalesce-to-epoch, NOT a bare
+# least(): DuckDB's least() IGNORES NULLs, so with zero purchase rows
+# it would return max(vts) while Spark's purchase-side watermark never
+# advances past 0 and nothing emits (round-6 review).
 _ST08_SQL = """
 WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
 p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
 wm AS (
-  SELECT least((SELECT max(vts) FROM v), (SELECT max(pts) FROM p))
-         - INTERVAL 1 HOUR AS w
+  SELECT least(
+           coalesce((SELECT max(vts) FROM v), TIMESTAMP '1970-01-01'),
+           coalesce((SELECT max(pts) FROM p), TIMESTAMP '1970-01-01')
+         ) - INTERVAL 2 HOUR AS w
 ),
 j AS (
   SELECT v.vts, p.pts
@@ -486,8 +572,8 @@ SELECT CASE WHEN pts IS NOT NULL THEN strftime(pts, '%H')
             ELSE 'unmatched' END AS purchase_hour,
        COUNT(*) AS n_rows
 FROM j
-WHERE pts IS NOT NULL
-   OR vts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+WHERE make_timestamp((CAST(floor(epoch(vts) / 3600) AS BIGINT) + 1) * 3600 * 1000000)
+      < (SELECT w FROM wm)
 GROUP BY 1
 ORDER BY purchase_hour
 """
@@ -499,14 +585,8 @@ ORDER BY purchase_hour
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the documents table (file source, same schema
-    as the batch loader)."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    as the batch loader; handles file and directory layouts alike)."""
+    return _stream_scan(spark, sf_dir, "documents.parquet")
 
 
 def st09_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +607,10 @@ def st09_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     all (unlike st04's dropDuplicates, nothing accumulates). At
     100 TB/day the hash index refreshes per ingest cycle while the
     standing query keeps running. Output: kept docs per source
-    (count + first id).
+    (count + first id). The memory sink here holds the kept-docs
+    stream — linear in the BATCH (the anti-join's actual output
+    contract; production points the same query at a file sink), not
+    the quadratic pair output st06/st08 used to push driver-side.
     """
     from big_data_analytics_cse545_spark.sources import load_table
 

@@ -125,3 +125,31 @@ def test_python_custom_writer_two_phase_commit(spark, sf_smoke, tmp_path):
     assert (
         back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
     ), "round-trip mismatch"
+
+
+def test_python_custom_writer_overwrite_clears_stale_parts(spark, sf_smoke, tmp_path):
+    """mode('overwrite') must publish ONLY the new run's files: the
+    writer used to store the flag and never act on it, so consumers
+    globbing *.jsonl saw run-1 + run-2 rows (round-6 review)."""
+    import json
+    import os
+
+    from big_data_analytics_cse545_spark.sources import load_table, pysource
+
+    pysource.register_sink(spark)
+    out = str(tmp_path / "jsonl_sink_ow")
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "n_chars")
+    d.limit(7).repartition(2).write.format("graftjsonl").option(
+        "path", out
+    ).mode("append").save()
+    d.limit(3).repartition(1).write.format("graftjsonl").option(
+        "path", out
+    ).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == 3
+    on_disk = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert on_disk == sorted(manifest["files"]), (
+        "overwrite must leave exactly the manifest's files on disk"
+    )
+    back = spark.read.schema("doc_id long, n_chars long").json(out)
+    assert back.count() == 3

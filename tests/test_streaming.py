@@ -16,18 +16,25 @@ def test_streaming_oracle_parity(spark, sf_correctness, name):
 
 def test_batch_stream_parity_tumbling(spark, sf_correctness):
     """The same tumbling-window aggregation computed in pure batch mode
-    must equal the streaming result (Trigger.AvailableNow semantics)."""
+    must equal the streaming result on the watermark-CLOSED windows —
+    st01 runs in append mode (the one mode where the watermark evicts
+    window state), so the batch twin applies the same emission horizon
+    (window_end ≤ max ts − 1 h, the st10 pattern)."""
     from pyspark.sql import functions as F
 
     from big_data_analytics_cse545_spark.sources import load_table
 
     e = load_table(spark, sf_correctness, "events")
+    horizon = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("h")
+    ).collect()[0]["h"]
     batch = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
         )
+        .filter(F.col("w.end") <= F.lit(horizon))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
             "event_type",
@@ -265,3 +272,48 @@ def test_st11_state_packing_roundtrip():
     assert set(packed.split("|")) == seen
     assert "|".join(sorted(set(packed.split("|")))) == packed
     assert set("".split("|")) == {""}  # why the empty-string guard exists
+
+
+def test_chained_join_agg_emission_horizon_is_strict(spark, tmp_path):
+    """Pin the probed emission rule st06/st08's oracles encode: a
+    chained join→window-agg emits a window iff window_end is STRICTLY
+    below least(max view_ts, max purchase_ts) − 1 h (delay) − 1 h
+    (join-range shift). Fixture: views hourly through 10:00, purchases
+    on the hour through 5:00 → global watermark 4:00, downstream 3:00;
+    the window ending exactly 3:00 must be WITHHELD."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+    for h in range(11):
+        rows.append((eid, base + pd.Timedelta(hours=h), 1, "view", 1.0, "{}"))
+        eid += 1
+    for h in range(6):
+        rows.append((eid, base + pd.Timedelta(hours=h), 1, "purchase", 1.0, "{}"))
+        eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    got = {
+        r["purchase_hour"]: r["n_pairs"]
+        for r in st.st06_stream_stream_join(spark, str(tmp_path)).collect()
+    }
+    # purchase at hour h matches views at h-1 (boundary pts = vts+1h
+    # included) and h; only windows ending 1:00 and 2:00 close below
+    # the 3:00 horizon — the 3:00-ending window is withheld (strict)
+    assert got == {"00": 1, "01": 2}
+    # the oracle agrees on the same fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    exp = {
+        r[0]: r[1]
+        for r in con.execute(st.ORACLE["st06_stream_stream_join"]).fetchall()
+    }
+    assert exp == got
