@@ -376,17 +376,19 @@ def dup_clusters(
     id_col: str,
     *,
     ham_k: int = 3,
-    wide_keys: bool = False,
+    wide_keys: bool = True,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Transitive near-dup clusters over any corpus: 64-bit SimHash
     hamming-banded pairs (d04 semantics) closed into components by
     distributed min-label propagation (d08).
 
-    ``wide_keys=True`` switches the candidate stage to the Manku-style
-    3-of-(ham_k+3)-block keys (~32-bit key space instead of 16-bit) —
-    identical output (both schemes are exact), ~2¹⁶ less bucket
-    collision mass; the setting for corpora ≫10⁷ docs. Returns one row per doc
+    ``wide_keys`` (default True, matching the operator layer): the
+    Manku-style 3-of-(ham_k+3)-block candidate keys (~32-bit key space)
+    — identical output to the classic 4×16 bands (both schemes are
+    exact; parity test-pinned) with ~2¹⁶ less bucket collision mass.
+    ``False`` selects the 16-bit banding, which collapses in the
+    candidate self-join past ~10⁷ docs — demonstration only. Returns one row per doc
     that has at least one near-dup: (id_col, cluster_id, cluster_size),
     cluster_id = min member id.
 
@@ -786,10 +788,16 @@ def ivf_pq_join(
     encode, ADC, hash-spread tie-inclusive shortlist, exact float64
     rerank, per-cell top-k — with a window merging per-cell winners.
     No driver materialization grows with the corpus. Per-task work is
-    one cell's corpus (~N/n_cells — raise n_cells ~ √N so cells stay
-    partition-sized) times the queries probing it; for
+    one cell-shard's corpus times the queries probing it: cells whose
+    AVERAGE size would overflow the grid path's per-cell row budget are
+    hash-sub-sharded on n_id (queries replicate across a cell's shards;
+    exactness is untouched since per-query results are shard-
+    independent and the window merges them). Raise n_cells ~ √N so
+    cells stay partition-sized and the shard fan-out stays 1; for
     corpus-proportional query sets prefer a larger n_cells so the
-    per-cell query load stays bounded.
+    per-cell query load stays bounded. The average-based shard count
+    cannot bound one pathologically skewed mega-cell — that corpus
+    needs more cells, not more shards.
     """
     import numpy as np
     import pandas as pd
@@ -867,6 +875,32 @@ def ivf_pq_join(
         .select("q_id", "q_emb", F.explode("_probe.cell").alias("_cell"))
     )
 
+    # Hot-cell bound (round-6 review): applyInPandas materializes a
+    # whole cogroup cell before the cell fn can slice anything, and
+    # KMeans cells — unlike the grid path — have no size cap. Sub-shard
+    # the corpus side by an id hash whenever the AVERAGE cell would
+    # overflow the grid path's per-cell row budget (queries replicate
+    # across a cell's shards; per-query results are shard-independent,
+    # so the window merge is exact). Average-based like AQE's skew
+    # heuristics: a pathologically skewed single mega-cell can still
+    # exceed the budget — raise n_cells for such corpora (docstring).
+    from big_data_analytics_cse545_spark.operators.projection import (
+        PQ_CORPUS_ROWS_PER_BLOCK,
+    )
+
+    n_corpus = corpus.count()
+    n_shards = max(1, -(-n_corpus // (n_cells * PQ_CORPUS_ROWS_PER_BLOCK)))
+    keys = ["_cell"]
+    if n_shards > 1:
+        keys = ["_cell", "_shard"]
+        c_side = c_side.withColumn(
+            "_shard", F.pmod(F.xxhash64("n_id"), F.lit(n_shards)).cast("int")
+        )
+        shards = spark.range(n_shards).select(
+            F.col("id").cast("int").alias("_shard")
+        )
+        q_side = q_side.join(F.broadcast(shards))
+
     cols = ["q_id", "neighbor_id", "d2"]
 
     def make_kernel(qpdf: pd.DataFrame):
@@ -884,8 +918,8 @@ def ivf_pq_join(
         return run
 
     candidates = (
-        q_side.groupBy("_cell")
-        .cogroup(c_side.groupBy("_cell"))
+        q_side.groupBy(*keys)
+        .cogroup(c_side.groupBy(*keys))
         .applyInPandas(
             _pq_cell_fn(
                 make_kernel,
@@ -1027,6 +1061,7 @@ def pq_search(
         _pq_exact_rerank,
         _pq_grid_cogroup,
         _pq_parse_codes,
+        _pq_pool_cut,
         _pq_rank_tail,
     )
 
@@ -1069,6 +1104,13 @@ def pq_search(
 
         def scan(batches):
             qids, dtab = bc.value
+            # shortlist mode folds batches through the tie-inclusive
+            # pool cut so each TASK emits ≤ 32·rerank + ties rows per
+            # query instead of that much per Arrow batch — the window
+            # shuffle input stops growing with the corpus (round-6
+            # review); the running pool itself is bounded by the same
+            # cut, so task memory is constant
+            pool = None
             for batch in batches:
                 if not len(batch):
                     continue
@@ -1078,8 +1120,19 @@ def pq_search(
                     dtab, qids, nids, c, rerank,
                     topk=kernel_topk, exclude_self=exclude_self,
                 )
-                if res is not None:
-                    yield pd.DataFrame(dict(zip(cols, res)))
+                if res is None:
+                    continue
+                new = pd.DataFrame(dict(zip(cols, res)))
+                if kernel_topk is not None:
+                    yield new
+                    continue
+                pool = (
+                    new if pool is None
+                    else pd.concat([pool, new], ignore_index=True)
+                )
+                pool = _pq_pool_cut(pool, rerank)
+            if pool is not None and len(pool):
+                yield pool
 
         candidates = codes_df.mapInPandas(scan, schema=cand_schema)
     else:
@@ -1104,7 +1157,10 @@ def pq_search(
             codes_df,
             queries.count(),
             codes_df.count(),
-            _pq_cell_fn(make_kernel, _pq_parse_codes, cols, dtypes),
+            _pq_cell_fn(
+                make_kernel, _pq_parse_codes, cols, dtypes,
+                pool_rerank=rerank if kernel_topk is None else None,
+            ),
             cand_schema,
         )
 

@@ -742,20 +742,45 @@ def _pq_adc_codes_kernel(
     return res if topk is not None else res + (np.concatenate(out_b),)
 
 
+def _pq_pool_cut(pdf, rerank):
+    """Tie-inclusive ``rerank``-deep ADC cut per (q_id, blk) on a
+    pandas candidate pool — the kernels' own cut re-applied across a
+    task's accumulated chunk/batch outputs BEFORE anything shuffles.
+    Provably output-identical: the cut is monotone under partition
+    refinement (a row inside the global top-rerank of its (q, blk)
+    pool is inside the top-rerank of every sub-pool containing it), so
+    pre-cutting per task never drops a row the downstream global cut
+    would keep. Without it, every corpus chunk contributed its own
+    32·rerank rows per query to the window shuffle — corpus-
+    proportional candidate volume per query (round-6 review)."""
+    if not len(pdf):
+        return pdf
+    th = pdf.groupby(["q_id", "blk"])["adc"].transform(
+        lambda s: s.nsmallest(min(rerank, len(s))).iloc[-1]
+    )
+    return pdf[pdf["adc"] <= th]
+
+
 def _pq_cell_fn(
     make_kernel, parse_corpus, cols, dtypes,
-    chunk=PQ_KERNEL_CHUNK, id_col="n_id",
+    chunk=PQ_KERNEL_CHUNK, id_col="n_id", pool_rerank=None,
 ):
     """Wrap a per-chunk numpy kernel into an applyInPandas cell
     function: empty-frame safe, BOTH sides processed in bounded slices
-    so per-invocation memory never depends on cell size — the corpus in
-    ``chunk``-row slices and the queries in PQ_QUERIES_PER_BLOCK-row
-    slices (a hot cell — one IVF cell probed by a corpus-proportional
-    query set, or a skewed grid block — would otherwise build an
-    unbounded nq_cell × chunk ADC matrix; round-6 review). Per-slice
-    output is safe: each query's candidates depend only on (query,
-    corpus slice), and the global window merge selects across slices
-    exactly as it selects across cells.
+    so per-KERNEL working memory never depends on cell size — the
+    corpus in ``chunk``-row slices and the queries in
+    PQ_QUERIES_PER_BLOCK-row slices (a hot cell would otherwise build
+    an unbounded nq_cell × chunk ADC matrix; round-6 review). NOTE the
+    honest bound (round-6 review #2): applyInPandas materializes the
+    whole cogroup cell as pandas frames BEFORE this function slices
+    anything, so cell-size itself must be bounded by the CALLER's
+    keying — the grid path caps cells via PQ_CORPUS_ROWS_PER_BLOCK and
+    ivf_pq_join sub-shards oversized KMeans cells. Per-slice output is
+    safe: each query's candidates depend only on (query, corpus slice),
+    and the global window merge selects across slices exactly as it
+    selects across cells. ``pool_rerank`` (shortlist-mode callers):
+    apply :func:`_pq_pool_cut` to the cell's accumulated output so the
+    task emits ≤ 32·rerank + ties rows per query, not per chunk.
 
     ``make_kernel(qslice_pdf) -> run(nids, corpus_arr)`` hoists the
     per-slice query prep (id/float extraction, ADC table build) out of
@@ -788,7 +813,12 @@ def _pq_cell_fn(
                 res = run(nids, arr)
                 if res is not None:
                     outs.append(pd.DataFrame(dict(zip(cols, res))))
-        return pd.concat(outs, ignore_index=True) if outs else empty
+        if not outs:
+            return empty
+        merged = pd.concat(outs, ignore_index=True)
+        if pool_rerank is not None:
+            merged = _pq_pool_cut(merged, pool_rerank)
+        return merged
 
     return cell
 
@@ -946,7 +976,13 @@ def _pq_rank_tail(scored: DataFrame, k: int, dcol: str = "d2") -> DataFrame:
     """Global merge shared by every PQ entry point: per-task candidates
     → window top-k per query (two-phase exact-top-k, x05), distances
     rounded to 4 decimals, ties broken by neighbor_id."""
-    w = Window.partitionBy("q_id").orderBy(dcol, "neighbor_id")
+    # asc_nulls_last: a NULL distance (a corpus row whose embedding
+    # carries a NULL element, or a dim mismatch NULL-padded by zip_with)
+    # must never outrank a real neighbor — Spark's default NULLS FIRST
+    # would return it as rk=1 (round-6 review)
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc_nulls_last(dcol), "neighbor_id"
+    )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -1197,6 +1233,7 @@ def pq_topk_join(
             ["q_id", "neighbor_id", "adc", "blk"],
             {"q_id": "int64", "neighbor_id": "int64",
              "adc": "float64", "blk": "int32"},
+            pool_rerank=rerank,
         ),
         "q_id long, neighbor_id long, adc double, blk int",
     )

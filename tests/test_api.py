@@ -1036,3 +1036,23 @@ def test_ann_join_lsh_candidate_stage_is_narrow(spark, sf_smoke):
         assert re.search(r"\[(q_id|neighbor_id)#\d+L?\], false, \[_t#\d+, _b#\d+\]$", ln), (
             f"exploded relation is not narrow: ...{ln[-140:]}"
         )
+
+
+def test_ivf_pq_join_hot_cell_sharding_is_exact(spark, sf_correctness, monkeypatch):
+    """Forcing the hot-cell sub-shard path (cell row budget shrunk below
+    the fixture's cell sizes) must return exactly the unsharded result:
+    per-query results are shard-independent and the window merges them
+    (round-6 review — KMeans cells, unlike the grid path, had no size
+    cap and a hot cell materialized unbounded pandas frames)."""
+    from big_data_analytics_cse545_spark.operators import projection
+
+    e = load_table(spark, sf_correctness, "embeddings")
+    q = e.filter(F.col("vec_id") % similarity.QUERY_MOD == 0)
+    base = sorted(
+        map(tuple, api.ivf_pq_join(q, e, "embedding", "vec_id", k=3).collect())
+    )
+    monkeypatch.setattr(projection, "PQ_CORPUS_ROWS_PER_BLOCK", 8)
+    sharded = sorted(
+        map(tuple, api.ivf_pq_join(q, e, "embedding", "vec_id", k=3).collect())
+    )
+    assert base == sharded and len(base) > 0

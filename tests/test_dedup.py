@@ -439,7 +439,7 @@ def test_wide_key_banding_is_exact_and_narrower(spark, sf_correctness):
 
     d = load_table(spark, sf_correctness, "documents")
     classic = sorted(
-        map(tuple, dedup.simhash_near_dup_pairs(d).collect())
+        map(tuple, dedup.simhash_near_dup_pairs(d, wide_keys=False).collect())
     )
     wide = sorted(
         map(tuple, dedup.simhash_near_dup_pairs(d, wide_keys=True).collect())
