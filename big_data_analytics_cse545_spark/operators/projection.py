@@ -755,9 +755,17 @@ def _pq_pool_cut(pdf, rerank):
     proportional candidate volume per query (round-6 review)."""
     if not len(pdf):
         return pdf
-    th = pdf.groupby(["q_id", "blk"])["adc"].transform(
-        lambda s: s.nsmallest(min(rerank, len(s))).iloc[-1]
-    )
+    # vectorized (cythonized groupby transforms only — a per-group
+    # Python lambda was 2× the wall at small block sizes): sort within
+    # (q_id, blk) by adc, locate each group's rerank-th value, keep
+    # everything ≤ it (tie-inclusive)
+    pdf = pdf.sort_values(["q_id", "blk", "adc"], kind="mergesort",
+                          ignore_index=True)
+    g = pdf.groupby(["q_id", "blk"], sort=False)
+    pos = g.cumcount()
+    cut_pos = g["adc"].transform("size").clip(upper=rerank) - 1
+    th = pdf["adc"].where(pos == cut_pos)
+    th = th.groupby([pdf["q_id"], pdf["blk"]], sort=False).transform("max")
     return pdf[pdf["adc"] <= th]
 
 
