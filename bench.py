@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -30,7 +31,11 @@ def short_code_timings(timings: dict[str, float]) -> dict[str, float]:
     counts = Counter(n.split("_", 1)[0] for n in timings)
     seen: dict[str, int] = {}
     short: dict[str, float] = {}
-    for n, t in timings.items():
+    # iterate in sorted-name order so collision suffixes are stable
+    # across forward and REVERSE bench runs (round-6 review: insertion
+    # order would swap #1/#2 between the two directions, corrupting
+    # exactly the fwd-vs-rev comparison reverse mode exists for)
+    for n, t in sorted(timings.items()):
         code = n.split("_", 1)[0]
         if counts[code] > 1:
             seen[code] = seen.get(code, 0) + 1
@@ -42,16 +47,25 @@ def short_code_timings(timings: dict[str, float]) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # tolerant sf parse: bench must ALWAYS emit its JSON line, so a dir
+    # like .../sf0.1_nulls or a stray 'sf' substring reports sf=-1.0
+    # instead of dying on float() before the guarded loop (round-6
+    # review)
+    m = re.search(r"sf(\d+(?:\.\d+)?)/*$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from big_data_analytics_cse545_spark.session import get_spark
 
+    # 32 shuffle partitions — the config every recorded bench number has
+    # actually run at (a configure_runtime reset silently pinned 32 until
+    # the round-6 review; declaring 32 keeps the whole bench history
+    # comparable rather than shifting every timing by a config change)
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")),
     )
     spark.sparkContext.setLogLevel("ERROR")
 

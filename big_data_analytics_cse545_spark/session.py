@@ -81,9 +81,17 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # A vanilla session defaults to 200 shuffle partitions — at test SF
     # that is pure scheduling overhead (and for stateful streaming, 200
-    # state-store instances). Size to the environment like get_spark().
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
-    )
+    # state-store instances). BUT only the vanilla default (or an
+    # explicit env override) may be replaced: a session whose creator
+    # deliberately set another value (bench.py's 64, the chaos sweep's
+    # degenerate 1/16 probes) must keep it — the previous unconditional
+    # reset silently ran every wrapped query at 32 regardless of the
+    # recorded config (round-6 review).
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"],
+        )
+    elif spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark

@@ -68,3 +68,29 @@ def test_bench_control_usage_without_args(monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["bench_control.py"])
     assert bc.main() == 2
     assert "usage:" in capsys.readouterr().err
+
+
+def test_configure_runtime_respects_creator_shuffle_setting(spark, monkeypatch):
+    """configure_runtime must replace only the vanilla 200-partition
+    default (or honor an explicit env override) — never a value the
+    session's creator deliberately set. The previous unconditional
+    reset silently ran every wrapped query at 32 regardless of the
+    recorded config: bench 'at 64' and the chaos sweep's 'degenerate
+    shuffle=1' dimension had never actually run (round-6 review)."""
+    from big_data_analytics_cse545_spark.session import configure_runtime
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    try:
+        spark.conf.set(key, "7")
+        configure_runtime(spark)
+        assert spark.conf.get(key) == "7", "creator's setting must survive"
+        spark.conf.set(key, "200")
+        configure_runtime(spark)
+        assert spark.conf.get(key) == "32", "vanilla default must be resized"
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "11")
+        configure_runtime(spark)
+        assert spark.conf.get(key) == "11", "explicit env override wins"
+    finally:
+        spark.conf.set(key, prev)

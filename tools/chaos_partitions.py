@@ -25,9 +25,15 @@ determinism under partition chaos, not just crash-freedom):
     kernel sees many tiny batches, so cross-batch accumulation bugs
     (state reset per batch, per-batch top-k leaking into results)
     surface immediately;
-  * ``--shuffle 1`` (or a prime like 5) — degenerate / awkward shuffle
-    partition counts; catches partition-count assumptions and
-    order-dependent tie-breaking.
+  * a degenerate / awkward shuffle partition count (3rd positional, 1
+    or a prime like 5) — catches partition-count assumptions and
+    order-dependent tie-breaking. HONESTY NOTE (round-6 review): until
+    late round 6 a configure_runtime reset inside every wrapped query
+    silently pinned 32, so earlier "shuffle=1" sweeps never actually
+    ran the dimension; after the fix the full 105-oracle parity sweep
+    was re-run at genuinely-applied shuffle.partitions=1 +
+    maxPartitionBytes=16384 + arrow batch 7 — 0 divergences
+    (bench_runs/r6_chaos.log).
 
 A fourth dimension — EMPTY input tables (pass ``--empty``: the sweep
 rewrites every parquet as its 0-row slice into /tmp and runs against
@@ -86,6 +92,8 @@ so the ``--unicode`` corpus excludes İ and runs to full parity.
 
 Usage:
   python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
+  # config dimensions are POSITIONAL (e.g. a degenerate shuffle count:
+  #   python tools/chaos_partitions.py /root/testdata/sf0.01 16384 1)
   python tools/chaos_partitions.py --empty   # 0-row-tables sweep
   python tools/chaos_partitions.py --nulls   # null-injected-columns sweep
   python tools/chaos_partitions.py --edge    # pathological-documents sweep
@@ -99,6 +107,7 @@ operator lands.
 
 from __future__ import annotations
 
+import shutil
 import sys
 
 
@@ -108,6 +117,7 @@ def _empty_twin(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     d = "/tmp/chaos_empty_sf"
+    shutil.rmtree(d, ignore_errors=True)  # no stale prior-run tables (round-6 review)
     os.makedirs(d, exist_ok=True)
     for f in os.listdir(sf_dir):
         if f.endswith(".parquet"):
@@ -132,6 +142,7 @@ def _null_twin(sf_dir: str) -> str:
         "part.parquet": ("p_partkey", [("p_brand", 7, 3)]),
     }
     d = "/tmp/chaos_null_sf"
+    shutil.rmtree(d, ignore_errors=True)  # no stale prior-run tables (round-6 review)
     os.makedirs(d, exist_ok=True)
     for f in os.listdir(sf_dir):
         if not f.endswith(".parquet"):
@@ -160,6 +171,7 @@ def _edge_twin(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     d = "/tmp/chaos_edge_sf"
+    shutil.rmtree(d, ignore_errors=True)  # no stale prior-run tables (round-6 review)
     os.makedirs(d, exist_ok=True)
     for f in os.listdir(sf_dir):
         if f.endswith(".parquet") and f != "documents.parquet":
@@ -192,6 +204,7 @@ def _unicode_twin(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     d = "/tmp/chaos_unicode_sf"
+    shutil.rmtree(d, ignore_errors=True)  # no stale prior-run tables (round-6 review)
     os.makedirs(d, exist_ok=True)
     for f in os.listdir(sf_dir):
         if f.endswith(".parquet") and f != "documents.parquet":
@@ -303,7 +316,10 @@ def _oracle_parity(spark, em, sf_dir: str) -> int:
             df[c] = df[c].map(
                 lambda v: "NULL"
                 if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NA
-                else (round(v, 9) if isinstance(v, float) else v)
+                # +0.0 folds -0.0 into 0.0 — a tiny negative sum that
+                # rounds to zero must not string-compare as '-0.0' vs
+                # the other engine's '0.0' (round-6 review)
+                else (round(v, 9) + 0.0 if isinstance(v, float) else v)
             ).astype(str)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 

@@ -51,7 +51,31 @@ def main() -> None:
     )
 
     qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # Rebuild fixture-backed oracles (f01/f03/f04/t10/...) against THIS
+    # sf_dir: entry.oracle_sql() calls the lazy SQL builders with no
+    # args, which embeds the sf0.01 default's fixture paths — running
+    # the sim at any other sf would compare Spark-on-sf_dir against
+    # DuckDB-on-sf0.01 fixtures and report false mismatches (round-6
+    # review; same fix as chaos_partitions._oracle_parity).
+    import inspect
+
+    oracles: dict[str, str] = {}
+    for mod in entry._modules():
+        for name, sql in getattr(mod, "ORACLE", {}).items():
+            if name not in qs:
+                continue
+            if callable(sql):
+                params = inspect.signature(sql).parameters
+                oracles[name] = sql(sf_dir) if "sf_dir" in params else sql()
+            else:
+                oracles[name] = sql
+    # one connection + one view registration for the whole sweep
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     results: dict[str, dict] = {}
     for name in sorted(qs):
         if only and name not in only:
@@ -74,14 +98,6 @@ def main() -> None:
             print(f"no_oracle  {name} rows={rec['spark_rows']} ({time.time()-t0:.1f}s)")
             continue
         try:
-            con = duckdb.connect()
-            for t in (
-                "region nation customer supplier part orders lineitem "
-                "events documents embeddings"
-            ).split():
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-                )
             odf = normalize(con.execute(oracles[name]).df())
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"oracle: {type(exc).__name__}: {exc}"
