@@ -1078,11 +1078,18 @@ def pq_search(
     probe = queries.limit(PQ_QUERIES_PER_BLOCK + 1).collect()
     if not probe:
         return spark.createDataFrame([], out_schema)
-    if len(probe[0]["q_emb"]) != params["dim"]:
-        raise ValueError(
-            f"pq_search: query dim {len(probe[0]['q_emb'])} != index dim "
-            f"{params['dim']}"
-        )
+    # validate EVERY probed row, not just probe[0]: a mixed-dimension
+    # query relation would otherwise pass the guard and die later in
+    # np.array(...) with an opaque ragged-array ValueError — in the
+    # grid regime inside an executor task (round-6 advice). For
+    # corpus-proportional query sets the probe is a capped sample, so
+    # the grid kernel re-asserts per block (see _pq_grid_cogroup).
+    for r in probe:
+        if len(r["q_emb"]) != params["dim"]:
+            raise ValueError(
+                f"pq_search: query {r['q_id']!r} has dim "
+                f"{len(r['q_emb'])} != index dim {params['dim']}"
+            )
     # shortlist mode when an exact rerank follows (candidates carry the
     # kernel-emitted sub-block id for the global cut); direct ADC top-k
     # otherwise
@@ -1141,6 +1148,17 @@ def pq_search(
         def make_kernel(qpdf: pd.DataFrame):
             cbs = bc.value
             qids = qpdf["q_id"].to_numpy()
+            # per-block dim assertion (round-6 advice): the driver probe
+            # is a capped sample, so a ragged query relation can reach
+            # this executor-side np.array — name the offending q_id and
+            # dim instead of letting numpy raise an opaque ragged error
+            dim = cbs.shape[0] * cbs.shape[2]
+            for qid, emb in zip(qids, qpdf["q_emb"]):
+                if len(emb) != dim:
+                    raise ValueError(
+                        f"pq_search: query {qid!r} has dim {len(emb)} "
+                        f"!= index dim {dim}"
+                    )
             qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
             dtab = _pq_dtab(qmat, cbs)
 

@@ -393,9 +393,13 @@ def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     line and quarantines malformed ones instead of failing the job — the
     ingestion-level twin of the reference's lenient whole-file decode
     (``a1p2b_ahuja.py:8-17``, ``errors='replace'``). Output: per-source
-    good-row stats plus one ``_corrupt`` row counting the quarantined
-    lines — the corrupt count is a first-class data-quality metric, not
-    a log line.
+    good-row stats plus one ``is_corrupt = true`` row counting the
+    quarantined lines — the corrupt count is a first-class data-quality
+    metric, not a log line. The quarantine key is an explicit BOOLEAN
+    grouping column, never a sentinel inside ``source``'s own value
+    space (round-6 advice): a legitimate source literally named
+    ``'_corrupt'`` must keep its good-row stats separate from the
+    quarantine bucket, which a string sentinel cannot guarantee.
 
     At 100 TB, FAILFAST on a crawl dump means one torn line kills an
     N-thousand-task job; DROPMALFORMED silently under-reports. This is
@@ -428,17 +432,18 @@ def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("j.*")
     # ONE genuine pass (round-6 review: the previous good/n_all/n_good
     # arithmetic read and re-parsed the text source 2-3×): corrupt rows
-    # route to the '_corrupt' group by key, per-source stats come from
-    # NULL-skipping conditional aggregates, and the zero-corruption
-    # placeholder row is restored by a result-sized re-aggregation with
-    # a constant — the quarantine bucket is always present, matching
-    # the oracle, even on a clean or empty corpus.
-    key = (
-        F.when(F.col("_corrupt").isNull(), F.col("source"))
-        .otherwise(F.lit("_corrupt"))
-        .alias("source")
-    )
-    stats = d.groupBy(key).agg(
+    # route to the (source=NULL, is_corrupt=true) group — the grouping
+    # key is a boolean, so a real source named '_corrupt' can never
+    # merge into the quarantine bucket (round-6 advice) — per-source
+    # stats come from NULL-skipping conditional aggregates, and the
+    # zero-corruption placeholder row is restored by a result-sized
+    # re-aggregation with a constant: the quarantine bucket is always
+    # present, matching the oracle, even on a clean or empty corpus.
+    # (A good row may itself carry source=NULL — e.g. the nulls chaos
+    # twin — and lands in (NULL, false), disjoint from the quarantine.)
+    key_src = F.when(F.col("_corrupt").isNull(), F.col("source")).alias("source")
+    is_c = F.col("_corrupt").isNotNull().alias("is_corrupt")
+    stats = d.groupBy(key_src, is_c).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(F.when(F.col("_corrupt").isNull(), F.col("doc_id"))).alias(
             "first_doc"
@@ -448,20 +453,21 @@ def f03_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_hash"),
     )
     placeholder = spark.range(1).select(
-        F.lit("_corrupt").alias("source"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(True).alias("is_corrupt"),
         F.lit(0).cast("bigint").alias("n_docs"),
         F.lit(None).cast("bigint").alias("first_doc"),
         F.lit(None).cast("string").alias("content_hash"),
     )
     return (
         stats.unionByName(placeholder)
-        .groupBy("source")
+        .groupBy("source", "is_corrupt")
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.min("first_doc").alias("first_doc"),
             F.min("content_hash").alias("content_hash"),
         )
-        .orderBy("source")
+        .orderBy("is_corrupt", "source")
     )
 
 
@@ -488,15 +494,15 @@ parsed AS (
          json_extract_string(line, '$.source') AS source
   FROM lines
 )
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+SELECT source, FALSE AS is_corrupt, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS first_doc, MIN(md5(text)) AS content_hash
 FROM parsed WHERE ok
 GROUP BY source
 UNION ALL
-SELECT '_corrupt', CAST(COUNT(*) AS BIGINT),
+SELECT CAST(NULL AS VARCHAR), TRUE, CAST(COUNT(*) AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
 FROM parsed WHERE NOT ok
-ORDER BY source
+ORDER BY is_corrupt, source
 """
 
 

@@ -116,9 +116,25 @@ def _m01_fixture_dir(sf_dir: str) -> str:
     # digest memo: images_df builds a plan many times per session, and
     # re-reading every vec_id just to recompute an unchanged cache key
     # is O(N) driver work per plan build — key the memo on the parquet
-    # file's identity (path, mtime, size) so the hit path is O(1)
+    # file's identity. (path, mtime, size) alone misses an in-place
+    # rewrite of identical byte size within the filesystem's mtime
+    # granularity — exactly the chaos-rewrite case the digest exists
+    # for (round-6 advice) — so the key also folds in an md5 of the
+    # file's head and tail (the tail contains the parquet footer, whose
+    # row-group stats change whenever the vec_id set does); that keeps
+    # the hit path O(1) in row count while making it content-sensitive.
     src = os.path.join(sf_dir, "embeddings.parquet")
-    stat_key = (os.path.abspath(src), os.path.getmtime(src), os.path.getsize(src))
+    with open(src, "rb") as f:
+        head = f.read(4096)
+        f.seek(-min(4096, os.path.getsize(src)), os.SEEK_END)
+        tail = f.read(4096)
+    edge_fp = hashlib.md5(head + tail).hexdigest()
+    stat_key = (
+        os.path.abspath(src),
+        os.path.getmtime(src),
+        os.path.getsize(src),
+        edge_fp,
+    )
     cached = _M01_DIGEST_MEMO.get(stat_key)
     if cached is not None and os.path.isdir(cached):
         return cached

@@ -81,17 +81,20 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # A vanilla session defaults to 200 shuffle partitions — at test SF
     # that is pure scheduling overhead (and for stateful streaming, 200
-    # state-store instances). BUT only the vanilla default (or an
-    # explicit env override) may be replaced: a session whose creator
-    # deliberately set another value (bench.py's 64, the chaos sweep's
-    # degenerate 1/16 probes) must keep it — the previous unconditional
-    # reset silently ran every wrapped query at 32 regardless of the
-    # recorded config (round-6 review).
-    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
+    # state-store instances). BUT only the vanilla default may be
+    # replaced — by the env override if set, else by 32: a session
+    # whose creator deliberately set another value (bench.py's 64, the
+    # chaos sweep's degenerate 1/16 probes) must keep it. The env
+    # override is likewise restricted to the vanilla default (round-6
+    # advice): with SPARK_GRAFT_SHUFFLE_PARTITIONS exported, an
+    # unconditional env branch re-clobbered every probe harness's
+    # deliberate conf on each wrapped query — the same silent-clobber
+    # class the round-6 conditional fixed. Sessions built by get_spark
+    # already fold the env var in at startup, so nothing legitimate is
+    # lost by scoping it to the untouched-default case here.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"],
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
         )
-    elif spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark

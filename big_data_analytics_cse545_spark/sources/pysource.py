@@ -30,6 +30,7 @@ Everything else is returned to Spark unchanged (the contract of
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql.datasource import (
@@ -269,10 +270,26 @@ class JsonlSinkWriter(DataSourceWriter):
                 n += 1
         return _JsonlCommit(staged, n)
 
+    # Only files THIS sink wrote may ever be pruned by overwrite: the
+    # final name is the staged name minus its ".staged-" prefix, i.e.
+    # "<partitionId>-<uuid4 hex>.jsonl" (round-6 advice — a shared
+    # destination dir may hold user *.jsonl files the sink must not
+    # touch).
+    _PART_RE = re.compile(r"^\d+-[0-9a-f]{32}\.jsonl$")
+
     def commit(self, messages) -> None:
         import json as _json
         import os as _os
 
+        # Publication is NOT atomic: it spans N os.replace calls, an
+        # optional prune, then the _SUCCESS manifest. Drop any stale
+        # manifest FIRST so a crash anywhere in the window leaves the
+        # directory marker-less (readers treat no _SUCCESS as
+        # uncommitted) instead of leaving a prior run's manifest
+        # pointing at a mixed old/new file set (round-6 advice).
+        marker = _os.path.join(self.path, "_SUCCESS")
+        if _os.path.exists(marker):
+            _os.remove(marker)
         total, files = 0, []
         for m in messages:
             if m is None:
@@ -289,16 +306,16 @@ class JsonlSinkWriter(DataSourceWriter):
             # remove prior-run part files (anything the new manifest
             # doesn't list). The flag used to be stored but never acted
             # on, so mode('overwrite') silently behaved as append for
-            # consumers globbing *.jsonl (round-6 review).
+            # consumers globbing *.jsonl (round-6 review). Pruning is
+            # scoped to this sink's own part-file naming pattern —
+            # foreign .jsonl files in a shared directory are never
+            # deleted (round-6 advice).
             keep = set(files)
             for entry in _os.listdir(self.path):
-                if (
-                    entry.endswith(".jsonl")
-                    and not entry.startswith(".staged-")
-                    and entry not in keep
-                ):
+                if self._PART_RE.fullmatch(entry) and entry not in keep:
                     _os.remove(_os.path.join(self.path, entry))
-        with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
+        # manifest last: it only ever describes a fully published state
+        with open(marker, "w") as fh:
             _json.dump({"n_rows": total, "files": sorted(files)}, fh)
 
     def abort(self, messages) -> None:

@@ -67,15 +67,18 @@ def test_f03_quarantines_exactly_the_planted_lines(spark, sf_correctness):
     from big_data_analytics_cse545_spark.operators import ingest
 
     rows = ingest.f03_jsonl_corrupt_tolerant(spark, sf_correctness).collect()
-    got_corrupt = [r for r in rows if r["source"] == "_corrupt"][0]["n_docs"]
+    # the quarantine key is the boolean is_corrupt column, never a
+    # sentinel value in source's own value space (round-6 advice)
+    got_corrupt = [r for r in rows if r["is_corrupt"]][0]["n_docs"]
     con = duckdb.connect()
     n_total, n_planted = con.execute(
         f"SELECT COUNT(*), SUM(CASE WHEN doc_id % {ingest.CORRUPT_MOD} = 2 "
         f"THEN 1 ELSE 0 END) FROM '{sf_correctness}/documents.parquet'"
     ).fetchone()
     assert got_corrupt == n_planted
-    n_good = sum(r["n_docs"] for r in rows if r["source"] != "_corrupt")
+    n_good = sum(r["n_docs"] for r in rows if not r["is_corrupt"])
     assert n_good == n_total - n_planted
+    assert sum(1 for r in rows if r["is_corrupt"]) == 1, "exactly one quarantine bucket"
 
 
 def test_f06_reader_pushdown_and_partition_pruning():

@@ -1,0 +1,84 @@
+"""Per-round perf tripwire (VERDICT r6 task #8): the three historically
+hottest queries run in ONE fresh subprocess (fresh JVM + fresh Catalyst
+state — the bench's conditions) and each must finish within a generous
+3× of a recorded floor.
+
+This is NOT a bench replacement — floors are deliberately loose so host
+scheduling noise never trips it — it exists so an expression-level
+regression (round 6: a shared n-gram builder ~8× slower on t13's
+aggregation than the form it replaced) cannot reach the driver bench
+unnoticed by pytest.
+
+Two lessons are baked into the probe:
+
+* it collect()s, never count()s — count() lets Catalyst prune
+  unreferenced subtrees (t13's whole bigram aggregation vanishes under
+  unique-key left-join elimination), so a count-based probe measures an
+  empty shell of the query;
+* t13 probes at sf0.1: its historical failure mode is per-element
+  expression cost over the token mass, which at sf0.01 (~27k tokens)
+  hides inside fixed overhead — the round-6 regression measures ~2.7s
+  vs a 1.4s floor there, but 19s vs 2.3s at sf0.1. Mutation-checked:
+  re-introducing the round-6 sequence/element_at builder trips exactly
+  the t13 row.
+
+Floors recorded round 7 on this box (fresh subprocess, sequential, so
+later queries run warm).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# query -> (sf_dir, recorded floor seconds); limit = 3 * floor
+FLOORS = {
+    "d03_minhash_lsh_dedup": ("/root/testdata/sf0.01", 12.5),
+    "d08_dup_clusters": ("/root/testdata/sf0.01", 7.5),
+    "t13_repetition_filter": ("/root/testdata/sf0.1", 4.0),
+}
+FACTOR = 3.0
+
+_PROBE = """
+import json, time
+from big_data_analytics_cse545_spark.session import get_spark
+import __spark_entry__ as E
+spark = get_spark()
+qs = E.all_queries()
+out = {}
+for name, sf_dir in %(plan)s:
+    t0 = time.time()
+    qs[name](spark, sf_dir).collect()
+    out[name] = time.time() - t0
+print("TRIPWIRE " + json.dumps(out))
+"""
+
+
+def test_hot_queries_stay_within_3x_of_recorded_floor():
+    plan = [(name, FLOORS[name][0]) for name in sorted(FLOORS)]
+    probe = _PROBE % {"plan": json.dumps(plan)}
+    res = subprocess.run(
+        [sys.executable, "-c", probe],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("TRIPWIRE ")]
+    assert line, res.stdout[-2000:]
+    walls = json.loads(line[-1].removeprefix("TRIPWIRE "))
+    breaches = {
+        name: round(walls[name], 2)
+        for name, (_, floor) in FLOORS.items()
+        if walls[name] > FACTOR * floor
+    }
+    assert not breaches, (
+        f"perf tripwire: {breaches} exceeded {FACTOR}x their recorded "
+        f"floors {FLOORS} — an expression/plan regression is reaching "
+        "the bench; A/B it with tools/bench_control.py before shipping"
+    )

@@ -142,14 +142,24 @@ def test_python_custom_writer_overwrite_clears_stale_parts(spark, sf_smoke, tmp_
     d.limit(7).repartition(2).write.format("graftjsonl").option(
         "path", out
     ).mode("append").save()
+    # a user's own file in the shared destination dir: overwrite prune
+    # is scoped to the sink's part-file naming pattern and must never
+    # delete it (round-6 advice)
+    foreign = os.path.join(out, "user_data.jsonl")
+    with open(foreign, "w") as fh:
+        fh.write('{"doc_id": -1, "n_chars": 0}\n')
     d.limit(3).repartition(1).write.format("graftjsonl").option(
         "path", out
     ).mode("overwrite").save()
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest["n_rows"] == 3
-    on_disk = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert os.path.exists(foreign), "foreign .jsonl must survive overwrite"
+    on_disk = sorted(
+        f for f in os.listdir(out)
+        if pysource.JsonlSinkWriter._PART_RE.fullmatch(f)
+    )
     assert on_disk == sorted(manifest["files"]), (
-        "overwrite must leave exactly the manifest's files on disk"
+        "overwrite must leave exactly the manifest's part files on disk"
     )
     back = spark.read.schema("doc_id long, n_chars long").json(out)
-    assert back.count() == 3
+    assert back.count() == 4  # 3 sink rows + the untouched user file

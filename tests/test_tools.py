@@ -90,7 +90,15 @@ def test_configure_runtime_respects_creator_shuffle_setting(spark, monkeypatch):
         configure_runtime(spark)
         assert spark.conf.get(key) == "32", "vanilla default must be resized"
         monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "11")
+        spark.conf.set(key, "200")
         configure_runtime(spark)
-        assert spark.conf.get(key) == "11", "explicit env override wins"
+        assert spark.conf.get(key) == "11", "env override resizes the vanilla default"
+        # round-7 (r6 advice): the env override must NOT clobber a
+        # creator's deliberate conf either — an exported env var used to
+        # re-clobber chaos_partitions' degenerate shuffle=1/16 probes on
+        # every wrapped query, the exact class the r6 conditional fixed
+        spark.conf.set(key, "7")
+        configure_runtime(spark)
+        assert spark.conf.get(key) == "7", "env override must not clobber a deliberate conf"
     finally:
         spark.conf.set(key, prev)

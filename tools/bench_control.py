@@ -25,18 +25,105 @@ Interpretation rule (SCALE.md "Bench variance"): single-query deltas
 under ~3× on this box are scheduling/GC noise; the actionable signals
 are the MEDIAN ratio (uniform drift) and any query whose ratio exceeds
 the suite's spread in both directions.
+
+Round-7 hardening (VERDICT r6 task #2 — round 6's control was recorded
+seven source commits before HEAD, so a 3.3× expression regression
+landed after it and sailed through adjudicated-as-noise):
+
+* every recorded control embeds ``last_source_commit`` (the newest
+  commit touching ``big_data_analytics_cse545_spark/``, ``bench.py``,
+  ``__spark_entry__.py`` or ``tests/``) plus a source-dirty flag, and
+  the summary line repeats them;
+* ``python tools/bench_control.py --check [control_head.json]`` exits
+  non-zero (loudly) if the recorded control predates the current last
+  source commit or was recorded on a dirty source tree — run it before
+  committing a round's final bench artifacts;
+* the summary now also compares HEAD timings against the prior round's
+  committed ``BENCH_r{N}.json`` (``vs_prior_bench``), naming every
+  query over 2× — the cross-round tripwire the r6 t13 regression
+  needed.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# paths whose commits can change measured behavior — doc-only commits
+# (SCALE.md, VERDICT.md, bench_runs/) deliberately excluded
+SOURCE_PATHS = (
+    "big_data_analytics_cse545_spark",
+    "bench.py",
+    "__spark_entry__.py",
+    "tests",
+    "tools",
+)
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, check=True, capture_output=True, text=True
+    ).stdout.strip()
+
+
+def source_state() -> dict:
+    """(last source-touching commit, dirty flag) for HEAD-anchoring."""
+    last = _git("log", "-1", "--format=%H", "HEAD", "--", *SOURCE_PATHS)
+    dirty = bool(_git("status", "--porcelain", "--", *SOURCE_PATHS))
+    return {"last_source_commit": last, "source_dirty": dirty}
+
+
+def check_control(path: str) -> int:
+    """Exit non-zero unless the recorded control is anchored at the
+    CURRENT last source-touching commit and was recorded clean."""
+    with open(path) as f:
+        payload = json.load(f)
+    recorded = payload.get("last_source_commit")
+    now = source_state()
+    problems = []
+    if recorded is None:
+        problems.append("control predates HEAD-anchoring (no last_source_commit)")
+    elif recorded != now["last_source_commit"]:
+        problems.append(
+            f"STALE control: recorded at source commit {recorded[:12]} but "
+            f"current last source commit is {now['last_source_commit'][:12]} "
+            "— re-run bench_control at true HEAD"
+        )
+    if payload.get("source_dirty"):
+        problems.append("control was recorded on a DIRTY source tree")
+    if now["source_dirty"]:
+        problems.append(
+            "source tree is dirty NOW — commit first, then re-check"
+        )
+    if problems:
+        for p in problems:
+            print(f"CONTROL CHECK FAIL: {p}", file=sys.stderr)
+        return 1
+    print(
+        f"control OK: anchored at {recorded[:12]} (current last source commit)"
+    )
+    return 0
+
+
+def prior_bench() -> tuple[str, dict] | None:
+    """The newest committed BENCH_r{N}.json — the prior round's driver
+    bench, used for the cross-round per-query tripwire."""
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    with open(best) as f:
+        return os.path.basename(best), json.load(f).get("queries", {})
 
 
 def _run_bench(cwd: str, sf_dir: str) -> dict:
@@ -58,9 +145,25 @@ def _run_bench(cwd: str, sf_dir: str) -> dict:
 
 
 def main() -> int:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--check":
+        default = sorted(
+            glob.glob(os.path.join(REPO, "bench_runs", "*control*_head.json")),
+            key=os.path.getmtime,
+        )
+        path = (
+            sys.argv[2]
+            if len(sys.argv) > 2
+            else (default[-1] if default else None)
+        )
+        if path is None:
+            print("no recorded control found to check", file=sys.stderr)
+            return 2
+        print(f"checking {path}")
+        return check_control(path)
     if len(sys.argv) < 2:
         print(
-            "usage: python tools/bench_control.py <prev_ref> [sf_dir] [out_prefix]",
+            "usage: python tools/bench_control.py <prev_ref> [sf_dir] [out_prefix]\n"
+            "       python tools/bench_control.py --check [control_head.json]",
             file=sys.stderr,
         )
         return 2
@@ -87,15 +190,43 @@ def main() -> int:
             capture_output=True,
         )
 
+    anchor = source_state()
     for tag, payload in (("head", head), ("prev", prev)):
+        payload.update(anchor)
         with open(
             os.path.join(REPO, "bench_runs", f"{prefix}_{tag}.json"), "w"
         ) as f:
             json.dump(payload, f)
 
     summary = summarize(head["queries"], prev["queries"])
-    print(json.dumps({"prev_ref": prev_ref, "sf_dir": sf_dir, **summary}))
+    summary["vs_prior_bench"] = vs_prior_bench(head["queries"])
+    print(json.dumps({"prev_ref": prev_ref, "sf_dir": sf_dir, **anchor, **summary}))
     return 0
+
+
+def vs_prior_bench(hq: dict) -> dict | None:
+    """Cross-round tripwire: HEAD timings vs the prior round's committed
+    BENCH_r{N}.json (driver artifact — keyed by SHORT code, the leading
+    token of the full query name). Every query over 2× is NAMED so a
+    regression like round 6's t13 cannot be adjudicated away as noise
+    without an explicit decision."""
+    pb = prior_bench()
+    if pb is None:
+        return None
+    fname, prior_q = pb
+    short = {k.split("_", 1)[0]: v for k, v in hq.items()}
+    ratios = {
+        k: round(short[k] / prior_q[k], 3)
+        for k in sorted(short)
+        if k in prior_q and short[k] > 0 and prior_q[k] > 0
+    }
+    return {
+        "prior_bench": fname,
+        "median_ratio": (
+            round(statistics.median(ratios.values()), 3) if ratios else None
+        ),
+        "over_2x": {k: v for k, v in ratios.items() if v >= 2.0},
+    }
 
 
 def summarize(hq: dict, pq: dict) -> dict:
