@@ -1087,8 +1087,8 @@ def pq_search(
     for r in probe:
         if len(r["q_emb"]) != params["dim"]:
             raise ValueError(
-                f"pq_search: query {r['q_id']!r} has dim "
-                f"{len(r['q_emb'])} != index dim {params['dim']}"
+                f"pq_search: query dim {len(r['q_emb'])} != index dim "
+                f"{params['dim']} (q_id {r['q_id']!r})"
             )
     # shortlist mode when an exact rerank follows (candidates carry the
     # kernel-emitted sub-block id for the global cut); direct ADC top-k
@@ -1156,8 +1156,8 @@ def pq_search(
             for qid, emb in zip(qids, qpdf["q_emb"]):
                 if len(emb) != dim:
                     raise ValueError(
-                        f"pq_search: query {qid!r} has dim {len(emb)} "
-                        f"!= index dim {dim}"
+                        f"pq_search: query dim {len(emb)} != index dim "
+                        f"{dim} (q_id {qid!r})"
                     )
             qmat = np.array([list(v) for v in qpdf["q_emb"]], dtype=np.float64)
             dtab = _pq_dtab(qmat, cbs)
