@@ -260,6 +260,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Hash-family tag persisted in dedup_index params (and save/load
+# round-trips): band keys from different families never collide, so a
+# mismatch must be a loud error, not an empty candidate join.
+MINHASH_SCHEME = "km2-md5"
+
+
 def _shingle_bands(
     df: DataFrame,
     text_col: str,
@@ -289,11 +295,33 @@ def _shingle_bands(
         df.select(F.col(id_col).alias("_id"), toks.alias("_ts"))
         .select("_id", F.explode(shingles).alias("_sh"))
     )
-    minh = sh.groupBy("_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("_sh")))).alias(f"_mh{s}")
-            for s in range(n_hashes)
-        ]
+    # K-M double hashing (round 7, the operators.dedup._band_keys_df
+    # scheme and rationale): 2 md5's per shingle row instead of
+    # n_hashes — measured 5.7× faster signature aggregation at the 10×
+    # scale corpus, same oracle-replayable exact integer arithmetic
+    from big_data_analytics_cse545_spark.operators.dedup import MINHASH_P
+
+    h1 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("a|"), F.col("_sh"))), 1, 15),
+            16, 10,
+        ).cast("long") % MINHASH_P
+    )
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("b|"), F.col("_sh"))), 1, 15),
+            16, 10,
+        ).cast("long") % MINHASH_P
+    )
+    minh = (
+        sh.select("_id", h1.alias("_h1"), h2.alias("_h2"))
+        .groupBy("_id")
+        .agg(
+            *[
+                F.min((F.col("_h1") + s * F.col("_h2")) % MINHASH_P).alias(f"_mh{s}")
+                for s in range(n_hashes)
+            ]
+        )
     )
     band_cols = [
         F.md5(
@@ -1397,7 +1425,12 @@ def dedup_index(
         "bands": bands,
         "shingles": sh,
         "counts": sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")),
-        "params": kw,
+        # scheme names the HASH FAMILY, not just its arity: an index of
+        # band keys persisted under one family never collides with keys
+        # computed under another, so a family change (round 7: per-seed
+        # md5 -> K-M double hashing) must fail the params guard loudly
+        # instead of silently admitting every near-duplicate.
+        "params": dict(kw, scheme=MINHASH_SCHEME),
     }
 
 
@@ -1432,9 +1465,10 @@ def incremental_dedup(
     if (corpus is None) == (index is None):
         raise ValueError("pass exactly one of corpus= or index=")
     kw = dict(n_hashes=n_hashes, band_rows=band_rows, shingle_size=shingle_size)
+    want = dict(kw, scheme=MINHASH_SCHEME)
     if index is None:
         index = dedup_index(corpus, text_col, id_col, **kw)
-    elif index.get("params", kw) != kw:
+    elif index.get("params", want) != want:
         # A parameter mismatch would not error — band keys and shingle
         # sizes simply never collide, every candidate join comes up
         # empty, and every near-duplicate is admitted as 'keep'.

@@ -28,6 +28,11 @@ _SQL_TOKENS = (
 # MinHash parameters: 32 hashes in 8 bands of 4 rows → catches jaccard
 # ≳0.7 with high probability while keeping false candidates rare.
 N_HASHES = 32
+# K-M double-hashing modulus (2^31 − 1, Mersenne prime): keeps every
+# (h1 + s·h2) product inside a BIGINT under ANSI overflow checking and
+# is reproducible as exact integer arithmetic in DuckDB (see
+# _band_keys_df).
+MINHASH_P = 2147483647
 BAND_ROWS = 4
 N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.8
@@ -173,13 +178,49 @@ def _band_keys_df(sh: DataFrame) -> DataFrame:
     N_HASHES× shingle-row explode (the naive seeds-cross-join shuffles
     N_HASHES× the shingle table; at 100 TB that explode is the
     bottleneck). Band key = md5 of the band's minhashes, seed-ordered
-    (matches the oracle's string_agg(mh, '|' ORDER BY seed)). Shared by
-    d03 (self-dedup) and d10 (incremental batch-vs-corpus dedup)."""
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
-            for s in range(N_HASHES)
-        ]
+    (matches the oracle's string_agg ORDER BY seed). Shared by d03
+    (self-dedup) and d10 (incremental batch-vs-corpus dedup).
+
+    Hash family (round 7): Kirsch–Mitzenmacher double hashing — per
+    shingle TWO md5-derived 60-bit values reduced mod MINHASH_P, then
+    the N_HASHES functions are ``(h1 + s·h2) mod MINHASH_P``. The
+    previous family computed N_HASHES full md5's per shingle row and
+    min-aggregated 32-char hex STRINGS; measured at the 10× scale
+    corpus (2.6 M shingle rows, persisted input, noop sink) that
+    aggregation is 41.7 s vs 7.3 s for this one — the md5 calls
+    themselves dominate (an xxhash64 control runs 2.5 s, but DuckDB
+    cannot reproduce xxhash64, and the oracle must replay the EXACT
+    hash family because 8×4 banding recall is probabilistic, not 1.0).
+    md5 stays as the base hash precisely because both engines can
+    compute it bit-identically; the K-M reduction cuts the md5 count
+    per row from N_HASHES to 2, and the min-agg buffers from hex
+    strings to longs. All products fit in a BIGINT by construction
+    (h2 < 2^31, s < 32 ⇒ s·h2 < 2^36), so ANSI overflow checking never
+    fires, and both engines do exact integer arithmetic. Planted-dup
+    recall (test_lsh_recalls_planted_duplicates) holds at 1.0 on the
+    fixtures, per the K-M guarantee that pairwise collision behavior
+    matches independent hashing up to O(1/P) terms."""
+    h1 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("a|"), F.col("shingle"))), 1, 15),
+            16, 10,
+        ).cast("long") % MINHASH_P
+    )
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("b|"), F.col("shingle"))), 1, 15),
+            16, 10,
+        ).cast("long") % MINHASH_P
+    )
+    minh = (
+        sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h1") + s * F.col("h2")) % MINHASH_P).alias(f"mh{s}")
+                for s in range(N_HASHES)
+            ]
+        )
     )
     band_cols = [
         F.md5(
@@ -196,11 +237,38 @@ def _band_keys_df(sh: DataFrame) -> DataFrame:
         ),
     )
 
+
+# DuckDB twin of _band_keys_df (expects a CTE named ``sh`` with
+# (doc_id, shingle) in scope): hex-literal CAST parses the md5 prefix
+# (the sampling.py precedent), and the integer K-M arithmetic is exact
+# in both engines. Shared by the d03 and d10 oracles.
+_SQL_MINHASH_BANDS = f"""
+seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('a|' || shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS h1,
+         CAST(('0x' || substr(md5('b|' || shingle), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS h2
+  FROM sh
+),
+minh AS (
+  SELECT doc_id, seed, MIN((h1 + seed * h2) % {MINHASH_P}) AS mh
+  FROM hs CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {BAND_ROWS} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+  FROM minh GROUP BY doc_id, seed // {BAND_ROWS}
+)"""
+
 def d03_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs, exact-verified.
 
-    The reference's funnel, re-keyed for text: signature = per-seed min
-    of md5(seed|shingle) (≙ md5 chunk signature, ``a2_ahuja.py:99-120``),
+    The reference's funnel, re-keyed for text: signature = per-function
+    min of a K-M double-hashed md5 (see :func:`_band_keys_df`; ≙ md5
+    chunk signature, ``a2_ahuja.py:99-120``),
     banding (≙ ``computeBuckets2``, ``a2_ahuja.py:140-149``), bucket
     equi-join for candidates (≙ ``computeSimilarCandidates``,
     ``a2_ahuja.py:164-170``), exact Jaccard only on candidates. Cost at
@@ -244,17 +312,7 @@ def d03_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _D03_SQL = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
-minh AS (
-  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
-  FROM sh CROSS JOIN seeds
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, seed // {BAND_ROWS} AS band,
-         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-  FROM minh GROUP BY doc_id, seed // {BAND_ROWS}
-),
+{_SQL_MINHASH_BANDS},
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b
@@ -1144,17 +1202,7 @@ d10_incremental_dedup.__doc__ = """Incremental ingestion dedup: for
 
 _D10_SQL = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
-minh AS (
-  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
-  FROM sh CROSS JOIN seeds
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, seed // {BAND_ROWS} AS band,
-         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-  FROM minh GROUP BY doc_id, seed // {BAND_ROWS}
-),
+{_SQL_MINHASH_BANDS},
 batch AS (SELECT * FROM documents
           WHERE doc_id % {D10_BATCH_MOD} = {D10_BATCH_REM}),
 corpus_hashes AS (

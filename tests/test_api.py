@@ -663,11 +663,27 @@ def test_incremental_dedup_index_path_equals_direct(spark, sf_correctness):
         api.incremental_dedup(d, text_col="text", id_col="doc_id")
     # a parameter mismatch would silently produce zero candidates and
     # admit every near-dup — it must raise instead
-    assert idx["params"] == {"n_hashes": 32, "band_rows": 4, "shingle_size": 3}
+    assert idx["params"] == {
+        "n_hashes": 32,
+        "band_rows": 4,
+        "shingle_size": 3,
+        # the hash-family tag: an index persisted under a different
+        # family (e.g. pre-round-7 per-seed md5) must fail the guard
+        "scheme": api.MINHASH_SCHEME,
+    }
     with _pytest.raises(ValueError, match="built with"):
         api.incremental_dedup(
             d.filter(d["doc_id"] % 4 == 1),
             text_col="text", id_col="doc_id", index=idx, shingle_size=5,
+        )
+    # an index persisted under an older hash family (no/different
+    # scheme tag) must also fail loudly — its band keys never collide
+    # with the current family's
+    stale = dict(idx, params={k: v for k, v in idx["params"].items() if k != "scheme"})
+    with _pytest.raises(ValueError, match="built with"):
+        api.incremental_dedup(
+            d.filter(d["doc_id"] % 4 == 1),
+            text_col="text", id_col="doc_id", index=stale,
         )
 
 
