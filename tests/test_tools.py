@@ -33,6 +33,26 @@ def test_bench_control_summary_empty_inputs():
     assert s["median_ratio"] is None and s["worst_query"] is None
 
 
+def test_bench_control_vs_prior_bench_reads_driver_shape(monkeypatch):
+    """The driver's BENCH_r{N}.json nests bench.py's payload under
+    'parsed' and keys queries by SHORT code; the cross-round tripwire
+    must read that shape (the first cut looked for a top-level
+    'queries' and silently compared nothing)."""
+    import tools.bench_control as bc
+
+    monkeypatch.setattr(
+        bc, "prior_bench",
+        lambda: ("BENCH_r06.json", {"q01": 1.0, "t13": 5.0, "q99": -1.0}),
+    )
+    out = bc.vs_prior_bench(
+        {"q01_pricing_summary": 2.5, "t13_repetition_filter": 5.0,
+         "q98_unknown": 1.0}
+    )
+    assert out["prior_bench"] == "BENCH_r06.json"
+    assert out["over_2x"] == {"q01": 2.5}
+    assert out["median_ratio"] == 1.75
+
+
 def test_bench_short_code_collision_disambiguation():
     """bench.py's driver-tail line keys by short code; colliding codes
     must be disambiguated per-key, never by falling back to the

@@ -123,7 +123,12 @@ def prior_bench() -> tuple[str, dict] | None:
     if best is None:
         return None
     with open(best) as f:
-        return os.path.basename(best), json.load(f).get("queries", {})
+        payload = json.load(f)
+    # the driver wraps bench.py's JSON line under "parsed"
+    queries = payload.get("queries") or payload.get("parsed", {}).get(
+        "queries", {}
+    )
+    return os.path.basename(best), queries
 
 
 def _run_bench(cwd: str, sf_dir: str) -> dict:
