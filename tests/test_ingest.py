@@ -81,6 +81,37 @@ def test_f03_quarantines_exactly_the_planted_lines(spark, sf_correctness):
     assert sum(1 for r in rows if r["is_corrupt"]) == 1, "exactly one quarantine bucket"
 
 
+def test_f03_source_named_corrupt_stays_out_of_quarantine(spark, tmp_path, monkeypatch):
+    """The quarantine key is a BOOLEAN, not a sentinel in source's value
+    space (round-6 advice): a legitimate source literally named
+    '_corrupt' must keep its good-row stats in its own
+    (source='_corrupt', is_corrupt=false) group, disjoint from the
+    (source=NULL, is_corrupt=true) quarantine bucket."""
+    import json
+
+    d = str(tmp_path / "jsonl")
+    os.makedirs(d)
+    rows = [
+        {"doc_id": 1, "text": "alpha", "lang": "en", "source": "_corrupt", "n_chars": 5},
+        {"doc_id": 2, "text": "beta", "lang": "en", "source": "_corrupt", "n_chars": 4},
+        {"doc_id": 3, "text": "gamma", "lang": "en", "source": "web", "n_chars": 5},
+    ]
+    with open(os.path.join(d, "part-0.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+        fh.write('{"doc_id": 4, "text": "torn')  # planted truncated line
+    monkeypatch.setattr(ingest, "corrupt_jsonl_fixture_dir", lambda sf: d)
+    got = {
+        (r["source"], r["is_corrupt"]): r["n_docs"]
+        for r in ingest.f03_jsonl_corrupt_tolerant(spark, "ignored").collect()
+    }
+    assert got == {
+        ("_corrupt", False): 2,  # the real source, intact
+        ("web", False): 1,
+        (None, True): 1,  # exactly the torn line
+    }
+
+
 def test_f06_reader_pushdown_and_partition_pruning():
     """Connector-level contracts without Spark in the loop: host_id
     filters are absorbed (not returned), epoch bounds prune whole
