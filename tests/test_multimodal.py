@@ -515,6 +515,44 @@ def test_m01_empty_corpus_yields_empty_result(spark, tmp_path):
     assert out.columns == ["t1", "t2", "n_bands"]
 
 
+def test_m01_fixture_memo_detects_inplace_rewrite(tmp_path):
+    """The fixture-dir memo must not serve a stale .tif set when the
+    embeddings parquet is rewritten IN PLACE with identical byte size
+    inside the filesystem's mtime granularity — exactly the chaos-
+    rewrite case the digest exists for (round-6 advice). mtime and size
+    are pinned by monkeypatch so only the content fingerprint can tell
+    the two corpora apart."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_cse545_spark.operators import multimodal as mmod
+
+    d = str(tmp_path / "sf_memo")
+    os.makedirs(d)
+    src = os.path.join(d, "embeddings.parquet")
+
+    def write_ids(ids):
+        pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), src)
+        os.utime(src, (1234567890.0, 1234567890.0))  # pin mtime exactly
+
+    write_ids([1, 2, 3])
+    size_first = os.path.getsize(src)
+    first = mmod._m01_fixture_dir(d)
+    files_first = sorted(os.listdir(first))
+    write_ids([4, 5, 6])  # in-place rewrite, same mtime
+    assert os.path.getsize(src) == size_first, (
+        "fixture premise broken: the two corpora must be byte-size twins"
+    )
+    second = mmod._m01_fixture_dir(d)
+    files_second = sorted(os.listdir(second))
+    assert files_first == ["img1.tif", "img2.tif", "img3.tif"]
+    assert files_second == ["img4.tif", "img5.tif", "img6.tif"], (
+        "stale memo: the rewritten corpus must get a fresh fixture set"
+    )
+
+
 def test_factor_fork_reuses_persisted_tiles(spark, sf_smoke):
     """The reference's extra-credit fork (a2_ahuja.py:322-406,431-433):
     both pooling factors run off ONE persisted tiles relation — the
