@@ -56,14 +56,17 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# paths whose commits can change measured behavior — doc-only commits
-# (SCALE.md, VERDICT.md, bench_runs/) deliberately excluded
+# paths whose commits can change MEASURED behavior: the engine, the
+# bench harness itself, and the query registry it runs. Docs (SCALE.md,
+# bench_runs/), tests/ and tools/ are deliberately excluded — a
+# test-only or audit-tool commit cannot move a bench number, and
+# counting them would force a pointless 2×-full-bench re-record after
+# every post-control test addition (the first cut included them and the
+# gate fired on exactly that).
 SOURCE_PATHS = (
     "big_data_analytics_cse545_spark",
     "bench.py",
     "__spark_entry__.py",
-    "tests",
-    "tools",
 )
 
 
