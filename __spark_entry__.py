@@ -61,7 +61,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 115
+# The driver hash-checks only the FIRST 50 queries() entries, so with 116
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -121,8 +121,9 @@ _DEMOTED_BASELINES = frozenset(
 #   x01_hash_split ↔ x06_leakage_safe_split (x06 composes x01's md5
 #     membership kernel — functions/hashing split assignment — and is
 #     r4-green; x01's oracle also reruns in every pytest).
-# Steady state from round 6: 115 − 5 test-gated − 2 demoted baselines
-# − 8 twin-demoted = 100 eligible = 2 × 50 exactly, so the strict
+# Steady state (round 7: f07 entered WITH its f05 twin demotion, so
+# the arithmetic is unchanged): 116 − 5 test-gated − 2 demoted
+# baselines − 9 twin-demoted = 100 eligible = 2 × 50 exactly, so the strict
 # "driver row within two rounds" cadence holds; any future newcomer
 # must bring a twin demotion (or test-gating rationale) with it.
 _DEMOTED_TWINNED = frozenset(
@@ -135,11 +136,20 @@ _DEMOTED_TWINNED = frozenset(
         "q17_grouping_sets",  # ↔ q08/q09 (same Expand plan; GROUPING SETS generalization)
         "d09_chunk_dedup",  # ↔ d12_cdc_chunk_dedup (same chunk-hash dedup tail)
         "x01_hash_split",  # ↔ x06_leakage_safe_split (same md5 membership kernel)
+        # Round-7 newcomer f07 (native XML source) brings its twin per
+        # the standing rule: f05 and f07 share the exact scan shape
+        # (fixture written FROM the source parquet, per-group rollup
+        # hash-matched against DuckDB computing from that same parquet
+        # — the "DuckDB can't read this format" oracle pattern); f05
+        # was driver-green in r5 and its oracle keeps running every
+        # pytest via held_out_oracle_sql().
+        "f05_orc_scan",  # ↔ f07_xml_scan (same fixture-from-parquet oracle shape)
     }
 )
 # ROUND-7 ROTATION (executed per the round-6 pre-written plan):
-#   eligible = 115 − 5 _TEST_GATED − 2 _DEMOTED_BASELINES
-#              − 8 _DEMOTED_TWINNED = 100 = 2 × 50 exactly.
+#   eligible = 116 − 5 _TEST_GATED − 2 _DEMOTED_BASELINES
+#              − 9 _DEMOTED_TWINNED = 100 = 2 × 50 exactly (f07
+#   activates this round in the slot its f05 twin demotion freed).
 #   _HELD_OUT below = the 50 names in CORRECTNESS_r06 (45/45
 #   oracle-checkable green + 5 rows-only-by-design, 0 failures);
 #   active set = the 50 round-6 hold-outs, i.e. every name green in
@@ -227,7 +237,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (115 queries; exact count asserted in
+    """The FULL registry (116 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -257,6 +257,111 @@ ORDER BY l_returnflag, ship_year
 
 
 # ---------------------------------------------------------------------------
+# f07 — native XML source (Spark 4 built-in, no external package)
+# ---------------------------------------------------------------------------
+
+_XML_SCHEMA = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+
+
+def xml_fixture_dir(sf_dir: str) -> str:
+    """documents' STRUCTURED fields re-materialized as N_SHARDS XML
+    shards (``<docs><doc><doc_id>…</doc_id>…</doc></docs>``), written
+    deterministically in python with standard entity escaping; a NULL
+    value omits its element (the conventional XML absence encoding,
+    which Spark's reader maps back to null). The raw ``text`` column
+    stays OUT of the XML on purpose: XML readers normalize
+    insignificant whitespace and empty-element/null boundaries in
+    format-defined ways, so prose belongs in the line- or columnar
+    formats (f01/f05) — shipping structured metadata is what XML feeds
+    still do in practice (sitemaps, catalog exports, OAI-PMH)."""
+    import xml.sax.saxutils as sx
+
+    import duckdb
+
+    def write(tmp: str) -> None:
+        con = duckdb.connect()
+        for i in range(N_SHARDS):
+            rows = con.execute(
+                f"SELECT doc_id, lang, source, n_chars "
+                f"FROM '{sf_dir}/documents.parquet' "
+                f"WHERE doc_id % {N_SHARDS} = {i} ORDER BY doc_id"
+            ).fetchall()
+            with open(
+                os.path.join(tmp, f"part-{i}.xml"), "w", encoding="utf-8"
+            ) as fh:
+                fh.write("<docs>\n")
+                for doc_id, lang, source, n_chars in rows:
+                    fh.write("  <doc>")
+                    for tag, val in (
+                        ("doc_id", doc_id),
+                        ("lang", lang),
+                        ("source", source),
+                        ("n_chars", n_chars),
+                    ):
+                        if val is not None:
+                            fh.write(f"<{tag}>{sx.escape(str(val))}</{tag}>")
+                    fh.write("</doc>\n")
+                fh.write("</docs>\n")
+        con.close()
+
+    return ensure_fixture_dir(f"graft-xml-{_sf_tag(sf_dir)}", write)
+
+
+def f07_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus stats straight off XML shards via
+    Spark 4's NATIVE ``xml`` source (built into the distribution since
+    4.0 — no spark-xml package): ``rowTag`` splits each shard into
+    records, the explicit schema pins element types (never
+    ``inferSchema`` — an extra full pass at 100 TB), and omitted
+    elements come back as NULL, exercising the same null-group
+    semantics as the parquet path. The DuckDB oracle computes the
+    identical rollup from the SOURCE parquet, so the hash compare
+    certifies the whole write-XML → entity-escape → read-XML chain —
+    the ingestion-format counterpart of t09, which parses the
+    reference's PSEUDO-xml with string ops (``a1p2b_ahuja.py:43-78``)
+    precisely because real XML tooling was unavailable there.
+
+    100 TB posture: XML is the ingestion edge, not the steady state —
+    multi-line records mean a shard is NOT block-splittable (scan
+    parallelism = files, like f01's shards), there is no column
+    pruning or pushdown, and the first production job converts to
+    parquet. The engine still must READ the estate's XML feeds
+    natively, exactly like f05's argument for ORC."""
+    path = xml_fixture_dir(sf_dir)
+    d = (
+        spark.read.format("xml")
+        .schema(_XML_SCHEMA)
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _f07_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # DuckDB has no XML reader — the oracle recomputes the rollup from
+    # the SOURCE parquet (the f05 pattern), so the compare certifies
+    # the write-XML -> read-XML chain end to end.
+    xml_fixture_dir(sf_dir)  # ensure the fixture exists for the Spark side
+    return """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # f06 — custom Python data source (Spark 4 connector API) with pushdown
 # ---------------------------------------------------------------------------
 
@@ -600,6 +705,7 @@ QUERIES = {
     "f04_partitioned_scan": f04_partitioned_scan,
     "f05_orc_scan": f05_orc_scan,
     "f06_python_datasource_scan": f06_python_datasource_scan,
+    "f07_xml_scan": f07_xml_scan,
 }
 
 ORACLE = {
@@ -609,4 +715,5 @@ ORACLE = {
     "f04_partitioned_scan": _f04_sql,
     "f05_orc_scan": _f05_sql,
     "f06_python_datasource_scan": _f06_sql,
+    "f07_xml_scan": _f07_sql,
 }
