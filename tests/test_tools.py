@@ -33,6 +33,37 @@ def test_bench_control_summary_empty_inputs():
     assert s["median_ratio"] is None and s["worst_query"] is None
 
 
+def test_bench_control_check_flags_stale_and_dirty_controls(tmp_path, monkeypatch):
+    """--check must fail a control recorded before the current last
+    source-touching commit (the round-6 failure mode: a control 7
+    commits early let a 3.3x regression pass as noise), a control
+    recorded on a dirty source tree, and a pre-anchoring control with
+    no commit recorded at all; it passes only an anchored, clean one."""
+    import json
+
+    import tools.bench_control as bc
+
+    now = {"last_source_commit": "a" * 40, "source_dirty": False}
+    monkeypatch.setattr(bc, "source_state", lambda: now)
+
+    def record(payload):
+        p = tmp_path / "ctl.json"
+        p.write_text(json.dumps(payload))
+        return str(p)
+
+    ok = {"queries": {}, "last_source_commit": "a" * 40, "source_dirty": False}
+    assert bc.check_control(record(ok)) == 0
+    stale = dict(ok, last_source_commit="b" * 40)
+    assert bc.check_control(record(stale)) == 1
+    dirty = dict(ok, source_dirty=True)
+    assert bc.check_control(record(dirty)) == 1
+    unanchored = {"queries": {}}
+    assert bc.check_control(record(unanchored)) == 1
+    now_dirty = {"last_source_commit": "a" * 40, "source_dirty": True}
+    monkeypatch.setattr(bc, "source_state", lambda: now_dirty)
+    assert bc.check_control(record(ok)) == 1, "a dirty tree NOW must also fail"
+
+
 def test_bench_control_vs_prior_bench_reads_driver_shape(monkeypatch):
     """The driver's BENCH_r{N}.json nests bench.py's payload under
     'parsed' and keys queries by SHORT code; the cross-round tripwire
