@@ -112,6 +112,47 @@ def test_f03_source_named_corrupt_stays_out_of_quarantine(spark, tmp_path, monke
     }
 
 
+def test_f07_xml_escaping_and_null_elements_round_trip(spark, tmp_path, monkeypatch):
+    """The sf corpora contain no XML metacharacters, so oracle parity
+    alone never exercises f07's escape path — plant values with &, <,
+    > and quotes plus NULLs and verify the write -> escape -> native
+    xml read chain returns them byte-exactly, with omitted elements
+    back as NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sfxml")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["x", "y", "z"]),
+                "lang": pa.array(["a&b<c>", 'quo"te', None]),
+                "source": pa.array([None, "s&amp;neaky", "plain"]),
+                "n_chars": pa.array([5, None, 7], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = {
+        r["doc_id"]: (r["lang"], r["source"], r["n_chars"])
+        for r in (
+            spark.read.format("xml")
+            .schema(ingest._XML_SCHEMA)
+            .option("rowTag", "doc")
+            .load(ingest.xml_fixture_dir(d))
+            .collect()
+        )
+    }
+    assert rows == {
+        1: ("a&b<c>", None, 5),
+        # a value that IS an entity string must survive double-escaping
+        2: ('quo"te', "s&amp;neaky", None),
+        3: (None, "plain", 7),
+    }
+
+
 def test_f06_reader_pushdown_and_partition_pruning():
     """Connector-level contracts without Spark in the loop: host_id
     filters are absorbed (not returned), epoch bounds prune whole
