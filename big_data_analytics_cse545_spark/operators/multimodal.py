@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_analytics_cse545_spark.cache import swap_cached as _swap_cached
 from big_data_analytics_cse545_spark.sources import load_table
 
 H = W = 40        # synthetic image size
@@ -735,25 +736,8 @@ def fused_signatures(
     return images.mapInPandas(gen, schema=schema)
 
 
-_CACHED: dict[str, DataFrame] = {}
-
-
-def _swap_cached(key: str, df: DataFrame) -> DataFrame:
-    """Persist ``df`` (MEMORY_AND_DISK) and unpersist the PREVIOUS
-    invocation's DF for the same key — bounding the cache footprint of a
-    long-lived session to one live entry per query family instead of one
-    per call (the leak ADVICE r2 flagged). The unpersist is best-effort:
-    the prior DF may belong to an already-stopped session."""
-    from pyspark import StorageLevel
-
-    prev = _CACHED.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # noqa: BLE001 — session gone; nothing to free
-            pass
-    _CACHED[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
-    return _CACHED[key]
+# swap-on-reentry persist discipline: cache.swap_cached (imported at
+# top as _swap_cached) — shared with graph/text since r8
 
 
 def funnel_fork(
