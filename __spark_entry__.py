@@ -38,6 +38,7 @@ def _modules():
     """
     from big_data_analytics_cse545_spark.operators import (
         dedup,
+        graph,
         ingest,
         multimodal,
         projection,
@@ -54,6 +55,7 @@ def _modules():
         sampling,
         ingest,
         dedup,
+        graph,
         similarity,
         projection,
         multimodal,
@@ -61,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 116
+# The driver hash-checks only the FIRST 50 queries() entries, so with 118
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -88,6 +90,12 @@ _TEST_GATED = frozenset(
         # signal beyond what pytest already enforces every run.
         "m03_binaryfile_ref_funnel",  # golden banding + zip tests (tests/test_multimodal.py)
         "m04_audio_feature_profile",  # numpy RMS/ZCR golden (tests/test_multimodal.py)
+        # Round-8 addition, same rationale: iterative argmax-dependent
+        # rewrites are not SQL-expressible (no_oracle by design), and
+        # the hard gate is the pure-Python BPE golden in
+        # tests/test_text.py — a rows-only driver row adds no signal
+        # beyond that exact-merge-table comparison.
+        "t24_bpe_train",  # ↔ golden vs pure-Python BPE (tests/test_text.py)
     }
 )
 # Permanently demoted exact baselines (round-2 VERDICT recommendation):
@@ -121,9 +129,9 @@ _DEMOTED_BASELINES = frozenset(
 #   x01_hash_split ↔ x06_leakage_safe_split (x06 composes x01's md5
 #     membership kernel — functions/hashing split assignment — and is
 #     r4-green; x01's oracle also reruns in every pytest).
-# Steady state (round 7: f07 entered WITH its f05 twin demotion, so
-# the arithmetic is unchanged): 116 − 5 test-gated − 2 demoted
-# baselines − 9 twin-demoted = 100 eligible = 2 × 50 exactly, so the strict
+# Steady state (round 8: g01 entered WITH its d08 twin demotion, the
+# f07/f05 pattern; t24 entered test-gated): 118 − 6 test-gated
+# − 2 demoted baselines − 10 twin-demoted = 100 eligible = 2 × 50, so the strict
 # "driver row within two rounds" cadence holds; any future newcomer
 # must bring a twin demotion (or test-gating rationale) with it.
 _DEMOTED_TWINNED = frozenset(
@@ -144,79 +152,88 @@ _DEMOTED_TWINNED = frozenset(
         # was driver-green in r5 and its oracle keeps running every
         # pytest via held_out_oracle_sql().
         "f05_orc_scan",  # ↔ f07_xml_scan (same fixture-from-parquet oracle shape)
+        # Round-8 newcomer g01 (fixed-iteration host PageRank) brings its
+        # twin per the standing rule: d08 and g01 share the exact
+        # iterative-graph shape — a derived edge relation, a bounded
+        # driver-side iteration over (host/id, value)-only shuffles, and
+        # a bounded-depth recursive-CTE DuckDB oracle; d08 was
+        # driver-green in r6 and its oracle keeps running every pytest
+        # via held_out_oracle_sql() plus the planted-cluster golden gate
+        # in tests/test_dedup.py.
+        "d08_dup_clusters",  # ↔ g01_host_pagerank (same iterative-graph + recursive-CTE oracle shape)
     }
 )
-# ROUND-7 ROTATION (executed per the round-6 pre-written plan):
-#   eligible = 116 − 5 _TEST_GATED − 2 _DEMOTED_BASELINES
-#              − 9 _DEMOTED_TWINNED = 100 = 2 × 50 exactly (f07
-#   activates this round in the slot its f05 twin demotion freed).
-#   _HELD_OUT below = the 50 names in CORRECTNESS_r06 (45/45
-#   oracle-checkable green + 5 rows-only-by-design, 0 failures);
-#   active set = the 50 round-6 hold-outs, i.e. every name green in
-#   CORRECTNESS_r05 rotates back in, keeping the strict "driver row
-#   within two rounds" cadence (r6 ∪ r7 again covers all 100 eligible).
+# ROUND-8 ROTATION (executed per the round-7 pre-written plan):
+#   eligible = 118 − 6 _TEST_GATED − 2 _DEMOTED_BASELINES
+#              − 10 _DEMOTED_TWINNED = 100 = 2 × 50 exactly (g01
+#   activates this round in the slot its d08 twin demotion freed).
+#   _HELD_OUT below = the 50 names in CORRECTNESS_r07 (all 50
+#   rows+schema+hash green, 0 failures); active set = the 50 round-7
+#   hold-outs minus the newly twin-demoted d08 plus newcomer g01,
+#   keeping the strict "driver row within two rounds" cadence
+#   (r7 ∪ r8 again covers all 100 eligible).
 #
-# ROUND-8 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
-# CORRECTNESS_r07 (= the active set of this round); any round-7-born
+# ROUND-9 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
+# CORRECTNESS_r08 (= the active set of this round); any round-8-born
 # query must bring its own twin demotion (or test-gating rationale) to
 # stay at 2×50.
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # = the 50 queries checked in CORRECTNESS_r06 (45 rows+schema+
-        # hash green, 5 rows-only by design). Their DuckDB oracles keep
-        # running every pytest run via held_out_oracle_sql(); they
-        # rotate back into the driver budget in round 8.
-        "d03_minhash_lsh_dedup",
-        "d05_embedding_near_dup",
-        "d08_dup_clusters",
-        "d10_incremental_dedup",
-        "f01_jsonl_scan",
-        "f03_jsonl_corrupt_tolerant",
-        "f04_partitioned_scan",
-        "m01_image_similarity_funnel",
-        "m02_video_frame_sample",
-        "m05_signature_band_relational",
-        "p01_dim_stats",
-        "p03_pca_topk",
-        "p05_kmeans_iterative",
-        "p07_pq_ann",
-        "q01_pricing_summary",
-        "q02_revenue_by_nation",
-        "q03_top_orders",
-        "q04_customers_with_orders",
-        "q05_customers_without_orders",
-        "q08_rollup_region_nation",
-        "q09_cube_status_priority",
-        "q10_set_ops",
-        "q11_distinct_and_conditional_agg",
-        "q12_inlist_filter",
-        "q13_string_funcs",
-        "q14_events_by_month_type",
-        "q16_above_avg_lineitems",
-        "q20_approx_distinct",
-        "q36_merge_upsert_general",
-        "s03_ann_ivf",
-        "s06_ann_multitable_lsh",
-        "st01_tumbling_window",
-        "st03_session_window",
-        "st04_streaming_dedup",
-        "st05_stateful_user_counts",
-        "st06_stream_stream_join",
-        "st09_stream_incremental_dedup",
-        "st10_sliding_distinct_users",
-        "t01_wordcount",
-        "t02_word_set_difference",
-        "t03_term_mentions",
-        "t04_term_mentions_nested",
-        "t05_lang_guess",
-        "t08_fingerprint",
-        "t09_pseudo_xml_extract",
-        "t11_pii_scrub",
-        "t18_url_canonicalize",
-        "t19_unicode_normalize",
-        "x04_token_budget_select",
-        "x06_leakage_safe_split",
+        # = the 50 queries checked in CORRECTNESS_r07 (all rows+schema+
+        # hash green). Their DuckDB oracles keep running every pytest
+        # run via held_out_oracle_sql(); they rotate back into the
+        # driver budget in round 9.
+        "d01_exact_dedup",
+        "d04_simhash_clusters",
+        "d07_decontaminate",
+        "d11_semantic_dedup",
+        "d12_cdc_chunk_dedup",
+        "f02_csv_scan",
+        "f06_python_datasource_scan",
+        "f07_xml_scan",
+        "p02_random_projection",
+        "p06_scalar_quantize",
+        "q06_topk_orders_per_customer",
+        "q07_order_running_analytics",
+        "q18_asof_join",
+        "q19_range_join",
+        "q21_null_semantics",
+        "q22_retention_cohorts",
+        "q23_event_funnel",
+        "q25_range_frame",
+        "q26_pivot",
+        "q27_gap_fill",
+        "q28_sessionize",
+        "q29_skew_safe_distinct",
+        "q31_variant_json",
+        "q32_approx_percentiles",
+        "q33_sql_subqueries",
+        "q34_merge_upsert",
+        "q35_recursive_cte",
+        "s02_ann_hyperplane_lsh",
+        "s05_filtered_ann",
+        "st02_sliding_window",
+        "st07_stream_static_join",
+        "st08_stream_outer_join",
+        "st11_transform_with_state",
+        "st12_python_stream_source",
+        "t06_quality_score",
+        "t10_wholetext_extract",
+        "t12_pack_sequences",
+        "t13_repetition_filter",
+        "t14_corpus_freq_score",
+        "t15_winnowing_pairs",
+        "t16_html_strip",
+        "t17_chunk_overlap",
+        "t20_bpe_pair_stats",
+        "t21_bm25_score",
+        "t22_unigram_nll",
+        "t23_host_reputation",
+        "x02_temperature_mix",
+        "x05_stratified_sample",
+        "x07_dsir_select",
+        "x08_prep_pipeline",
     }
 )
 
@@ -237,7 +254,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (116 queries; exact count asserted in
+    """The FULL registry (118 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

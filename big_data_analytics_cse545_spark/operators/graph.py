@@ -1,0 +1,252 @@
+"""Host-graph centrality operators — the crawl-curation stage between
+per-host quality stats (t23) and the keep/drop gate: rank hosts by link
+centrality so a pipeline can weight or prune whole domains.
+
+Reference anchor: the driver-in-the-loop iterative pattern of
+``a2_ahuja.py:254-280`` (collect-compute-broadcast per round) — here the
+per-iteration state is a host-level relation, so it stays DISTRIBUTED
+across iterations (one shuffle per round keyed on host) instead of
+ping-ponging through the driver; only the loop counter lives driver-side.
+
+Determinism contract (the x07/t22 integer discipline): ranks are BIGINT
+micro-units (1 rank point = 1e9), every per-edge contribution is a floor
+division, and every update is an integer sum — so partitioning, task
+order, and retries cannot change a single bit, and DuckDB can replay the
+exact arithmetic in a bounded-depth recursive CTE (the d08/q35 oracle
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_analytics_cse545_spark.cache import swap_cached
+from big_data_analytics_cse545_spark.operators.sampling import (
+    _sql_hash,
+    hash_bucket,
+)
+from big_data_analytics_cse545_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# g01 — fixed-iteration host PageRank (integer micro-rank arithmetic)
+# ---------------------------------------------------------------------------
+
+# Host universe: t23's exact derivation — source × (doc_id mod SLOTS).
+G01_SLOTS = 7
+# Fixed iteration count: rank_K is the contract, not "converged rank" —
+# a fixed K is reproducible, budgetable at 100 TB, and oracle-checkable.
+G01_ITERS = 6
+# 1.0 rank point in micro-units. Worst case one sink absorbs all mass:
+# r ≤ N_hosts·1e9 ≈ 1e15 at a million hosts; ×85 ≈ 1e17 < 2^63.
+G01_RANK_ONE = 1_000_000_000
+# Damping 0.85 split into exact integer parts: every node's floor
+# (0.15 · RANK_ONE) plus 85% of in-flowing mass, both floor-divided.
+G01_BASE = (G01_RANK_ONE * 15) // 100
+G01_DAMP_NUM = 85
+G01_DAMP_DEN = 100
+
+def _host(source: Column, slot: Column) -> Column:
+    """t23's host derivation: ``{source}-h{slot}.example.com``."""
+    return F.concat(
+        source, F.lit("-h"), slot.cast("string"), F.lit(".example.com")
+    )
+
+
+def host_link_graph(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive the deterministic host→host link graph from ``documents``.
+
+    Every document emits one link: FROM its own host (t23's derivation)
+    TO the host addressed by two md5 draws over its doc_id — dst source
+    picked by rank among the distinct sources (``g01s|`` draw mod
+    n_sources), dst slot by the ``g01h|`` draw mod SLOTS. Like t23/t18,
+    the derivation is reproducible INPUT; the iterative ranking is the
+    operator under test.
+
+    Returns ``(nodes, edges)`` where nodes is one ``host`` column (all
+    link endpoints plus every host that has documents) and edges is
+    ``(src_host, dst_host, outdeg)`` — distinct, self-loops dropped,
+    out-degree pre-joined so the rank loop never recomputes it.
+
+    Scale: sources are a small dimension (the one global ``row_number``
+    runs over that dimension, not the corpus), so the sid lookup is a
+    broadcast join; edges/nodes are host-level relations (millions of
+    rows at 100 TB, not billions) — exactly the shape that persists
+    cheaply and broadcast-joins back onto corpus-sized scans.
+    """
+    hosted = d.select(
+        "doc_id",
+        _host(F.col("source"), F.col("doc_id") % G01_SLOTS).alias("src_host"),
+    )
+    srcs = d.select("source").distinct()
+    # Dimension-sized scalar (count of distinct sources) — driver-safe.
+    n_src = srcs.count()
+    src_idx = srcs.select(
+        F.col("source").alias("dst_source"),
+        (F.row_number().over(Window.orderBy("source")) - 1).alias("sid"),
+    )
+    linked = hosted.select(
+        "src_host",
+        hash_bucket(F.col("doc_id"), "g01s|", n_src).alias("dst_sid"),
+        hash_bucket(F.col("doc_id"), "g01h|", G01_SLOTS).alias("dst_slot"),
+    ).join(F.broadcast(src_idx), F.col("dst_sid") == F.col("sid"))
+    edges = (
+        linked.select(
+            "src_host",
+            _host(F.col("dst_source"), F.col("dst_slot")).alias("dst_host"),
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    nodes = (
+        hosted.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    return nodes, edges.join(outdeg, "src_host")
+
+
+def pagerank_micro(
+    nodes: DataFrame, edges: DataFrame, iters: int = G01_ITERS
+) -> DataFrame:
+    """``iters`` fixed PageRank iterations in exact BIGINT micro-units.
+
+    Update rule (mirrored token-for-token by the DuckDB oracle):
+    ``r₀(v) = RANK_ONE``;
+    ``rₖ₊₁(v) = BASE + Σ_{(u,v)∈E} (rₖ(u)·85) div (outdeg(u)·100)``.
+    Dangling mass (hosts with no out-links) is dropped, not
+    redistributed — the common simplification; deterministic either way.
+
+    One shuffle per iteration, keyed on host, over host-sized relations;
+    the loop is declared lazily (plan depth = iters, bounded constant) —
+    for much larger ``iters`` a deployment would localCheckpoint every
+    few rounds, but at the contract K the single plan is the cheaper
+    trade (no materialization barrier).
+    """
+    ranks = nodes.select("host", F.lit(G01_RANK_ONE).cast("long").alias("r"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src_host"] == ranks["host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr(
+                    f"(r * {G01_DAMP_NUM}) div (outdeg * {G01_DAMP_DEN})"
+                ).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, "host", "left").select(
+            "host",
+            (
+                F.lit(G01_BASE).cast("long")
+                + F.coalesce(F.col("in_mass"), F.lit(0))
+            ).alias("r"),
+        )
+    return ranks
+
+
+def g01_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host centrality: {K} fixed PageRank iterations over the derived
+    host link graph, in exact integer micro-rank units.
+
+    The curation stage t23 stops short of: per-host quality verdicts
+    treat every domain alike, but crawl pipelines (Common Crawl ranking,
+    C4-descendant curation) weight domains by link centrality before the
+    keep/drop gate — a spam farm with self-consistent pages still ranks
+    low because nothing links to it. Output: one row per host with its
+    final micro-rank and out-degree, the relation a pipeline
+    broadcast-joins onto the doc scan as a priority column (d07's
+    small-verdict-relation shape).
+
+    The graph is host-level, so every relation in the loop is millions
+    of rows at 100 TB (never corpus-sized); the edge relation persists
+    across the {K} iterations (one live cache entry, swap-on-reentry).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nodes, edges = host_link_graph(d)
+    nodes = swap_cached("g01_nodes", nodes)
+    edges = swap_cached("g01_edges", edges)
+    ranks = pagerank_micro(nodes, edges)
+    deg = edges.select(F.col("src_host").alias("host"), "outdeg").distinct()
+    return (
+        ranks.join(deg, "host", "left")
+        .select(
+            "host",
+            F.col("r").alias("rank_micro"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("out_deg"),
+        )
+        .orderBy("host")
+    )
+
+
+g01_host_pagerank.__doc__ = g01_host_pagerank.__doc__.format(K=G01_ITERS)
+
+
+_G01_SQL = f"""
+WITH RECURSIVE
+hosted AS (
+  SELECT doc_id,
+         source || '-h' || CAST(doc_id % {G01_SLOTS} AS VARCHAR)
+           || '.example.com' AS src_host
+  FROM documents
+),
+srcs AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS sid
+  FROM (SELECT DISTINCT source FROM documents)
+),
+nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srcs),
+linked AS (
+  SELECT h.src_host,
+         s2.source || '-h'
+           || CAST({_sql_hash('h.doc_id', 'g01h|')} % {G01_SLOTS} AS VARCHAR)
+           || '.example.com' AS dst_host
+  FROM hosted h
+  CROSS JOIN nsrc
+  JOIN srcs s2 ON s2.sid = {_sql_hash('h.doc_id', 'g01s|')} % nsrc.n
+),
+edges AS (
+  SELECT DISTINCT src_host AS src, dst_host AS dst
+  FROM linked WHERE src_host <> dst_host
+),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM hosted
+    UNION ALL SELECT dst FROM edges
+  )
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+pr(iter, host, r) AS (
+  SELECT 0, host, CAST({G01_RANK_ONE} AS BIGINT) FROM nodes
+  UNION ALL
+  SELECT iter + 1, host, CAST({G01_BASE} AS BIGINT) + SUM(c)
+  FROM (
+    SELECT p.iter AS iter, e.dst AS host,
+           (p.r * {G01_DAMP_NUM}) // (d.outdeg * {G01_DAMP_DEN}) AS c
+    FROM pr p
+    JOIN deg d ON d.src = p.host
+    JOIN edges e ON e.src = p.host
+    UNION ALL
+    SELECT iter, host, CAST(0 AS BIGINT) FROM pr
+  )
+  WHERE iter < {G01_ITERS}
+  GROUP BY iter, host
+)
+SELECT p.host, p.r AS rank_micro, COALESCE(d.outdeg, 0) AS out_deg
+FROM pr p LEFT JOIN deg d ON d.src = p.host
+WHERE p.iter = {G01_ITERS}
+ORDER BY p.host
+"""
+
+
+QUERIES = {
+    "g01_host_pagerank": g01_host_pagerank,
+}
+
+ORACLE = {
+    "g01_host_pagerank": _G01_SQL,
+}

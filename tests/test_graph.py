@@ -1,0 +1,81 @@
+"""g01 host PageRank: DuckDB-oracle parity plus the invariants that make
+a fixed-iteration integer PageRank trustworthy — partitioning must not
+change a bit, dangling/no-in-edge semantics must be exact, and total
+mass must stay bounded by the initial mass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_cse545_spark.operators import graph
+from big_data_analytics_cse545_spark.sources import load_table
+from tests.oracle_utils import assert_parity
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_correctness"])
+def test_g01_oracle_parity(spark, sf, request):
+    sf_dir = request.getfixturevalue(sf)
+    df = graph.g01_host_pagerank(spark, sf_dir)
+    assert_parity(df, graph.ORACLE["g01_host_pagerank"], sf_dir, "g01")
+
+
+def test_g01_partitioning_cannot_change_a_bit(spark, sf_smoke):
+    """The integer micro-rank contract: floor divisions + BIGINT sums
+    are exact, so adversarial repartitioning of nodes AND edges must
+    reproduce the identical rank table."""
+    d = load_table(spark, sf_smoke, "documents")
+    nodes, edges = graph.host_link_graph(d)
+    base = {
+        r["host"]: r["r"]
+        for r in graph.pagerank_micro(nodes, edges).collect()
+    }
+    shuffled = {
+        r["host"]: r["r"]
+        for r in graph.pagerank_micro(
+            nodes.repartition(13), edges.repartition(7, "dst_host")
+        ).collect()
+    }
+    assert base == shuffled
+
+
+def test_g01_rank_invariants(spark, sf_smoke):
+    """Structural gates: every node ends >= BASE (the uniform floor);
+    a node with no in-edges ends at EXACTLY BASE; total final mass
+    never exceeds the initial N*RANK_ONE (floor + dangling only LOSE
+    mass); and the fixture graph actually exercises rank spread."""
+    rows = graph.g01_host_pagerank(spark, sf_smoke).collect()
+    assert rows
+    d = load_table(spark, sf_smoke, "documents")
+    _, edges = graph.host_link_graph(d)
+    with_in = {r["dst_host"] for r in edges.select("dst_host").distinct().collect()}
+    for r in rows:
+        assert r["rank_micro"] >= graph.G01_BASE, r
+        if r["host"] not in with_in:
+            assert r["rank_micro"] == graph.G01_BASE, r
+    total = sum(r["rank_micro"] for r in rows)
+    assert total <= len(rows) * graph.G01_RANK_ONE
+    ranks = sorted(r["rank_micro"] for r in rows)
+    assert ranks[0] < ranks[-1], "degenerate fixture: all ranks equal"
+
+
+def test_g01_iterations_move_mass(spark, sf_smoke):
+    """Convergence sanity: iteration K's ranks differ from iteration 0's
+    uniform vector, and successive iterations shrink the total update
+    magnitude (damped fixed-point behavior) — computed at two depths."""
+    d = load_table(spark, sf_smoke, "documents")
+    nodes, edges = graph.host_link_graph(d)
+
+    def ranks_at(k):
+        return {
+            r["host"]: r["r"]
+            for r in graph.pagerank_micro(nodes, edges, iters=k).collect()
+        }
+
+    r1, r5, r6 = ranks_at(1), ranks_at(5), ranks_at(6)
+    assert any(v != graph.G01_RANK_ONE for v in r1.values())
+    delta_early = sum(abs(r5[h] - r1[h]) for h in r1)
+    delta_late = sum(abs(r6[h] - r5[h]) for h in r1)
+    assert delta_late < delta_early, (
+        "ranks are not settling: |r6-r5| should be far below |r5-r1|"
+    )
