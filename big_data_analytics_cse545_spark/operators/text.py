@@ -1740,6 +1740,117 @@ ORDER BY host
 """
 
 
+# ---------------------------------------------------------------------------
+# t24 — bounded-iteration BPE merge TRAINER (t20 is one step of this loop)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 12
+
+
+def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right application of ONE BPE merge (left,right) to
+    a symbol array, as a pure JVM left fold (``aggregate``): walk the
+    symbols; whenever the accumulated tail is ``left`` and the incoming
+    symbol is ``right``, replace the tail with the merged symbol.
+
+    Replace-last is exactly Sennrich's non-overlapping greedy scan: a
+    symbol just produced by a merge can never be the LEFT of another
+    merge in the same pass, because ``left || right == left`` would
+    need an empty right. (E.g. pair (a,a) on [a,a,a] → [aa,a], on
+    [a,a,a,a] → [aa,aa].)
+    """
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def t24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration BPE tokenizer training: the driver loop t20
+    computes one step of (Sennrich et al. 2016, arXiv:1508.07909).
+    Output: the learned merge table — (step, left, right, merged,
+    pair_count) for {K} merges, the artifact every BPE tokenizer build
+    produces.
+
+    Loop shape (p05's Lloyd-iteration discipline): ONE corpus-sized
+    aggregation up front (corpus → word frequencies), then every
+    iteration runs over the VOCAB-sized dictionary — count adjacent
+    symbol pairs weighted by word frequency (map-side combined; key
+    space = the pair alphabet), collect exactly ONE row (the argmax
+    pair — driver-scale by construction, ties broken deterministically
+    by count desc, then left/right lexicographic), and apply the merge
+    to every word's symbol array as a pure JVM fold (no Python
+    boundary). The dictionary persists swap-on-advance per iteration,
+    so iteration k scans the k-1 result, not a k-deep replay.
+
+    At 100 TB: corpus text is touched exactly once; all {K} iterations
+    shuffle only (symbol-pair, count) rows bounded by the vocabulary,
+    which is why real tokenizer trainers (SentencePiece/HF) also
+    pre-aggregate to word counts first. Not SQL-expressible (iterative
+    argmax-dependent rewrites) → rows-only registry entry; the hard
+    gate is the pure-Python BPE golden in tests/test_text.py.
+    """
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+            ).alias("syms"),
+            "wf",
+        )
+    )
+    from big_data_analytics_cse545_spark.cache import swap_cached
+
+    words = swap_cached("t24_words", words)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        n_pairs = F.greatest(F.size("syms") - 1, F.lit(0))
+        top = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n_pairs),
+                        F.slice("syms", 2, n_pairs),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "wf",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wf").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged — nothing adjacent remains
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, left, right, left + right, cnt))
+        words = swap_cached(
+            "t24_words",
+            words.select(_apply_merge(F.col("syms"), left, right).alias("syms"), "wf"),
+        )
+    return spark.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string, pair_count long",
+    )
+
+
+t24_bpe_train.__doc__ = t24_bpe_train.__doc__.format(K=BPE_TRAIN_MERGES)
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -1764,6 +1875,7 @@ QUERIES = {
     "t21_bm25_score": t21_bm25_score,
     "t22_unigram_nll": t22_unigram_nll,
     "t23_host_reputation": t23_host_reputation,
+    "t24_bpe_train": t24_bpe_train,
 }
 
 ORACLE = {

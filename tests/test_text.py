@@ -9,10 +9,17 @@ from big_data_analytics_cse545_spark.operators import text
 from tests.oracle_utils import assert_parity
 
 
-@pytest.mark.parametrize("name", sorted(text.QUERIES))
+@pytest.mark.parametrize("name", sorted(text.ORACLE))
 def test_text_oracle_parity(spark, sf_correctness, name):
     df = text.QUERIES[name](spark, sf_correctness)
     assert_parity(df, text.ORACLE[name], sf_correctness, name)
+
+
+def test_only_t24_lacks_an_oracle():
+    """Every text query is DuckDB-oracle-checked except the ones with a
+    documented rows-only rationale — a new no-oracle query must be added
+    HERE deliberately, not fall out of the parity sweep silently."""
+    assert set(text.QUERIES) - set(text.ORACLE) == {"t24_bpe_train"}
 
 
 def test_wordcount_counts_are_case_insensitive(spark, sf_smoke):
@@ -226,6 +233,70 @@ def test_t20_matches_pure_python_bpe_counts(spark, sf_smoke):
         for r in text.t20_bpe_pair_stats(spark, sf_smoke).orderBy("rk").collect()
     ]
     assert got == exp
+
+
+def _pure_python_bpe(word_freqs, n_merges):
+    """Reference BPE trainer (Sennrich alg. 1): overlapping pair counts
+    weighted by word frequency; argmax with (count desc, left, right)
+    tie-break; greedy left-to-right non-overlapping merge application."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + f
+        if not pc:
+            break
+        (left, right), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((step, left, right, left + right, cnt))
+        for w, s in vocab.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def test_t24_matches_pure_python_bpe_trainer(spark, sf_smoke):
+    """Golden gate (t24 is rows-only by design — iterative
+    argmax-dependent rewrites have no SQL twin): the FULL learned merge
+    table must equal a from-scratch pure-Python BPE trainer over the
+    same tokenization, merge for merge — order, symbols, and counts."""
+    import re
+    from collections import Counter
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    wf: Counter = Counter()
+    for r in load_table(spark, sf_smoke, "documents").select("text").collect():
+        for w in re.split(r"[^a-z0-9]+", r["text"].lower()):
+            if w:
+                wf[w] += 1
+    exp = _pure_python_bpe(wf, text.BPE_TRAIN_MERGES)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in text.t24_bpe_train(spark, sf_smoke).orderBy("step").collect()
+    ]
+    assert len(got) == text.BPE_TRAIN_MERGES
+    assert got == exp
+
+
+def test_t24_first_merge_agrees_with_t20(spark, sf_smoke):
+    """Consistency between the one-step operator and the trainer: t24's
+    step-1 pair must be t20's rank-1 pair with the same count (t20
+    counts pairs as 2-char substrings, which at step 1 — all symbols
+    single characters — is the same statistic)."""
+    first = text.t24_bpe_train(spark, sf_smoke).orderBy("step").first()
+    top = text.t20_bpe_pair_stats(spark, sf_smoke).orderBy("rk").first()
+    assert first["left"] + first["right"] == top["pair"]
+    assert first["pair_count"] == top["pair_count"]
 
 
 def test_t21_bm25_bounds(spark, sf_correctness):
