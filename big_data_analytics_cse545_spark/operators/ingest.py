@@ -274,9 +274,17 @@ def xml_fixture_dir(sf_dir: str) -> str:
     format-defined ways, so prose belongs in the line- or columnar
     formats (f01/f05) — shipping structured metadata is what XML feeds
     still do in practice (sitemaps, catalog exports, OAI-PMH)."""
+    import re as _re
     import xml.sax.saxutils as sx
 
     import duckdb
+
+    # XML 1.0 Char production: C0 controls other than \t \n \r are NOT
+    # representable even escaped — a \x08 written verbatim makes the
+    # shard non-well-formed and Spark's PERMISSIVE reader nulls the
+    # whole record SILENTLY, surfacing only as an oracle hash mismatch
+    # far from the cause (r7 ADVICE). Fail loudly in the writer instead.
+    _xml_invalid = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
     def write(tmp: str) -> None:
         con = duckdb.connect()
@@ -299,7 +307,15 @@ def xml_fixture_dir(sf_dir: str) -> str:
                         ("n_chars", n_chars),
                     ):
                         if val is not None:
-                            fh.write(f"<{tag}>{sx.escape(str(val))}</{tag}>")
+                            s = str(val)
+                            if _xml_invalid.search(s):
+                                raise ValueError(
+                                    f"doc_id={doc_id} field {tag!r} contains "
+                                    "an XML-unrepresentable control char; "
+                                    "refusing to write a shard the reader "
+                                    "would silently null out"
+                                )
+                            fh.write(f"<{tag}>{sx.escape(s)}</{tag}>")
                     fh.write("</doc>\n")
                 fh.write("</docs>\n")
         con.close()
@@ -346,11 +362,14 @@ def f07_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _f07_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _f07_sql() -> str:
     # DuckDB has no XML reader — the oracle recomputes the rollup from
     # the SOURCE parquet (the f05 pattern), so the compare certifies
-    # the write-XML -> read-XML chain end to end.
-    xml_fixture_dir(sf_dir)  # ensure the fixture exists for the Spark side
+    # the write-XML -> read-XML chain end to end. No fixture side
+    # effect here: f07_xml_scan already builds the fixture for the
+    # actual sf_dir under test; building one for a DEFAULT dir from the
+    # oracle builder wrote fixtures for the wrong directory when called
+    # with no args (r7 ADVICE).
     return """
 SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

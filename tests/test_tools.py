@@ -84,6 +84,40 @@ def test_bench_control_vs_prior_bench_reads_driver_shape(monkeypatch):
     assert out["median_ratio"] == 1.75
 
 
+def test_bench_control_vs_prior_uses_collision_safe_short_codes(monkeypatch):
+    """vs_prior_bench must map full names to short codes via bench.py's
+    exact '#N'-suffixing, not a dict comprehension that silently keeps
+    only the LAST colliding name (r7 ADVICE — a colliding future query
+    would drop rows from the cross-round tripwire unnoticed)."""
+    import tools.bench_control as bc
+
+    monkeypatch.setattr(
+        bc, "prior_bench",
+        lambda: ("BENCH_r07.json", {"q01#1": 1.0, "q01#2": 1.0}),
+    )
+    out = bc.vs_prior_bench({"q01_alpha": 2.5, "q01_beta": 1.0})
+    # both colliding entries must survive into the ratio set
+    assert out["over_2x"] == {"q01#1": 2.5}
+    assert out["median_ratio"] == 1.75
+
+
+def test_bench_finals_aggregate_min_and_spread():
+    """The min-across-finals artifact (VERDICT r7 task #4): per-query
+    MIN over runs, [min,max] spread, failed runs excluded unless a
+    query failed in EVERY run (then -1.0 stays visible)."""
+    from tools.bench_finals import aggregate
+
+    p1 = {"sf": 0.1, "queries": {"a": 2.0, "b": -1.0, "c": 5.0, "d": -1.0}}
+    p2 = {"sf": 0.1, "queries": {"a": 1.5, "b": 3.0, "c": -1.0, "d": -1.0}}
+    out = aggregate([p1, p2], "r8_final")
+    assert out["queries"] == {"a": 1.5, "b": 3.0, "c": 5.0, "d": -1.0}
+    assert out["spread"] == {
+        "a": [1.5, 2.0], "b": [3.0, 3.0], "c": [5.0, 5.0], "d": [-1.0, -1.0],
+    }
+    assert out["value"] == 9.5  # -1.0 rows excluded from the total
+    assert out["n_runs"] == 2 and out["sf"] == 0.1
+
+
 def test_bench_short_code_collision_disambiguation():
     """bench.py's driver-tail line keys by short code; colliding codes
     must be disambiguated per-key, never by falling back to the

@@ -31,9 +31,10 @@ seven source commits before HEAD, so a 3.3× expression regression
 landed after it and sailed through adjudicated-as-noise):
 
 * every recorded control embeds ``last_source_commit`` (the newest
-  commit touching ``big_data_analytics_cse545_spark/``, ``bench.py``,
-  ``__spark_entry__.py`` or ``tests/``) plus a source-dirty flag, and
-  the summary line repeats them;
+  commit touching ``SOURCE_PATHS`` — the engine package, ``bench.py``,
+  ``__spark_entry__.py``; ``tests/`` and ``tools/`` are deliberately
+  NOT anchors, see the SOURCE_PATHS comment) plus a source-dirty flag,
+  and the summary line repeats them;
 * ``python tools/bench_control.py --check [control_head.json]`` exits
   non-zero (loudly) if the recorded control predates the current last
   source commit or was recorded on a dirty source tree — run it before
@@ -222,7 +223,13 @@ def vs_prior_bench(hq: dict) -> dict | None:
     if pb is None:
         return None
     fname, prior_q = pb
-    short = {k.split("_", 1)[0]: v for k, v in hq.items()}
+    # bench.py's exact short-code mapping (stable '#N' suffixes on
+    # collision) — a dict comprehension here silently kept only the
+    # LAST colliding name, dropping rows from this tripwire (r7 ADVICE)
+    sys.path.insert(0, REPO)
+    from bench import short_code_timings
+
+    short = short_code_timings(hq)
     ratios = {
         k: round(short[k] / prior_q[k], 3)
         for k in sorted(short)
