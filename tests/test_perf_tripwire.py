@@ -23,7 +23,17 @@ Two lessons are baked into the probe:
   the t13 row.
 
 Floors recorded round 7 on this box (fresh subprocess, sequential, so
-later queries run warm).
+later queries run warm); s06 added round 8 (VERDICT r7 task #7) to
+cover the ANN/similarity family. Its mutation check needed a SOURCE
+edit (N_PLANES is captured as a def-time default arg — monkeypatching
+the module constant is a silent no-op): collapsing the bucket space
+16-32× (N_PLANES 6 → 2 or 1) reads 7.6-8.0s vs the 2.9s floor at
+sf0.1, a ~2.7x ceiling — exact scoring saturates there at this corpus
+— hence s06 carries a tighter per-query factor (2.4x, trip at 7.2s;
+the noisiest r7 final read 3.1s, so 2.3x headroom over real noise).
+p07 was evaluated and rejected: its sf0.01 AND sf0.1 walls are fixed
+overhead (query set is bounded), flat under kernel-chunk and
+rerank-size mutations — a p07 floor would be a dead tripwire.
 """
 
 from __future__ import annotations
@@ -35,13 +45,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# query -> (sf_dir, recorded floor seconds); limit = 3 * floor
+# query -> (sf_dir, recorded floor seconds, trip factor)
 FLOORS = {
-    "d03_minhash_lsh_dedup": ("/root/testdata/sf0.01", 12.5),
-    "d08_dup_clusters": ("/root/testdata/sf0.01", 7.5),
-    "t13_repetition_filter": ("/root/testdata/sf0.1", 4.0),
+    "d03_minhash_lsh_dedup": ("/root/testdata/sf0.01", 12.5, 3.0),
+    "d08_dup_clusters": ("/root/testdata/sf0.01", 7.5, 3.0),
+    "s06_ann_multitable_lsh": ("/root/testdata/sf0.1", 3.0, 2.4),
+    "t13_repetition_filter": ("/root/testdata/sf0.1", 4.0, 3.0),
 }
-FACTOR = 3.0
 
 _PROBE = """
 import json, time
@@ -58,7 +68,7 @@ print("TRIPWIRE " + json.dumps(out))
 """
 
 
-def test_hot_queries_stay_within_3x_of_recorded_floor():
+def test_hot_queries_stay_within_factor_of_recorded_floor():
     plan = [(name, FLOORS[name][0]) for name in sorted(FLOORS)]
     probe = _PROBE % {"plan": json.dumps(plan)}
     res = subprocess.run(
@@ -74,11 +84,12 @@ def test_hot_queries_stay_within_3x_of_recorded_floor():
     walls = json.loads(line[-1].removeprefix("TRIPWIRE "))
     breaches = {
         name: round(walls[name], 2)
-        for name, (_, floor) in FLOORS.items()
-        if walls[name] > FACTOR * floor
+        for name, (_, floor, factor) in FLOORS.items()
+        if walls[name] > factor * floor
     }
     assert not breaches, (
-        f"perf tripwire: {breaches} exceeded {FACTOR}x their recorded "
-        f"floors {FLOORS} — an expression/plan regression is reaching "
-        "the bench; A/B it with tools/bench_control.py before shipping"
+        f"perf tripwire: {breaches} exceeded their per-query trip factor "
+        f"over the recorded floors {FLOORS} — an expression/plan "
+        "regression is reaching the bench; A/B it with "
+        "tools/bench_control.py before shipping"
     )
