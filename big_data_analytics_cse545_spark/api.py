@@ -1892,6 +1892,87 @@ def host_reputation(
     )
 
 
+def host_pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    iters: int = 6,
+    extra_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an arbitrary edge DataFrame (g01
+    semantics, operators/graph.py): returns one row per node — (host,
+    rank_micro, out_deg) — after ``iters`` exact-integer rank updates.
+    Join it back onto a corpus scan as the domain-priority column crawl
+    pipelines apply before per-document gates.
+
+    Edge hygiene here, ranking in :func:`graph.pagerank_micro`: null
+    endpoints and self-loops are dropped, parallel edges collapse to
+    one (DISTINCT — rank flows per LINK, not per mention), out-degree
+    is computed once and rides the persisted edge relation through all
+    iterations. ``extra_nodes`` (one ``host`` column) adds isolated
+    nodes that must appear in the output with the floor rank — e.g.
+    every host seen in the corpus, linked-to or not, the g01 shape.
+
+    Ranks are BIGINT micro-units (1 rank point = 1e9) with
+    floor-divided contributions — partitioning, task order, and retries
+    cannot change a bit (the x07/t22 integer discipline). One shuffle
+    per iteration keyed on host over host-sized relations; dangling
+    mass is dropped, not redistributed (documented simplification).
+    """
+    from big_data_analytics_cse545_spark.cache import swap_cached
+    from big_data_analytics_cse545_spark.operators.graph import pagerank_micro
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src_host"), F.col(dst_col).alias("dst_host")
+        )
+        .filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .distinct()
+    )
+    nodes = e.select(F.col("src_host").alias("host")).union(
+        e.select(F.col("dst_host").alias("host"))
+    )
+    if extra_nodes is not None:
+        nodes = nodes.union(extra_nodes.select(F.col("host")))
+    nodes = swap_cached("api_pagerank_nodes", nodes.distinct())
+    outdeg = e.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    e = swap_cached("api_pagerank_edges", e.join(outdeg, "src_host"))
+    ranks = pagerank_micro(nodes, e, iters=iters)
+    deg = e.select(F.col("src_host").alias("host"), "outdeg").distinct()
+    return ranks.join(deg, "host", "left").select(
+        "host",
+        F.col("r").alias("rank_micro"),
+        F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("out_deg"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 12,
+) -> DataFrame:
+    """Learn a BPE merge table from any DataFrame's text column (t24
+    semantics, operators/text.py — loop shape and the swap-on-advance
+    persistence discipline documented on ``text.train_bpe``): returns
+    (step, left, right, merged, pair_count) for up to ``n_merges``
+    merges, the artifact every BPE tokenizer build produces. Corpus
+    text is aggregated to word frequencies ONCE; every iteration works
+    on the vocab-sized dictionary and collects exactly one argmax row."""
+    from big_data_analytics_cse545_spark.operators.text import train_bpe
+
+    return train_bpe(
+        df, text_col=text_col, n_merges=n_merges, cache_key="api_bpe_words"
+    )
+
+
 def _spark_half_up_round6(raw):
     """Round a float64 array to 6 decimals EXACTLY as Spark's
     ``round(x, 6)`` does: BigDecimal over the double's shortest decimal

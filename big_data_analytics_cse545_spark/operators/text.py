@@ -1774,12 +1774,15 @@ def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
     )
 
 
-def t24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-iteration BPE tokenizer training: the driver loop t20
-    computes one step of (Sennrich et al. 2016, arXiv:1508.07909).
-    Output: the learned merge table — (step, left, right, merged,
-    pair_count) for {K} merges, the artifact every BPE tokenizer build
-    produces.
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_TRAIN_MERGES,
+    cache_key: str = "bpe_words",
+) -> DataFrame:
+    """BPE merge-table training over any DataFrame's text column — the
+    reusable core of t24 (and ``api.bpe_train``). Returns (step, left,
+    right, merged, pair_count) for up to ``n_merges`` merges.
 
     Loop shape (p05's Lloyd-iteration discipline): ONE corpus-sized
     aggregation up front (corpus → word frequencies), then every
@@ -1791,17 +1794,12 @@ def t24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     to every word's symbol array as a pure JVM fold (no Python
     boundary). The dictionary persists swap-on-advance per iteration,
     so iteration k scans the k-1 result, not a k-deep replay.
-
-    At 100 TB: corpus text is touched exactly once; all {K} iterations
-    shuffle only (symbol-pair, count) rows bounded by the vocabulary,
-    which is why real tokenizer trainers (SentencePiece/HF) also
-    pre-aggregate to word counts first. Not SQL-expressible (iterative
-    argmax-dependent rewrites) → rows-only registry entry; the hard
-    gate is the pure-Python BPE golden in tests/test_text.py.
     """
+    from big_data_analytics_cse545_spark.cache import swap_cached
+
+    spark = df.sparkSession
     words = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
         .select(
@@ -1811,11 +1809,9 @@ def t24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wf",
         )
     )
-    from big_data_analytics_cse545_spark.cache import swap_cached
-
-    words = swap_cached("t24_words", words)
+    words = swap_cached(cache_key, words)
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, BPE_TRAIN_MERGES + 1):
+    for step in range(1, n_merges + 1):
         n_pairs = F.greatest(F.size("syms") - 1, F.lit(0))
         top = (
             words.select(
@@ -1839,12 +1835,32 @@ def t24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((step, left, right, left + right, cnt))
         words = swap_cached(
-            "t24_words",
+            cache_key,
             words.select(_apply_merge(F.col("syms"), left, right).alias("syms"), "wf"),
         )
     return spark.createDataFrame(
         merges,
         "step long, left string, right string, merged string, pair_count long",
+    )
+
+
+def t24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration BPE tokenizer training: the driver loop t20
+    computes one step of (Sennrich et al. 2016, arXiv:1508.07909).
+    Output: the learned merge table — (step, left, right, merged,
+    pair_count) for {K} merges, the artifact every BPE tokenizer build
+    produces. Thin registry wrapper over :func:`train_bpe` (loop shape
+    and persistence discipline documented there).
+
+    At 100 TB: corpus text is touched exactly once; all {K} iterations
+    shuffle only (symbol-pair, count) rows bounded by the vocabulary,
+    which is why real tokenizer trainers (SentencePiece/HF) also
+    pre-aggregate to word counts first. Not SQL-expressible (iterative
+    argmax-dependent rewrites) → rows-only registry entry; the hard
+    gate is the pure-Python BPE golden in tests/test_text.py.
+    """
+    return train_bpe(
+        load_table(spark, sf_dir, "documents"), cache_key="t24_words"
     )
 
 

@@ -1072,3 +1072,75 @@ def test_ivf_pq_join_hot_cell_sharding_is_exact(spark, sf_correctness, monkeypat
         map(tuple, api.ivf_pq_join(q, e, "embedding", "vec_id", k=3).collect())
     )
     assert base == sharded and len(base) > 0
+
+
+def test_host_pagerank_matches_g01(spark, sf_smoke):
+    """api.host_pagerank fed g01's own derived edges + node universe
+    must reproduce g01's exact rank table (same integer arithmetic)."""
+    from big_data_analytics_cse545_spark.operators import graph
+
+    d = load_table(spark, sf_smoke, "documents")
+    nodes, edges = graph.host_link_graph(d)
+    got = {
+        (r["host"], r["rank_micro"], r["out_deg"])
+        for r in api.host_pagerank(
+            edges, "src_host", "dst_host", extra_nodes=nodes
+        ).collect()
+    }
+    exp = {
+        (r["host"], r["rank_micro"], r["out_deg"])
+        for r in graph.g01_host_pagerank(spark, sf_smoke).collect()
+    }
+    assert got == exp
+
+
+def test_host_pagerank_hand_graph_and_edge_hygiene(spark):
+    """Known graph, hand-computed integer ranks: a 2-cycle plus a source
+    and a sink; parallel edges collapse to one, self-loops and null
+    endpoints are dropped, and an isolated extra node gets the floor."""
+    from big_data_analytics_cse545_spark.operators.graph import (
+        G01_BASE,
+        G01_RANK_ONE,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # 2-cycle
+            ("s", "a"), ("s", "a"),          # parallel edge -> one link
+            ("s", "sink"),
+            ("x", "x"),                      # self-loop: dropped
+            (None, "a"), ("a", None),        # null endpoints: dropped
+        ],
+        "u string, v string",
+    )
+    iso = spark.createDataFrame([("lonely",)], "host string")
+    out = {
+        r["host"]: (r["rank_micro"], r["out_deg"])
+        for r in api.host_pagerank(edges, "u", "v", iters=1, extra_nodes=iso).collect()
+    }
+    # after 1 iteration from uniform R: node gets BASE + sum of
+    # (R*85)//(outdeg*100) over in-edges. s: outdeg 2 (a, sink; the
+    # parallel s->a collapsed). x dropped entirely (self-loop only).
+    c_full = (G01_RANK_ONE * 85) // 100          # from outdeg-1 neighbor
+    c_half = (G01_RANK_ONE * 85) // 200          # from outdeg-2 neighbor
+    assert "x" not in out
+    assert out["lonely"] == (G01_BASE, 0)
+    assert out["sink"] == (G01_BASE + c_half, 0)
+    assert out["a"] == (G01_BASE + c_full + c_half, 1)
+    assert out["b"] == (G01_BASE + c_full, 1)
+    assert out["s"] == (G01_BASE, 2)
+
+
+def test_bpe_train_matches_t24(spark, sf_smoke):
+    """api.bpe_train on the documents table must reproduce t24's merge
+    table exactly (same loop, arbitrary-DataFrame entry point)."""
+    d = load_table(spark, sf_smoke, "documents")
+    got = [
+        tuple(r)
+        for r in api.bpe_train(d, "text").orderBy("step").collect()
+    ]
+    exp = [
+        tuple(r)
+        for r in text_ops.t24_bpe_train(spark, sf_smoke).orderBy("step").collect()
+    ]
+    assert got == exp and len(got) == 12
