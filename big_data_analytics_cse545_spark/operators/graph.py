@@ -79,7 +79,12 @@ def host_link_graph(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         "doc_id",
         _host(F.col("source"), F.col("doc_id") % G01_SLOTS).alias("src_host"),
     )
-    srcs = d.select("source").distinct()
+    # NULL sources (torn crawl rows) stay OUT of the dst universe: a
+    # link to an unknown-provenance host is meaningless, and — the bug
+    # this filter pins — a NULL row in the ranked sid list would sort
+    # NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting every
+    # sid assignment by one (r8 --nulls --oracle sweep).
+    srcs = d.select("source").filter(F.col("source").isNotNull()).distinct()
     # Dimension-sized scalar (count of distinct sources) — driver-safe.
     n_src = srcs.count()
     src_idx = srcs.select(
@@ -196,8 +201,10 @@ hosted AS (
   FROM documents
 ),
 srcs AS (
+  -- non-null only: mirrors the Spark side (NULL would also rank
+  -- NULLS LAST here vs Spark's NULLS FIRST, shifting every sid)
   SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS sid
-  FROM (SELECT DISTINCT source FROM documents)
+  FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL)
 ),
 nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srcs),
 linked AS (

@@ -59,6 +59,40 @@ def test_g01_rank_invariants(spark, sf_smoke):
     assert ranks[0] < ranks[-1], "degenerate fixture: all ranks equal"
 
 
+def test_g01_null_sources_cannot_shift_the_sid_ranking(spark, tmp_path):
+    """r8 --nulls --oracle sweep pin: a NULL source row used to enter
+    the ranked dst-source list, where Spark orders NULLS FIRST but
+    DuckDB NULLS LAST — shifting every sid assignment by one and
+    silently rewiring the whole graph. NULL sources now stay out of
+    the dst universe on both sides; docs with NULL sources still rank
+    (their NULL host node gets the floor) but emit no links."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "null_src_sf")
+    os.makedirs(d)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(src, f), os.path.join(d, f))
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    cols = {n: t.column(n).to_pylist() for n in t.schema.names}
+    cols["source"] = [
+        None if i % 5 == 0 else s for i, s in enumerate(cols["source"])
+    ]
+    pq.write_table(
+        pa.table({n: pa.array(cols[n], t.schema.field(n).type) for n in t.schema.names}),
+        os.path.join(d, "documents.parquet"),
+    )
+    df = graph.g01_host_pagerank(spark, d)
+    assert_parity(df, graph.ORACLE["g01_host_pagerank"], d, "g01-nulls")
+    hosts = [r["host"] for r in df.collect()]
+    assert None in hosts, "NULL-host node must still appear with the floor rank"
+
+
 def test_g01_iterations_move_mass(spark, sf_smoke):
     """Convergence sanity: iteration K's ranks differ from iteration 0's
     uniform vector, and successive iterations shrink the total update
