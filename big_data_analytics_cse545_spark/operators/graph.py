@@ -47,6 +47,7 @@ G01_BASE = (G01_RANK_ONE * 15) // 100
 G01_DAMP_NUM = 85
 G01_DAMP_DEN = 100
 
+
 def _host(source: Column, slot: Column) -> Column:
     """t23's host derivation: ``{source}-h{slot}.example.com``."""
     return F.concat(

@@ -362,14 +362,16 @@ def f07_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _f07_sql() -> str:
+def _f07_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     # DuckDB has no XML reader — the oracle recomputes the rollup from
     # the SOURCE parquet (the f05 pattern), so the compare certifies
-    # the write-XML -> read-XML chain end to end. No fixture side
-    # effect here: f07_xml_scan already builds the fixture for the
-    # actual sf_dir under test; building one for a DEFAULT dir from the
-    # oracle builder wrote fixtures for the wrong directory when called
-    # with no args (r7 ADVICE).
+    # the write-XML -> read-XML chain end to end. sf_dir is accepted
+    # for the module-wide oracle-builder signature (test_ingest passes
+    # it) but deliberately UNUSED: the SQL reads the pre-registered
+    # documents view, and building an XML fixture here was a side
+    # effect into a possibly-wrong directory (r7 ADVICE) — f07_xml_scan
+    # builds the fixture for the actual sf_dir under test.
+    del sf_dir
     return """
 SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
