@@ -329,3 +329,31 @@ def test_s06_explode_is_narrow_and_dedup_precedes_scoring(spark, sf_correctness)
     assert any(
         "q_id" in s and "vec_id" in s for s in shuffles
     ), f"no (q_id, vec_id) dedup shuffle: {shuffles}"
+
+
+def test_runtime_shuffle_exchanges_counts_cached_builds_once(spark, sf_correctness):
+    """The r8 plan-audit fix: a cache-reusing loop (g01 references its
+    persisted nodes/edges in every iteration branch) must count each
+    DISTINCT cached relation's build exchanges ONCE — the number a run
+    executes — while the raw explain text multiplies them per
+    reference. A cache-free query must agree with the textual count."""
+    from big_data_analytics_cse545_spark.operators import graph
+    from big_data_analytics_cse545_spark.plans import (
+        explain_str,
+        runtime_shuffle_exchanges,
+        shuffle_exchanges,
+    )
+
+    g = graph.g01_host_pagerank(spark, sf_correctness)
+    outer, cached_ex, n_cached = runtime_shuffle_exchanges(g)
+    assert n_cached == 2, "g01 persists exactly nodes + edges"
+    assert cached_ex > 0
+    textual = explain_str(g).count("Exchange")
+    assert outer + cached_ex < textual, (
+        "runtime count must undercut the reference-multiplied text count"
+    )
+
+    q = relational.q01_pricing_summary(spark, sf_correctness)
+    outer_q, cached_q, n_q = runtime_shuffle_exchanges(q)
+    assert (cached_q, n_q) == (0, 0)
+    assert outer_q == len(shuffle_exchanges(q))
