@@ -68,8 +68,7 @@ print("TRIPWIRE " + json.dumps(out))
 """
 
 
-def test_hot_queries_stay_within_factor_of_recorded_floor():
-    plan = [(name, FLOORS[name][0]) for name in sorted(FLOORS)]
+def _run_probe(plan):
     probe = _PROBE % {"plan": json.dumps(plan)}
     res = subprocess.run(
         [sys.executable, "-c", probe],
@@ -81,7 +80,25 @@ def test_hot_queries_stay_within_factor_of_recorded_floor():
     assert res.returncode == 0, res.stderr[-2000:]
     line = [l for l in res.stdout.splitlines() if l.startswith("TRIPWIRE ")]
     assert line, res.stdout[-2000:]
-    walls = json.loads(line[-1].removeprefix("TRIPWIRE "))
+    return json.loads(line[-1].removeprefix("TRIPWIRE "))
+
+
+def test_hot_queries_stay_within_factor_of_recorded_floor():
+    walls = _run_probe([(name, FLOORS[name][0]) for name in sorted(FLOORS)])
+    breaches = {
+        name
+        for name, (_, floor, factor) in FLOORS.items()
+        if walls[name] > factor * floor
+    }
+    if breaches:
+        # confirm-on-breach (min of two independent probes): a one-off
+        # GC/scheduling hiccup can land on any single reading — the r8
+        # control saw an UNCHANGED query read 8.9x once and 1.1x on the
+        # re-run — while a real expression/plan regression reproduces.
+        rerun = _run_probe([(n, FLOORS[n][0]) for n in sorted(breaches)])
+        walls.update(
+            {n: min(walls[n], rerun[n]) for n in breaches}
+        )
     breaches = {
         name: round(walls[name], 2)
         for name, (_, floor, factor) in FLOORS.items()
@@ -89,7 +106,7 @@ def test_hot_queries_stay_within_factor_of_recorded_floor():
     }
     assert not breaches, (
         f"perf tripwire: {breaches} exceeded their per-query trip factor "
-        f"over the recorded floors {FLOORS} — an expression/plan "
-        "regression is reaching the bench; A/B it with "
-        "tools/bench_control.py before shipping"
+        f"over the recorded floors {FLOORS} in BOTH of two independent "
+        "probes — an expression/plan regression is reaching the bench; "
+        "A/B it with tools/bench_control.py before shipping"
     )
