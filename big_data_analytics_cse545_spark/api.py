@@ -1968,9 +1968,7 @@ def bpe_train(
     on the vocab-sized dictionary and collects exactly one argmax row."""
     from big_data_analytics_cse545_spark.operators.text import train_bpe
 
-    return train_bpe(
-        df, text_col=text_col, n_merges=n_merges, cache_key="api_bpe_words"
-    )
+    return train_bpe(df, text_col=text_col, n_merges=n_merges)
 
 
 def _spark_half_up_round6(raw):

@@ -1,5 +1,5 @@
-"""Session-scoped persist discipline shared by every iterative/forked
-operator (m01's funnel fork, g01's rank loop, t24's merge loop).
+"""Session-scoped persist discipline for caches reused ACROSS
+invocations (m01's funnel signatures, g01's graph relations).
 
 ``swap_cached`` persists a DataFrame (MEMORY_AND_DISK) and unpersists
 the PREVIOUS invocation's DF for the same key — bounding the cache
@@ -8,6 +8,12 @@ registry in one SparkSession) to one live entry per query family
 instead of one per call, the leak ADVICE r2 flagged. Mirrors the
 reference's manual ``persist()`` reuse (``a2_ahuja.py:221,327,431``)
 with an explicit eviction contract Spark does not provide.
+
+NOT for chained lineage WITHIN a loop: when iteration k+1's relation
+derives from iteration k's, the new cache must materialize before the
+parent is released or the loop replays its whole history — that is
+text.train_bpe's advance-then-release pattern, deliberately local to
+the loop (its docstring has the measured story).
 """
 
 from __future__ import annotations
