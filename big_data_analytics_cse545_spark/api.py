@@ -1921,7 +1921,10 @@ def host_pagerank(
     mass is dropped, not redistributed (documented simplification).
     """
     from big_data_analytics_cse545_spark.cache import swap_cached
-    from big_data_analytics_cse545_spark.operators.graph import pagerank_micro
+    from big_data_analytics_cse545_spark.operators.graph import (
+        attach_out_degree,
+        pagerank_micro,
+    )
 
     e = (
         edges.select(
@@ -1944,13 +1947,7 @@ def host_pagerank(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
     e = swap_cached("api_pagerank_edges", e.join(outdeg, "src_host"))
-    ranks = pagerank_micro(nodes, e, iters=iters)
-    deg = e.select(F.col("src_host").alias("host"), "outdeg").distinct()
-    return ranks.join(deg, "host", "left").select(
-        "host",
-        F.col("r").alias("rank_micro"),
-        F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("out_deg"),
-    )
+    return attach_out_degree(pagerank_micro(nodes, e, iters=iters), e)
 
 
 def bpe_train(

@@ -156,6 +156,19 @@ def pagerank_micro(
     return ranks
 
 
+def attach_out_degree(ranks: DataFrame, edges: DataFrame) -> DataFrame:
+    """The shared output tail of g01 and ``api.host_pagerank``: join the
+    final ranks with each host's out-degree (0 for sinks/isolated
+    nodes) → (host, rank_micro, out_deg). One place, so the two entry
+    points cannot drift on out_deg semantics (r8 review)."""
+    deg = edges.select(F.col("src_host").alias("host"), "outdeg").distinct()
+    return ranks.join(deg, "host", "left").select(
+        "host",
+        F.col("r").alias("rank_micro"),
+        F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("out_deg"),
+    )
+
+
 def g01_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host centrality: {K} fixed PageRank iterations over the derived
     host link graph, in exact integer micro-rank units.
@@ -178,16 +191,7 @@ def g01_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = swap_cached("g01_nodes", nodes)
     edges = swap_cached("g01_edges", edges)
     ranks = pagerank_micro(nodes, edges)
-    deg = edges.select(F.col("src_host").alias("host"), "outdeg").distinct()
-    return (
-        ranks.join(deg, "host", "left")
-        .select(
-            "host",
-            F.col("r").alias("rank_micro"),
-            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("out_deg"),
-        )
-        .orderBy("host")
-    )
+    return attach_out_degree(ranks, edges).orderBy("host")
 
 
 g01_host_pagerank.__doc__ = g01_host_pagerank.__doc__.format(K=G01_ITERS)

@@ -279,12 +279,15 @@ def xml_fixture_dir(sf_dir: str) -> str:
 
     import duckdb
 
-    # XML 1.0 Char production: C0 controls other than \t \n \r are NOT
-    # representable even escaped — a \x08 written verbatim makes the
-    # shard non-well-formed and Spark's PERMISSIVE reader nulls the
-    # whole record SILENTLY, surfacing only as an oracle hash mismatch
-    # far from the cause (r7 ADVICE). Fail loudly in the writer instead.
-    _xml_invalid = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    # XML 1.0 Char production: C0 controls other than \t \n \r, lone
+    # surrogates, and U+FFFE/U+FFFF are NOT representable even escaped —
+    # written verbatim they make the shard non-well-formed and Spark's
+    # PERMISSIVE reader nulls the whole record SILENTLY, surfacing only
+    # as an oracle hash mismatch far from the cause (r7 ADVICE; the
+    # non-C0 classes per the r8 review). Fail loudly in the writer.
+    _xml_invalid = _re.compile(
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\ud800-\\udfff\\ufffe\\uffff]"
+    )
 
     def write(tmp: str) -> None:
         con = duckdb.connect()

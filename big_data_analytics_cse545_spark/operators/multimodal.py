@@ -737,7 +737,9 @@ def fused_signatures(
 
 
 # swap-on-reentry persist discipline: cache.swap_cached (imported at
-# top as _swap_cached) — shared with graph/text since r8
+# top as _swap_cached) — shared with graph since r8; NOT used by
+# text.train_bpe, whose chained in-loop lineage needs the
+# release-one-behind ordering (see cache.py's caveat)
 
 
 def funnel_fork(
