@@ -163,77 +163,75 @@ _DEMOTED_TWINNED = frozenset(
         "d08_dup_clusters",  # ↔ g01_host_pagerank (same iterative-graph + recursive-CTE oracle shape)
     }
 )
-# ROUND-8 ROTATION (executed per the round-7 pre-written plan):
-#   eligible = 118 − 6 _TEST_GATED − 2 _DEMOTED_BASELINES
-#              − 10 _DEMOTED_TWINNED = 100 = 2 × 50 exactly (g01
-#   activates this round in the slot its d08 twin demotion freed).
-#   _HELD_OUT below = the 50 names in CORRECTNESS_r07 (all 50
-#   rows+schema+hash green, 0 failures); active set = the 50 round-7
-#   hold-outs minus the newly twin-demoted d08 plus newcomer g01,
-#   keeping the strict "driver row within two rounds" cadence
-#   (r7 ∪ r8 again covers all 100 eligible).
+# ROUND-9 ROTATION (executed per the round-8 pre-written plan):
+#   new _HELD_OUT below = the 50 names in CORRECTNESS_r08 (all 50 green:
+#   45 rows+schema+hash, 5 rows-only by design); active set = the 50
+#   round-8 hold-outs, adjusted by this round's newcomer↔twin swaps
+#   (each newcomer enters on the slot its twin demotion frees, the g01↔
+#   d08 precedent), keeping the strict "driver row within two rounds"
+#   cadence (r8 ∪ r9 again covers all 100 eligible).
 #
-# ROUND-9 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
-# CORRECTNESS_r08 (= the active set of this round); any round-8-born
+# ROUND-10 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
+# CORRECTNESS_r09 (= the active set of this round); any round-9-born
 # query must bring its own twin demotion (or test-gating rationale) to
 # stay at 2×50.
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # = the 50 queries checked in CORRECTNESS_r07 (all rows+schema+
-        # hash green). Their DuckDB oracles keep running every pytest
-        # run via held_out_oracle_sql(); they rotate back into the
-        # driver budget in round 9.
-        "d01_exact_dedup",
-        "d04_simhash_clusters",
-        "d07_decontaminate",
-        "d11_semantic_dedup",
-        "d12_cdc_chunk_dedup",
-        "f02_csv_scan",
-        "f06_python_datasource_scan",
-        "f07_xml_scan",
-        "p02_random_projection",
-        "p06_scalar_quantize",
-        "q06_topk_orders_per_customer",
-        "q07_order_running_analytics",
-        "q18_asof_join",
-        "q19_range_join",
-        "q21_null_semantics",
-        "q22_retention_cohorts",
-        "q23_event_funnel",
-        "q25_range_frame",
-        "q26_pivot",
-        "q27_gap_fill",
-        "q28_sessionize",
-        "q29_skew_safe_distinct",
-        "q31_variant_json",
-        "q32_approx_percentiles",
-        "q33_sql_subqueries",
-        "q34_merge_upsert",
-        "q35_recursive_cte",
-        "s02_ann_hyperplane_lsh",
-        "s05_filtered_ann",
-        "st02_sliding_window",
-        "st07_stream_static_join",
-        "st08_stream_outer_join",
-        "st11_transform_with_state",
-        "st12_python_stream_source",
-        "t06_quality_score",
-        "t10_wholetext_extract",
-        "t12_pack_sequences",
-        "t13_repetition_filter",
-        "t14_corpus_freq_score",
-        "t15_winnowing_pairs",
-        "t16_html_strip",
-        "t17_chunk_overlap",
-        "t20_bpe_pair_stats",
-        "t21_bm25_score",
-        "t22_unigram_nll",
-        "t23_host_reputation",
-        "x02_temperature_mix",
-        "x05_stratified_sample",
-        "x07_dsir_select",
-        "x08_prep_pipeline",
+        # = the 50 queries checked in CORRECTNESS_r08 (45 hash green +
+        # the 5 rows-only-by-design). Their DuckDB oracles keep running
+        # every pytest run via held_out_oracle_sql(); they rotate back
+        # into the driver budget in round 10.
+        "d03_minhash_lsh_dedup",
+        "d05_embedding_near_dup",
+        "d10_incremental_dedup",
+        "f01_jsonl_scan",
+        "f03_jsonl_corrupt_tolerant",
+        "f04_partitioned_scan",
+        "g01_host_pagerank",
+        "m01_image_similarity_funnel",
+        "m02_video_frame_sample",
+        "m05_signature_band_relational",
+        "p01_dim_stats",
+        "p03_pca_topk",
+        "p05_kmeans_iterative",
+        "p07_pq_ann",
+        "q01_pricing_summary",
+        "q02_revenue_by_nation",
+        "q03_top_orders",
+        "q04_customers_with_orders",
+        "q05_customers_without_orders",
+        "q08_rollup_region_nation",
+        "q09_cube_status_priority",
+        "q10_set_ops",
+        "q11_distinct_and_conditional_agg",
+        "q12_inlist_filter",
+        "q13_string_funcs",
+        "q14_events_by_month_type",
+        "q16_above_avg_lineitems",
+        "q20_approx_distinct",
+        "q36_merge_upsert_general",
+        "s03_ann_ivf",
+        "s06_ann_multitable_lsh",
+        "st01_tumbling_window",
+        "st03_session_window",
+        "st04_streaming_dedup",
+        "st05_stateful_user_counts",
+        "st06_stream_stream_join",
+        "st09_stream_incremental_dedup",
+        "st10_sliding_distinct_users",
+        "t01_wordcount",
+        "t02_word_set_difference",
+        "t03_term_mentions",
+        "t04_term_mentions_nested",
+        "t05_lang_guess",
+        "t08_fingerprint",
+        "t09_pseudo_xml_extract",
+        "t11_pii_scrub",
+        "t18_url_canonicalize",
+        "t19_unicode_normalize",
+        "x04_token_budget_select",
+        "x06_leakage_safe_split",
     }
 )
 
