@@ -248,6 +248,11 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
     run.__name__ = getattr(fn, "__name__", "query")
     run.__doc__ = fn.__doc__
+    if hasattr(fn, "__eager_loop__"):
+        # definition-site opt-out for tools/plan_audit.py (eager driver
+        # loops must not be executed by the audit) — must survive the
+        # wrap or the tool would silently re-run training jobs
+        run.__eager_loop__ = fn.__eager_loop__
     return run
 
 

@@ -1914,11 +1914,24 @@ def host_pagerank(
     nodes that must appear in the output with the floor rank — e.g.
     every host seen in the corpus, linked-to or not, the g01 shape.
 
-    Ranks are BIGINT micro-units (1 rank point = 1e9) with
-    floor-divided contributions — partitioning, task order, and retries
-    cannot change a bit (the x07/t22 integer discipline). One shuffle
-    per iteration keyed on host over host-sized relations; dangling
-    mass is dropped, not redistributed (documented simplification).
+    Ranks are BIGINT fixed-point units (1 rank point = 1e9; "micro" is
+    used loosely for "fixed-point integer" — see the graph.py note)
+    with floor-divided contributions — partitioning, task order, and
+    retries cannot change a bit (the x07/t22 integer discipline). One
+    shuffle per iteration keyed on host over host-sized relations;
+    dangling mass is dropped, not redistributed (documented
+    simplification).
+
+    Cache contract (r8 ADVICE, deliberate): the node/edge relations
+    persist under FIXED session keys, so only the MOST RECENT call's
+    returned DataFrame keeps its persisted inputs — a second call
+    releases the first's caches, and an earlier not-yet-collected
+    result silently recomputes its iters-deep lineage from the raw
+    edges (correct, just uncached). Concurrent calls are unsupported
+    (module-level cache dict). Per-call keys were rejected: nothing
+    marks when a lazy result is done being used, so unique keys leak
+    one host-sized cache per call for the session's lifetime — the
+    exact leak ``swap_cached`` exists to bound.
     """
     from big_data_analytics_cse545_spark.cache import swap_cached
     from big_data_analytics_cse545_spark.operators.graph import (

@@ -33,6 +33,12 @@ from big_data_analytics_cse545_spark.sources import load_table
 # g01 — fixed-iteration host PageRank (integer micro-rank arithmetic)
 # ---------------------------------------------------------------------------
 
+# Naming note (r8 ADVICE, deliberate): "micro" in rank_micro/G01_RANK_ONE
+# is used loosely for "fixed-point integer rank units" — 1 rank point =
+# 1e9 units, which is strictly NANO scale. The g01 schema (rank_micro)
+# is pinned in recorded CORRECTNESS/BENCH artifacts and golden tests, so
+# the loose name stays; arithmetic is consistent everywhere (Spark,
+# DuckDB oracle, api.host_pagerank, tests).
 # Host universe: t23's exact derivation — source × (doc_id mod SLOTS).
 G01_SLOTS = 7
 # Fixed iteration count: rank_K is the contract, not "converged rank" —

@@ -420,6 +420,15 @@ def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# opt-in at definition site: tools/plan_audit.py must NOT execute this
+# query (the Lloyd loop collects per-iteration partials EAGERLY while
+# fn() builds; the returned LocalTableScan would audit as a false
+# "0 exchanges" row) — r8 ADVICE
+p05_kmeans_iterative.__eager_loop__ = (
+    "p05 docstring: 1 scan/iteration over the persisted table"
+)
+
+
 # ---------------------------------------------------------------------------
 # p06 — scalar (int8) embedding quantization
 # ---------------------------------------------------------------------------

@@ -1884,6 +1884,15 @@ def t24_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 t24_bpe_train.__doc__ = t24_bpe_train.__doc__.format(K=BPE_TRAIN_MERGES)
+# opt-in at definition site: tools/plan_audit.py must NOT execute this
+# query (its driver loop does the real training work EAGERLY while
+# fn() builds, and the returned LocalTableScan would audit as a false
+# "0 exchanges" row) — r8 ADVICE: a hard-coded allowlist in the tool
+# silently misses the next eager-loop query
+t24_bpe_train.__eager_loop__ = (
+    "t24 docstring: 1 corpus agg, then ~2 vocab-sized shuffles x "
+    f"{BPE_TRAIN_MERGES} iterations"
+)
 
 
 QUERIES = {

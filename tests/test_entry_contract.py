@@ -37,6 +37,21 @@ def test_registry_size_and_docstrings():
     assert not undocumented, f"queries with no docstring: {undocumented}"
 
 
+def test_eager_loop_markers():
+    """tools/plan_audit.py skips queries whose driver loop runs EAGERLY
+    while fn() builds, collected from definition-site ``__eager_loop__``
+    markers (r8 ADVICE: a tool-side allowlist silently misses the next
+    eager-loop query). Pin the marked set — adding an eager-loop query
+    without a marker means the audit re-runs its training job and
+    commits a false '0 exchanges' row; marking a lazy query hides its
+    plan from the audit. The marker must also survive _wrap()."""
+    marked = {
+        n for n, fn in em.all_queries().items()
+        if hasattr(fn, "__eager_loop__")
+    }
+    assert marked == {"p05_kmeans_iterative", "t24_bpe_train"}, marked
+
+
 def test_rotation_budget_is_consistent():
     """_TEST_GATED/_DEMOTED_BASELINES/_HELD_OUT must reference real
     queries, be pairwise disjoint, and together account for the full

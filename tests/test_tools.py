@@ -73,13 +73,15 @@ def test_bench_control_vs_prior_bench_reads_driver_shape(monkeypatch):
 
     monkeypatch.setattr(
         bc, "prior_bench",
-        lambda: ("BENCH_r06.json", {"q01": 1.0, "t13": 5.0, "q99": -1.0}),
+        lambda: ("BENCH_r06.json", 6, {"q01": 1.0, "t13": 5.0, "q99": -1.0}),
     )
+    monkeypatch.setattr(bc, "prior_final_min", lambda n: None)
     out = bc.vs_prior_bench(
         {"q01_pricing_summary": 2.5, "t13_repetition_filter": 5.0,
          "q98_unknown": 1.0}
     )
     assert out["prior_bench"] == "BENCH_r06.json"
+    assert out["basis"] == "single_run_vs_single_run"
     assert out["over_2x"] == {"q01": 2.5}
     assert out["median_ratio"] == 1.75
 
@@ -93,12 +95,59 @@ def test_bench_control_vs_prior_uses_collision_safe_short_codes(monkeypatch):
 
     monkeypatch.setattr(
         bc, "prior_bench",
-        lambda: ("BENCH_r07.json", {"q01#1": 1.0, "q01#2": 1.0}),
+        lambda: ("BENCH_r07.json", 7, {"q01#1": 1.0, "q01#2": 1.0}),
     )
+    monkeypatch.setattr(bc, "prior_final_min", lambda n: None)
     out = bc.vs_prior_bench({"q01_alpha": 2.5, "q01_beta": 1.0})
     # both colliding entries must survive into the ratio set
     assert out["over_2x"] == {"q01#1": 2.5}
     assert out["median_ratio"] == 1.75
+
+
+def test_bench_control_vs_prior_prefers_min_artifact(monkeypatch):
+    """When the prior round recorded a min-across-finals artifact, the
+    cross-round tripwire must compare against IT (full query names, no
+    short codes) and say so in 'basis' — min-based denominators are the
+    scheduling-noise-free estimate that ends q15/m04-style single-run
+    adjudication (VERDICT r8 task #7)."""
+    import tools.bench_control as bc
+
+    monkeypatch.setattr(
+        bc, "prior_bench",
+        lambda: ("BENCH_r08.json", 8, {"q01": 99.0}),  # must be ignored
+    )
+    monkeypatch.setattr(
+        bc, "prior_final_min",
+        lambda n: (
+            "r8_final_min.json",
+            {"q01_pricing_summary": 1.0, "t13_repetition_filter": 2.0},
+        ),
+    )
+    out = bc.vs_prior_bench(
+        {"q01_pricing_summary": 2.5, "t13_repetition_filter": 2.0},
+        head_kind="min",
+    )
+    assert out["prior_bench"] == "r8_final_min.json"
+    assert out["basis"] == "min_vs_min"
+    assert out["over_2x"] == {"q01_pricing_summary": 2.5}
+    assert out["median_ratio"] == 1.75
+
+
+def test_bench_finals_run_bench_fails_loudly_without_stderr_line(monkeypatch):
+    """_run_bench must REFUSE the short-code stdout fallback: a series
+    mixing full-name and short-code payloads gives aggregate() disjoint
+    key spaces and a silently double-counted min (r8 ADVICE)."""
+    import subprocess as sp
+    import pytest
+    import tools.bench_finals as bf
+
+    fake = sp.CompletedProcess(
+        args=[], returncode=0, stdout='{"queries": {"q01": 1.0}}\n',
+        stderr="no timing mirror here\n",
+    )
+    monkeypatch.setattr(bf.subprocess, "run", lambda *a, **k: fake)
+    with pytest.raises(RuntimeError, match="full-name timings"):
+        bf._run_bench("/root/testdata/sf0.01")
 
 
 def test_bench_finals_aggregate_min_and_spread():

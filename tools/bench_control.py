@@ -39,10 +39,17 @@ landed after it and sailed through adjudicated-as-noise):
   non-zero (loudly) if the recorded control predates the current last
   source commit or was recorded on a dirty source tree — run it before
   committing a round's final bench artifacts;
-* the summary now also compares HEAD timings against the prior round's
-  committed ``BENCH_r{N}.json`` (``vs_prior_bench``), naming every
-  query over 2× — the cross-round tripwire the r6 t13 regression
-  needed.
+* the summary now also compares HEAD timings against the prior round
+  (``vs_prior_bench``), naming every query over 2× — the cross-round
+  tripwire the r6 t13 regression needed.
+
+Round-9 hardening (VERDICT r8 task #7): ``vs_prior_bench`` prefers the
+prior round's ``bench_runs/r{N}_final_min.json`` (per-query minima
+across that round's finals — tools/bench_finals.py) over the single-run
+``BENCH_r{N}.json`` as its denominator, and
+``python tools/bench_control.py --tripwire bench_runs/r9_final_min.json``
+runs the min-vs-min compare after this round's finals are recorded —
+so a q15-style GC landing spot can no longer cost an adjudication.
 """
 
 from __future__ import annotations
@@ -57,6 +64,11 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# import-time, guarded: vs_prior_bench imports bench.py's short-code
+# mapping; an insert per CALL grew sys.path unboundedly across repeated
+# invocations in one test process (r8 ADVICE)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 # paths whose commits can change MEASURED behavior: the engine, the
 # bench harness itself, and the query registry it runs. Docs (SCALE.md,
 # bench_runs/), tests/ and tools/ are deliberately excluded — a
@@ -116,7 +128,7 @@ def check_control(path: str) -> int:
     return 0
 
 
-def prior_bench() -> tuple[str, dict] | None:
+def prior_bench() -> tuple[str, int, dict] | None:
     """The newest committed BENCH_r{N}.json — the prior round's driver
     bench, used for the cross-round per-query tripwire."""
     best, best_n = None, -1
@@ -132,7 +144,23 @@ def prior_bench() -> tuple[str, dict] | None:
     queries = payload.get("queries") or payload.get("parsed", {}).get(
         "queries", {}
     )
-    return os.path.basename(best), queries
+    return os.path.basename(best), best_n, queries
+
+
+def prior_final_min(round_n: int) -> tuple[str, dict] | None:
+    """The prior round's min-across-finals artifact
+    (``bench_runs/r{N}_final_min.json``, tools/bench_finals.py — FULL
+    query names), if that round recorded one. Preferred over the
+    single-run BENCH_r{N}.json as the tripwire denominator: per-query
+    minima are the scheduling-noise-free estimate, so a min-based
+    ratio can't spend a round adjudicating a GC landing spot (the
+    r8 q15/m04 cost this exists to kill — VERDICT r8 task #7)."""
+    p = os.path.join(REPO, "bench_runs", f"r{round_n}_final_min.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        payload = json.load(f)
+    return os.path.basename(p), payload.get("queries", {})
 
 
 def _run_bench(cwd: str, sf_dir: str) -> dict:
@@ -145,12 +173,20 @@ def _run_bench(cwd: str, sf_dir: str) -> dict:
         text=True,
         check=True,
     )
-    # prefer the full-name payload bench.py mirrors to stderr (the
-    # stdout line keys by short code for the driver-tail limit)
+    # the full-name payload bench.py mirrors to stderr (the stdout line
+    # keys by short code for the driver-tail limit). NO short-code
+    # fallback: a control whose two sides parse different key shapes
+    # compares nothing ("common_queries": 0) — fail loudly instead
+    # (r8 ADVICE on bench_finals; same class). Only pre-r5 refs lack
+    # the stderr mirror, and controls always target the prior round.
     for line in out.stderr.splitlines():
         if line.startswith("bench full-name timings: "):
             return json.loads(line.split(": ", 1)[1])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    raise RuntimeError(
+        f"bench.py in {cwd} emitted no 'bench full-name timings:' stderr "
+        "line — refusing the short-code stdout fallback (the two control "
+        "sides would compare disjoint key spaces)"
+    )
 
 
 def main() -> int:
@@ -169,10 +205,29 @@ def main() -> int:
             return 2
         print(f"checking {path}")
         return check_control(path)
+    if len(sys.argv) >= 2 and sys.argv[1] == "--tripwire":
+        # min-vs-min cross-round tripwire: compare THIS round's
+        # min-across-finals artifact (path given explicitly — the
+        # newest *_final_min.json could be the PRIOR round's committed
+        # one, which would silently compare prior vs prior at 1.0)
+        # against the prior round's. Run after tools/bench_finals.py.
+        if len(sys.argv) < 3:
+            print(
+                "usage: python tools/bench_control.py --tripwire "
+                "bench_runs/r{N}_final_min.json",
+                file=sys.stderr,
+            )
+            return 2
+        with open(sys.argv[2]) as f:
+            head_min = json.load(f)
+        result = vs_prior_bench(head_min.get("queries", {}), head_kind="min")
+        print(json.dumps({"head_min": sys.argv[2], "vs_prior_bench": result}))
+        return 0
     if len(sys.argv) < 2:
         print(
             "usage: python tools/bench_control.py <prev_ref> [sf_dir] [out_prefix]\n"
-            "       python tools/bench_control.py --check [control_head.json]",
+            "       python tools/bench_control.py --check [control_head.json]\n"
+            "       python tools/bench_control.py --tripwire <final_min.json>",
             file=sys.stderr,
         )
         return 2
@@ -213,30 +268,46 @@ def main() -> int:
     return 0
 
 
-def vs_prior_bench(hq: dict) -> dict | None:
-    """Cross-round tripwire: HEAD timings vs the prior round's committed
-    BENCH_r{N}.json (driver artifact — keyed by SHORT code, the leading
-    token of the full query name). Every query over 2× is NAMED so a
-    regression like round 6's t13 cannot be adjudicated away as noise
-    without an explicit decision."""
+def vs_prior_bench(hq: dict, head_kind: str = "single_run") -> dict | None:
+    """Cross-round tripwire: HEAD timings (``hq``, FULL query names) vs
+    the prior round. Denominator preference (VERDICT r8 task #7):
+
+    1. the prior round's ``r{N}_final_min.json`` (full names) — when
+       ``hq`` is itself a min-across-finals payload this is the
+       min-vs-min compare that ends single-run adjudication;
+    2. else the committed BENCH_r{N}.json (driver artifact, SHORT-code
+       keys — compared via bench.py's collision-safe mapping).
+
+    Every query over 2× is NAMED so a regression like round 6's t13
+    cannot be adjudicated away as noise without an explicit decision.
+    ``head_kind`` is recorded verbatim so the reader knows whether the
+    numerator carries single-run noise."""
     pb = prior_bench()
     if pb is None:
         return None
-    fname, prior_q = pb
-    # bench.py's exact short-code mapping (stable '#N' suffixes on
-    # collision) — a dict comprehension here silently kept only the
-    # LAST colliding name, dropping rows from this tripwire (r7 ADVICE)
-    sys.path.insert(0, REPO)
-    from bench import short_code_timings
+    fname, round_n, prior_q = pb
+    pm = prior_final_min(round_n)
+    if pm is not None:
+        prior_name, prior_min_q = pm
+        head, prior = hq, prior_min_q
+        basis = f"{head_kind}_vs_min"
+    else:
+        # bench.py's exact short-code mapping (stable '#N' suffixes on
+        # collision) — a dict comprehension here silently kept only the
+        # LAST colliding name, dropping rows from this tripwire (r7
+        # ADVICE)
+        from bench import short_code_timings
 
-    short = short_code_timings(hq)
+        head, prior = short_code_timings(hq), prior_q
+        prior_name, basis = fname, f"{head_kind}_vs_single_run"
     ratios = {
-        k: round(short[k] / prior_q[k], 3)
-        for k in sorted(short)
-        if k in prior_q and short[k] > 0 and prior_q[k] > 0
+        k: round(head[k] / prior[k], 3)
+        for k in sorted(head)
+        if k in prior and head[k] > 0 and prior[k] > 0
     }
     return {
-        "prior_bench": fname,
+        "prior_bench": prior_name,
+        "basis": basis,
         "median_ratio": (
             round(statistics.median(ratios.values()), 3) if ratios else None
         ),

@@ -49,7 +49,14 @@ def _run_bench(sf_dir: str) -> dict:
     for line in out.stderr.splitlines():
         if line.startswith("bench full-name timings: "):
             return json.loads(line.split(": ", 1)[1])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # NO fallback to the stdout line: it keys by SHORT code, so a series
+    # mixing both shapes would give aggregate() disjoint key spaces —
+    # every query twice with n=1 spreads and a double-counted min
+    # (r8 ADVICE). bench.py at HEAD always emits the stderr mirror.
+    raise RuntimeError(
+        "bench.py emitted no 'bench full-name timings:' stderr line — "
+        "refusing the short-code stdout fallback (key spaces would mix)"
+    )
 
 
 def aggregate(payloads: list[dict], prefix: str) -> dict:
