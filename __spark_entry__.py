@@ -63,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 118
+# The driver hash-checks only the FIRST 50 queries() entries, so with 120
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -130,8 +130,9 @@ _DEMOTED_BASELINES = frozenset(
 #     membership kernel — functions/hashing split assignment — and is
 #     r4-green; x01's oracle also reruns in every pytest).
 # Steady state (round 8: g01 entered WITH its d08 twin demotion, the
-# f07/f05 pattern; t24 entered test-gated): 118 − 6 test-gated
-# − 2 demoted baselines − 10 twin-demoted = 100 eligible = 2 × 50, so the strict
+# f07/f05 pattern; t24 entered test-gated; round 9: m06/p08 entered
+# with the q34/d01 demotions): 120 − 6 test-gated − 2 demoted baselines
+# − 12 twin-demoted = 100 eligible = 2 × 50, so the strict
 # "driver row within two rounds" cadence holds; any future newcomer
 # must bring a twin demotion (or test-gating rationale) with it.
 _DEMOTED_TWINNED = frozenset(
@@ -161,6 +162,21 @@ _DEMOTED_TWINNED = frozenset(
         # via held_out_oracle_sql() plus the planted-cluster golden gate
         # in tests/test_dedup.py.
         "d08_dup_clusters",  # ↔ g01_host_pagerank (same iterative-graph + recursive-CTE oracle shape)
+        # Round-9 newcomers m06 (m02's hash-checkable frame-index
+        # relation) and p08 (p05's hash-checkable fixed-point k-means
+        # trace) enter on the slots these two demotions free, per the
+        # standing rule (each demoted query has a NAMED driver-checked
+        # twin re-verifying the same kernel, and its DuckDB oracle keeps
+        # running every pytest via held_out_oracle_sql()):
+        #   q34 is the disjoint-insert SPECIAL CASE of q36's general
+        #     merge (q36 driver-green r8; the q17↔q08/q09 precedent —
+        #     the general path's anti-join lowering subsumes q34's
+        #     LEFT-join + UNION fast path, same matched-ops kernel);
+        #   d01's md5 content-hash dedup kernel is composed verbatim
+        #     inside d10's exact path (d10 driver-green r8; the
+        #     x01↔x06 "composes the md5 membership kernel" precedent).
+        "q34_merge_upsert",  # ↔ q36_merge_upsert_general (general merge subsumes the disjoint fast path)
+        "d01_exact_dedup",  # ↔ d10_incremental_dedup (d10 composes d01's md5 content-hash kernel)
     }
 )
 # ROUND-9 ROTATION (executed per the round-8 pre-written plan):
@@ -172,9 +188,11 @@ _DEMOTED_TWINNED = frozenset(
 #   cadence (r8 ∪ r9 again covers all 100 eligible).
 #
 # ROUND-10 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
-# CORRECTNESS_r09 (= the active set of this round); any round-9-born
-# query must bring its own twin demotion (or test-gating rationale) to
-# stay at 2×50.
+# CORRECTNESS_r09 (= the active set of this round, including the two
+# round-9 newcomers m06/p08, which entered WITH their twin demotions —
+# q34 and d01 — so the eligible pool stays 120 − 6 test-gated − 2
+# demoted baselines − 12 twin-demoted = 100 = 2×50); any round-10-born
+# query must bring its own twin demotion (or test-gating rationale).
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
@@ -257,7 +275,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (118 queries; exact count asserted in
+    """The FULL registry (120 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1168,19 +1168,24 @@ def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
     )
 
 
-def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize 8-frame videos (one per 50 embeddings ids), sample every
-    4th frame, fingerprint each sampled frame — the video-modality
-    plumbing demo (rows-only). Payloads are REAL uncompressed AVI
-    containers (``_avi_encode``) demuxed by ``demux_video``'s real
-    parse chain (PyAV → imageio → built-in AVI), so the same query
-    runs unchanged on real mp4/mkv containers."""
+M02_N_FRAMES = 8
+M02_EVERY_K = 4
+M02_ID_MOD = 50  # one synthetic video per 50 embeddings ids
+
+
+def _m02_sampled_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared demux pipeline of m02 and m06: synthesize one
+    {M02_N_FRAMES}-frame video per {M02_ID_MOD} embeddings ids as a REAL
+    uncompressed AVI container (``_avi_encode``), then sample every
+    {M02_EVERY_K}-th frame through ``demux_video``'s real parse chain
+    (PyAV → imageio → built-in AVI). Returns the raw sampled-frame
+    relation (video_id, frame_no, frame binary) both queries project."""
     ids = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 50 == 0)
+        .filter(F.col("vec_id") % M02_ID_MOD == 0)
         .select(F.col("vec_id").cast("long").alias("base_id"))
     )
-    n_frames = 8
+    n_frames = M02_N_FRAMES
 
     def make_videos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -1206,10 +1211,69 @@ def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_videos,
         schema="video_id string, content binary, n_frames int, width int, height int, channels int",
     )
-    frames = frame_sample(videos, every_k=4)
+    return frame_sample(videos, every_k=M02_EVERY_K)
+
+
+_m02_sampled_frames.__doc__ = _m02_sampled_frames.__doc__.format(
+    M02_N_FRAMES=M02_N_FRAMES, M02_ID_MOD=M02_ID_MOD, M02_EVERY_K=M02_EVERY_K
+)
+
+
+def m02_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize 8-frame videos (one per 50 embeddings ids), sample every
+    4th frame, fingerprint each sampled frame — the video-modality
+    plumbing demo (rows-only: the md5 is over rng-generated pixels no
+    SQL engine can replay; m06 is the same pipeline's hash-checkable
+    integer projection). Payloads are REAL uncompressed AVI containers
+    (``_avi_encode``) demuxed by ``demux_video``'s real parse chain
+    (PyAV → imageio → built-in AVI), so the same query runs unchanged
+    on real mp4/mkv containers."""
+    frames = _m02_sampled_frames(spark, sf_dir)
     return frames.select(
         "video_id", "frame_no", F.md5(F.col("frame")).alias("frame_md5")
     ).orderBy("video_id", "frame_no")
+
+
+def m06_frame_index_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m02's deterministic integer core as a HASH-CHECKABLE relation
+    (the m05↔m01 pattern, round-8 VERDICT task: every rows-only funnel
+    gets a derived relation its DuckDB oracle can replay): run the REAL
+    demux pipeline — AVI encode → container parse → every-k frame
+    sampling — and project what pure integer arithmetic fully
+    determines: which (video_id, frame_no) rows exist (the 1→⌈n/k⌉
+    fan-out over ids with vec_id % {M} == 0) and each demuxed frame's
+    exact byte size (H·W·C = {B}). A demuxer that dropped, duplicated,
+    reordered or mis-sized a single frame changes the hash; only the
+    pixel CONTENT (rng-generated, not SQL-replayable) stays m02's
+    rows-only business.
+
+    Scale shape: identical to m02 — the fan-out happens inside one
+    mapInPandas (constant memory per task), and this projection never
+    shuffles frame payloads at all (octet_length is computed where the
+    frame is born).
+    """
+    frames = _m02_sampled_frames(spark, sf_dir)
+    return frames.select(
+        "video_id",
+        "frame_no",
+        F.octet_length("frame").alias("frame_bytes"),
+    ).orderBy("video_id", "frame_no")
+
+
+m06_frame_index_relational.__doc__ = m06_frame_index_relational.__doc__.format(
+    M=M02_ID_MOD, B=H * W * CHANNELS
+)
+
+
+_M06_SQL = f"""
+SELECT 'vid' || CAST(vec_id AS VARCHAR) AS video_id,
+       CAST(t.frame_no AS INTEGER) AS frame_no,
+       CAST({H * W * CHANNELS} AS INTEGER) AS frame_bytes
+FROM embeddings
+CROSS JOIN range(0, {M02_N_FRAMES}, {M02_EVERY_K}) t(frame_no)
+WHERE vec_id % {M02_ID_MOD} = 0
+ORDER BY video_id, frame_no
+"""
 
 
 def m04_audio_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,11 +1399,17 @@ QUERIES = {
     "m03_binaryfile_ref_funnel": m03_binaryfile_ref_funnel,
     "m04_audio_feature_profile": m04_audio_feature_profile,
     "m05_signature_band_relational": m05_signature_band_relational,
+    "m06_frame_index_relational": m06_frame_index_relational,
 }
 
 # m01–m04: no SQL oracle — binary tensors + md5-of-int-list are not
 # expressible in the DuckDB views; the driver records rows-only and
 # invariants/goldens are pinned in tests/test_multimodal.py. m05 closes
-# that gap for everything relational: its oracle reads the materialized
-# signature parquet (lazy callable — written on first use).
-ORACLE: dict = {"m05_signature_band_relational": _m05_oracle_sql}
+# that gap for everything relational in the IMAGE funnel: its oracle
+# reads the materialized signature parquet (lazy callable — written on
+# first use). m06 does the same for the VIDEO funnel's integer core
+# (frame-index fan-out + demuxed byte sizes).
+ORACLE: dict = {
+    "m05_signature_band_relational": _m05_oracle_sql,
+    "m06_frame_index_relational": _M06_SQL,
+}

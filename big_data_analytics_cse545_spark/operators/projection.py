@@ -420,6 +420,233 @@ def p05_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# p08 — p05's deterministic integer core, HASH-CHECKABLE (fixed-point
+# Lloyd iterations, the g01 BIGINT discipline)
+# ---------------------------------------------------------------------------
+
+P08_K = 8
+P08_ITERS = 4
+# Fixed-point quantization: q = clamp(floor((x + SHIFT) · SCALE), 0, CLAMP).
+# SHIFT makes every in-range embedding value strictly positive BEFORE
+# flooring, so centroid updates can use integer division with identical
+# floor/trunc semantics in Spark (`div`), numpy (`//`) and DuckDB (`//`);
+# the clamp makes out-of-range data behave IDENTICALLY in both engines
+# instead of silently breaking the non-negativity precondition. Bounds:
+# v ≤ CLAMP=4000 → per-dim squared diff ≤ 1.6e7, per-vector d2 ≤ ~1e9,
+# ssd ≤ N·1e9 — exact in BIGINT up to ~9e9 vectors per cluster; beyond
+# that a deployment would emit per-cluster MEAN d2 instead of the sum.
+P08_SHIFT = 2.0
+P08_SCALE = 1000
+P08_CLAMP = 4000
+
+
+def _p08_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q: array<bigint>) — the fixed-point embedding relation
+    both the Spark loop and the DuckDB oracle iterate over. Quantization
+    runs JVM-side on float32→float64 widened values, the exact double
+    arithmetic DuckDB performs on the same parquet floats."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.least(
+            F.greatest(
+                F.floor((x.cast("double") + F.lit(P08_SHIFT)) * F.lit(float(P08_SCALE)))
+                .cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(P08_CLAMP).cast("long"),
+        ),
+    )
+    return (
+        e.filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == DIM)
+        .select("vec_id", q.alias("q"))
+    )
+
+
+def p08_kmeans_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p05's iterative-k-means shape with every bit of per-iteration
+    state made EXACTLY replayable by a SQL engine (round-8 VERDICT task:
+    give the rows-only iterative queries a hash-checkable companion).
+    The trick is g01's fixed-point discipline: embeddings are quantized
+    to BIGINT fixed-point once (``_p08_quantized``); distances are
+    integer squared euclidean; the centroid update is an element-wise
+    integer division of non-negative sums — so partitioning, task order
+    and retries cannot change a single bit, and the DuckDB oracle
+    unrolls the same {I} iterations as plain bounded CTE algebra.
+
+    Per iteration t (init = the first k quantized vectors by vec_id):
+    assign each vector to argmin (d2, cluster); emit (step=t, cluster,
+    n_members, ssd=Σd2); update each non-empty cluster's centroid to
+    (Σq) div n (empty clusters keep their previous centroid). Output:
+    the full {I}-step trace, k·{I} rows max.
+
+    Scale shape (p05's, proven): assignment + per-cluster partials are
+    ONE fused mapInPandas pass emitting ≤ k rows per partition — the
+    per-iteration shuffle is partitions × k rows regardless of N — and
+    the k×{D} integer centroid matrix is the only driver round-trip.
+    Integer partial sums are order-independent, so no stable-sort
+    gymnastics are needed at combine time (the float version needs a
+    deterministic accumulation order; the integer one provably doesn't).
+    """
+    import numpy as np
+    import pandas as pd
+
+    k, iters = P08_K, P08_ITERS
+    e = _p08_quantized(spark, sf_dir).persist()
+    try:
+        init = e.orderBy("vec_id").limit(k).collect()
+        k_eff = len(init)
+        if k_eff == 0:
+            return spark.createDataFrame(
+                [], "step long, cluster long, n_members long, ssd long"
+            )
+        cents = np.array([r["q"] for r in init], dtype=np.int64)
+
+        def make_partials(c: np.ndarray):
+            def partials(batches):
+                sums = np.zeros((k_eff, DIM), dtype=np.int64)
+                cnts = np.zeros(k_eff, dtype=np.int64)
+                ssd = np.zeros(k_eff, dtype=np.int64)
+                for batch in batches:
+                    x = np.array(
+                        [list(v) for v in batch["q"]], dtype=np.int64
+                    )
+                    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                    a = d2.argmin(axis=1)  # first minimum → lowest cluster
+                    cnts += np.bincount(a, minlength=k_eff)
+                    # np.add.at, NOT bincount(weights=...): bincount
+                    # casts weights to float64, exact only below 2^53 —
+                    # int64 scatter-add keeps ssd bit-exact at any N
+                    np.add.at(ssd, a, d2[np.arange(len(a)), a])
+                    np.add.at(sums, a, x)
+                nz = np.nonzero(cnts)[0]
+                if len(nz) == 0:
+                    return  # empty parquet split — see p05
+                yield pd.DataFrame(
+                    {
+                        "cluster": nz.astype(np.int64),
+                        "psum": [sums[c_].tolist() for c_ in nz],
+                        "n": cnts[nz],
+                        "ssd": ssd[nz],
+                    }
+                )
+
+            return partials
+
+        schema = "cluster long, psum array<long>, n long, ssd long"
+        trace: list[tuple[int, int, int, int]] = []
+        for it in range(1, iters + 1):
+            parts = e.mapInPandas(make_partials(cents), schema=schema).collect()
+            sums = np.zeros((k_eff, DIM), dtype=np.int64)
+            cnts = np.zeros(k_eff, dtype=np.int64)
+            ssd = np.zeros(k_eff, dtype=np.int64)
+            # integer addition commutes exactly — no ordering needed
+            for r in parts:
+                sums[r["cluster"]] += np.array(r["psum"], dtype=np.int64)
+                cnts[r["cluster"]] += r["n"]
+                ssd[r["cluster"]] += r["ssd"]
+            for c_ in np.nonzero(cnts)[0]:
+                trace.append((it, int(c_), int(cnts[c_]), int(ssd[c_])))
+                if it < iters:
+                    cents[c_] = sums[c_] // cnts[c_]  # non-negative → floor≡trunc
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        trace, "step long, cluster long, n_members long, ssd long"
+    ).orderBy("step", "cluster")
+
+
+p08_kmeans_trace.__doc__ = p08_kmeans_trace.__doc__.format(
+    I=P08_ITERS, D=DIM
+)
+# definition-site opt-out for tools/plan_audit.py (the Lloyd loop runs
+# EAGERLY while fn() builds — p05's rationale, pinned by the marker
+# contract test in tests/test_entry_contract.py)
+p08_kmeans_trace.__eager_loop__ = (
+    f"p08 docstring: {P08_ITERS} fused assignment+partial passes over "
+    "the persisted quantized relation, k-row collect each"
+)
+
+
+def _p08_sql() -> str:
+    """Unrolled fixed-point Lloyd trace in long format: ex is the
+    quantized (vec_id, dim, v) relation; per iteration t, d{t} is the
+    vec×cluster distance table, a{t} the argmin assignment (ties →
+    lowest cluster, matching numpy argmin's first-minimum), s{t} the
+    emitted trace rows, u{t}/c{t} the integer centroid update with
+    empty-cluster carry-forward."""
+    # the inner CAST TO DOUBLE is load-bearing: DuckDB types the literal
+    # 2.0 as DECIMAL(2,1) and computes FLOAT + DECIMAL in FLOAT32, whose
+    # rounding flips ~1/1000 floors vs the float64 arithmetic Spark does
+    # (caught by the parity check on first run)
+    q = (
+        f"LEAST(GREATEST(CAST(floor((CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)"
+        f" + {P08_SHIFT}) * {P08_SCALE}) AS BIGINT), 0), {P08_CLAMP})"
+    )
+    parts = [
+        f"""WITH ex AS (
+  SELECT vec_id, t.i AS dim, {q} AS v
+  FROM embeddings
+  CROSS JOIN range(1, {DIM + 1}) t(i)
+  WHERE embedding IS NOT NULL AND len(embedding) = {DIM}
+),
+init AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM ex ORDER BY vec_id LIMIT {P08_K})
+),
+c0 AS (
+  SELECT i.cluster, e.dim, e.v FROM init i JOIN ex e USING (vec_id)
+)"""
+    ]
+    for t in range(1, P08_ITERS + 1):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT e.vec_id, c.cluster,
+         CAST(SUM((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d2
+  FROM ex e JOIN c{t - 1} c USING (dim)
+  GROUP BY e.vec_id, c.cluster
+),
+a{t} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM d{t}
+  ) WHERE rk = 1
+),
+s{t} AS (
+  SELECT CAST({t} AS BIGINT) AS step, CAST(cluster AS BIGINT) AS cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(d2) AS BIGINT) AS ssd
+  FROM a{t} GROUP BY cluster
+)"""
+        )
+        if t < P08_ITERS:
+            parts.append(
+                f""",
+u{t} AS (
+  SELECT a.cluster, e.dim, CAST(SUM(e.v) // COUNT(*) AS BIGINT) AS v
+  FROM a{t} a JOIN ex e USING (vec_id)
+  GROUP BY a.cluster, e.dim
+),
+c{t} AS (
+  SELECT * FROM u{t}
+  UNION ALL
+  SELECT * FROM c{t - 1}
+  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM u{t})
+)"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(1, P08_ITERS + 1)
+    )
+    parts.append(
+        f"\nSELECT step, cluster, n_members, ssd FROM ({union})"
+        "\nORDER BY step, cluster"
+    )
+    return "".join(parts)
+
+
 # opt-in at definition site: tools/plan_audit.py must NOT execute this
 # query (the Lloyd loop collects per-iteration partials EAGERLY while
 # fn() builds; the returned LocalTableScan would audit as a false
@@ -1265,6 +1492,7 @@ QUERIES = {
     "p05_kmeans_iterative": p05_kmeans_iterative,
     "p06_scalar_quantize": p06_scalar_quantize,
     "p07_pq_ann": p07_pq_ann,
+    "p08_kmeans_trace": p08_kmeans_trace,
 }
 
 ORACLE = {
@@ -1273,4 +1501,7 @@ ORACLE = {
     # p03_pca_topk: intentionally no oracle (driver SVD is not
     # SQL-expressible) — rows-only check, invariants in tests.
     "p06_scalar_quantize": _P06_SQL,
+    # p08 carries the hash-checkable integer core of p05's iteration
+    # (lazy callable — the unrolled CTE is built per P08_ITERS/P08_K)
+    "p08_kmeans_trace": _p08_sql,
 }

@@ -32,7 +32,7 @@ def test_registry_size_and_docstrings():
     in docstring position is an expression (``__doc__`` becomes None),
     a bug that shipped twice before this gate existed."""
     full = em.all_queries()
-    assert len(full) == 118, f"registry is {len(full)}, docs say 118"
+    assert len(full) == 120, f"registry is {len(full)}, docs say 120"
     undocumented = [n for n, fn in full.items() if not fn.__doc__]
     assert not undocumented, f"queries with no docstring: {undocumented}"
 
@@ -49,7 +49,11 @@ def test_eager_loop_markers():
         n for n, fn in em.all_queries().items()
         if hasattr(fn, "__eager_loop__")
     }
-    assert marked == {"p05_kmeans_iterative", "t24_bpe_train"}, marked
+    assert marked == {
+        "p05_kmeans_iterative",
+        "t24_bpe_train",
+        "p08_kmeans_trace",
+    }, marked
 
 
 def test_rotation_budget_is_consistent():

@@ -110,6 +110,25 @@ def test_video_frame_sampling(spark, sf_smoke):
     assert all(again[(r["video_id"], r["frame_no"])] == r["frame_md5"] for r in rows)
 
 
+def test_m06_matches_oracle_and_m02_rowset(spark, sf_smoke):
+    """m06 is m02's hash-checkable integer core: its DuckDB oracle must
+    hash-match (driver contract), its (video_id, frame_no) row set must
+    equal m02's EXACTLY (same pipeline, same fan-out), and every demuxed
+    frame must be exactly H·W·C bytes — the size a dropped channel or a
+    truncated container parse would break."""
+    from tests.oracle_utils import assert_parity
+
+    df = mm.m06_frame_index_relational(spark, sf_smoke)
+    assert_parity(df, mm.ORACLE["m06_frame_index_relational"], sf_smoke, "m06")
+    rows = df.collect()
+    assert rows and all(r["frame_bytes"] == mm.H * mm.W * mm.CHANNELS for r in rows)
+    m02_keys = {
+        (r["video_id"], r["frame_no"])
+        for r in mm.m02_video_frame_sample(spark, sf_smoke).collect()
+    }
+    assert {(r["video_id"], r["frame_no"]) for r in rows} == m02_keys
+
+
 def test_bit_bands_match_hand_computation(spark):
     """Reference-exact banding arithmetic (computeBuckets2,
     a2_ahuja.py:140-149): 128 hex chars -> 512-bit string -> 39 bands of

@@ -9,11 +9,78 @@ from tests.oracle_utils import assert_parity
 
 
 @pytest.mark.parametrize(
-    "name", ["p01_dim_stats", "p02_random_projection", "p06_scalar_quantize"]
+    "name",
+    [
+        "p01_dim_stats",
+        "p02_random_projection",
+        "p06_scalar_quantize",
+        "p08_kmeans_trace",
+    ],
 )
 def test_projection_oracle_parity(spark, sf_correctness, name):
     df = projection.QUERIES[name](spark, sf_correctness)
     assert_parity(df, projection.ORACLE[name], sf_correctness, name)
+
+
+def test_p08_trace_invariants_and_split_invariance(
+    spark, sf_correctness, tmp_path
+):
+    """p08's determinism contract: (1) every vector is assigned at every
+    step (sizes sum to the corpus count, ×P08_ITERS total); (2) the
+    whole trace is BIT-IDENTICAL under pathological file splitting
+    (byte-splits outnumbering row groups → empty mapInPandas partitions)
+    — integer partial sums commute, so partitioning cannot shift a
+    single ssd unit; and (3) the final step's sizes agree with a straight
+    numpy replay of the fixed-point Lloyd recurrence (golden, no Spark)."""
+    import numpy as np
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    rows = projection.QUERIES["p08_kmeans_trace"](spark, sf_correctness).collect()
+    n = load_table(spark, sf_correctness, "embeddings").count()
+    by_step: dict[int, int] = {}
+    for r in rows:
+        by_step[r["step"]] = by_step.get(r["step"], 0) + r["n_members"]
+    assert set(by_step) == set(range(1, projection.P08_ITERS + 1))
+    assert all(v == n for v in by_step.values()), by_step
+
+    src = load_table(spark, sf_correctness, "embeddings")
+    d = str(tmp_path / "splitcase")
+    src.coalesce(1).write.parquet(d + "/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        split_rows = projection.p08_kmeans_trace(spark, d).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert [r.asDict() for r in split_rows] == [r.asDict() for r in rows]
+
+    # numpy golden: replay the recurrence single-threaded
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in src.filter("embedding is not null").orderBy("vec_id").collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.clip(
+        np.floor((emb + projection.P08_SHIFT) * projection.P08_SCALE),
+        0,
+        projection.P08_CLAMP,
+    ).astype(np.int64)
+    cents = q[: projection.P08_K].copy()
+    golden: list[tuple[int, int, int, int]] = []
+    for it in range(1, projection.P08_ITERS + 1):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in np.unique(a):
+            mask = a == c
+            golden.append(
+                (it, int(c), int(mask.sum()), int(d2[mask, c].sum()))
+            )
+            if it < projection.P08_ITERS:
+                cents[c] = q[mask].sum(axis=0) // mask.sum()
+    assert [tuple(r) for r in rows] == golden
 
 
 def test_scalar_quantize_bounds(spark, sf_correctness):
@@ -221,6 +288,7 @@ def test_empty_corpus_yields_empty_results_not_crashes(spark, tmp_path):
         (projection.p03_pca_topk, ["q_id", "neighbor_id", "rk", "dist"]),
         (projection.p04_pca_mllib_topk, ["q_id", "neighbor_id", "rk", "dist"]),
         (projection.p07_pq_ann, ["query_id", "rank", "neighbor_id", "d2"]),
+        (projection.p08_kmeans_trace, ["step", "cluster", "n_members", "ssd"]),
         (similarity.s04_brp_lsh_mllib, ["q_id", "neighbor_id", "dist"]),
     ]:
         out = fn(spark, d)
@@ -271,6 +339,7 @@ def test_null_embeddings_are_excluded_not_crashes(spark, tmp_path):
         projection.p04_pca_mllib_topk,
         projection.p05_kmeans_iterative,
         projection.p07_pq_ann,
+        projection.p08_kmeans_trace,
     ):
         assert fn(spark, d).count() >= 0, fn.__name__
 
