@@ -1968,17 +1968,24 @@ def bpe_train(
     text_col: str = "text",
     *,
     n_merges: int = 12,
+    batch_m: int = 1,
 ) -> DataFrame:
     """Learn a BPE merge table from any DataFrame's text column (t24
-    semantics, operators/text.py — loop shape and the swap-on-advance
-    persistence discipline documented on ``text.train_bpe``): returns
+    semantics, operators/text.py — loop shape and the per-round
+    checkpoint state discipline documented on ``text.train_bpe``): returns
     (step, left, right, merged, pair_count) for up to ``n_merges``
     merges, the artifact every BPE tokenizer build produces. Corpus
     text is aggregated to word frequencies ONCE; every iteration works
-    on the vocab-sized dictionary and collects exactly one argmax row."""
+    on the vocab-sized dictionary and collects one argmax-prefix of
+    rows. ``batch_m=1`` (default) is exact sequential Sennrich BPE;
+    ``batch_m=M`` selects up to M pairwise-symbol-disjoint merges per
+    round — the batched approximation that makes 30k+-merge vocabulary
+    builds tractable (Θ(n_merges/M) Spark jobs and lineage depth
+    instead of Θ(n_merges); semantics and divergence bound documented
+    on ``text.train_bpe``)."""
     from big_data_analytics_cse545_spark.operators.text import train_bpe
 
-    return train_bpe(df, text_col=text_col, n_merges=n_merges)
+    return train_bpe(df, text_col=text_col, n_merges=n_merges, batch_m=batch_m)
 
 
 def _spark_half_up_round6(raw):

@@ -10,10 +10,12 @@ reference's manual ``persist()`` reuse (``a2_ahuja.py:221,327,431``)
 with an explicit eviction contract Spark does not provide.
 
 NOT for chained lineage WITHIN a loop: when iteration k+1's relation
-derives from iteration k's, the new cache must materialize before the
-parent is released or the loop replays its whole history — that is
-text.train_bpe's advance-then-release pattern, deliberately local to
-the loop (its docstring has the measured story).
+derives from iteration k's, the new state must materialize before the
+parent is released or the loop replays its whole history — and the
+plan must be TRUNCATED as it advances or optimizer re-inlining makes
+analysis cost superlinear in rounds. text.train_bpe gets both from a
+per-round ``localCheckpoint(eager=False)``, deliberately local to the
+loop (its docstring and SCALE.md round 9 have the measured story).
 """
 
 from __future__ import annotations

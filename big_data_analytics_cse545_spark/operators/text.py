@@ -1747,68 +1747,124 @@ ORDER BY host
 BPE_TRAIN_MERGES = 12
 
 
-def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
-    """Greedy left-to-right application of ONE BPE merge (left,right) to
-    a symbol array, as a pure JVM left fold (``aggregate``): walk the
-    symbols; whenever the accumulated tail is ``left`` and the incoming
-    symbol is ``right``, replace the tail with the merged symbol.
+def _apply_merges(
+    syms: F.Column, batch: list[tuple[str, str, str]]
+) -> F.Column:
+    """Greedy left-to-right application of a batch of pairwise
+    NON-OVERLAPPING BPE merges [(left, right, merged), …] to a symbol
+    array, as ONE pure JVM left fold (``aggregate``): walk the symbols;
+    whenever the accumulated tail is some batch member's ``left`` and
+    the incoming symbol is its ``right``, replace the tail with that
+    member's merged symbol (a when-chain — at most one member can match
+    a position, because members share no symbols).
 
     Replace-last is exactly Sennrich's non-overlapping greedy scan: a
     symbol just produced by a merge can never be the LEFT of another
     merge in the same pass, because ``left || right == left`` would
     need an empty right. (E.g. pair (a,a) on [a,a,a] → [aa,a], on
-    [a,a,a,a] → [aa,aa].)
+    [a,a,a,a] → [aa,aa].) And because batch members are pairwise
+    symbol-disjoint (left, right AND merged — enforced at selection,
+    ``train_bpe``), this single pass produces exactly what applying the
+    members one-per-pass would: no member can create, consume, or
+    retype another member's match sites. With a 1-element batch the
+    expression tree is the classic single-merge fold.
     """
-    merged = left + right
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
-        lambda acc, x: F.when(
+        lambda acc, x: _merge_when_chain(acc, x, batch),
+    )
+
+
+def _merge_when_chain(
+    acc: F.Column, x: F.Column, batch: list[tuple[str, str, str]]
+) -> F.Column:
+    chain = None
+    for left, right, merged in batch:
+        cond = (
             (F.size(acc) > 0)
             & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+            & (x == F.lit(right))
+        )
+        repl = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+        )
+        chain = F.when(cond, repl) if chain is None else chain.when(cond, repl)
+    return chain.otherwise(F.concat(acc, F.array(x)))
 
 
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = BPE_TRAIN_MERGES,
+    batch_m: int = 1,
 ) -> DataFrame:
     """BPE merge-table training over any DataFrame's text column — the
     reusable core of t24 (and ``api.bpe_train``). Returns (step, left,
     right, merged, pair_count) for up to ``n_merges`` merges.
 
+    ``batch_m`` — merges selected per Spark round. At 1 (the default,
+    and t24's contract) this is EXACT sequential Sennrich BPE: one
+    argmax per round. At M>1 it is the batched variant production
+    trainers use to make 30k+-merge vocabularies tractable: each round
+    counts pairs ONCE, then selects the top M pairwise-symbol-disjoint
+    pairs of the (count desc, left, right)-sorted list (conflicting
+    candidates are skipped, not batch-terminating — they recount next
+    round), and applies the whole batch in one fold pass
+    (``_apply_merges``). Jobs AND lineage depth drop from Θ(n_merges)
+    to Θ(n_merges / M) — the difference between ~60k Spark jobs and
+    ~1k at a 30k-merge production vocabulary (measured jobs/merge
+    budget in SCALE.md). Semantics: symbol-disjointness means every
+    selected pair's count is its TRUE pre-round count, and the
+    single-pass application equals one-per-pass application exactly
+    (members can't touch each other's match sites). The batched table
+    can diverge from sequential BPE only where a merge CREATED or
+    RETYPED a pair that would out-rank a later selection — the
+    standard, bounded approximation (each created pair's count ≤ its
+    creator's), golden-gated against a pure-Python batched reference
+    in tests and exact at M=1 by construction.
+
     Loop shape (p05's Lloyd-iteration discipline): ONE corpus-sized
     aggregation up front (corpus → word frequencies), then every
     iteration runs over the VOCAB-sized dictionary — count adjacent
     symbol pairs weighted by word frequency (map-side combined; key
-    space = the pair alphabet), collect exactly ONE row (the argmax
-    pair — driver-scale by construction, ties broken deterministically
-    by count desc, then left/right lexicographic), and apply the merge
-    to every word's symbol array as a pure JVM fold (no Python
-    boundary).
+    space = the pair alphabet), collect the top ``batch_m`` rows (the
+    argmax prefix — driver-scale by construction, ties broken
+    deterministically by count desc, then left/right lexicographic),
+    and apply the merges to every word's symbol array as a pure JVM
+    fold (no Python boundary).
 
-    Cache discipline — release-one-behind, NOT cache.swap_cached: each
-    iteration's dictionary DERIVES from the previous one, so the parent
-    cache must stay alive until the child has MATERIALIZED; swap-first
-    leaves iteration k+1 recomputing the k-fold chain from the corpus
-    (measured r8 at the 10× corpus: 21.8 s swap-first vs 12.9 s with
-    correct ordering — shuffle-output reuse absorbed only the corpus
-    re-scan, not the fold chain, and shuffle files are app-lifetime
-    local state anyway, not a contract). The materializing action IS
-    the next iteration's argmax — no extra count() job (an
-    explicit-count variant cost +0.6 s/iteration of pure job overhead
-    at toy scale); at most two dictionary caches are live at once, and
-    none outlives the call.
+    State discipline — per-round ``localCheckpoint(eager=False)``, which
+    buys BOTH properties iterative DataFrames need (rationale and the
+    measured plan-explosion numbers at the checkpoint call below):
+    lineage truncation (constant per-round plan, where plain persist
+    left the plan growing a fold level per round and the optimizer's
+    re-inlining made a few-hundred-merge build OOM) and the r8
+    release-one-behind ordering (a parent's blocks stay alive until the
+    child checkpoint MATERIALIZES — the swap-first bug that replayed
+    the whole fold chain, 21.8 s vs 12.9 s at the 10× corpus, is ruled
+    out by construction). The materializing action IS the next round's
+    argmax collect — no extra count() job; superseded blocks are freed
+    by the ContextCleaner once the child's checkpoint clears their
+    dependencies, so none outlives the call.
     """
-    from pyspark import StorageLevel
-
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
     spark = df.sparkSession
+    # localCheckpoint, NOT plain persist: each round's dictionary derives
+    # from the previous one, and without lineage TRUNCATION the logical
+    # plan nests one fold level per round — the optimizer re-inlines the
+    # whole ancestry into every consumer, so analysis cost (and AQE's
+    # plan-update strings) grow superlinearly and a few-hundred-merge
+    # build OOMs the driver building a plan string (measured: 16 merges
+    # 8.6 s, 32 merges 54.6 s, 64+ OOM — round-9). The checkpoint caps
+    # every round's plan at ONE fold over a LogicalRDD. It also subsumes
+    # the r8 release-one-behind cache discipline: materializing round
+    # k+1's checkpoint (the next collect) clears rdd_k's dependencies,
+    # so the previous round's blocks become unreachable and the
+    # ContextCleaner frees them — parent blocks provably outlive the
+    # child's materialization (the r8 swap-first replay bug cannot
+    # recur), and no round's blocks survive the call.
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -1819,46 +1875,59 @@ def train_bpe(
             ).alias("syms"),
             "wf",
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    prev: DataFrame | None = None
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
-    try:
-        for step in range(1, n_merges + 1):
-            n_pairs = F.greatest(F.size("syms") - 1, F.lit(0))
-            top = (
-                words.select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice("syms", 1, n_pairs),
-                            F.slice("syms", 2, n_pairs),
-                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                        )
-                    ).alias("p"),
-                    "wf",
-                )
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("wf").alias("cnt"))
-                .orderBy(F.desc("cnt"), "l", "r")
-                .limit(1)
-                .collect()
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
+        # over-collect: conflicting candidates are SKIPPED, so filling a
+        # batch of `want` needs slack below them (top pairs overwhelmingly
+        # share the frequent letters — a bare limit(want) averaged ~1.3
+        # selections per round when measured; 4× slack fills batches)
+        n_candidates = want if want == 1 else want * 4 + 8
+        n_pairs = F.greatest(F.size("syms") - 1, F.lit(0))
+        top = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n_pairs),
+                        F.slice("syms", 2, n_pairs),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "wf",
             )
-            # the collect above materialized `words` — its parent cache
-            # is no longer load-bearing and can be released now
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if not top:
-                break  # vocabulary fully merged — nothing adjacent remains
-            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-            merges.append((step, left, right, left + right, cnt))
-            nxt = words.select(
-                _apply_merge(F.col("syms"), left, right).alias("syms"), "wf"
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            prev, words = words, nxt
-    finally:
-        words.unpersist()
-        if prev is not None:
-            prev.unpersist()
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wf").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(n_candidates)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged — nothing adjacent remains
+        # top-M pairwise-symbol-disjoint selection: walk the ranked
+        # list, SKIP any candidate sharing a symbol (left, right, or
+        # merged — a later pair whose merged string collides with an
+        # earlier member's is a conflict too) with an already-selected
+        # member (its true count is unknowable until the earlier merges
+        # apply — it stays a candidate for the NEXT round's recount),
+        # and keep selecting until the batch holds `want` members or
+        # candidates run out
+        used: set[str] = set()
+        batch: list[tuple[str, str, str]] = []
+        for row in top:
+            left, right = row["l"], row["r"]
+            if {left, right, left + right} & used:
+                continue
+            merges.append(
+                (len(merges) + 1, left, right, left + right, int(row["cnt"]))
+            )
+            batch.append((left, right, left + right))
+            used |= {left, right, left + right}
+            if len(batch) == want:
+                break
+        words = words.select(
+            _apply_merges(F.col("syms"), batch).alias("syms"), "wf"
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "step long, left string, right string, merged string, pair_count long",

@@ -40,14 +40,23 @@ were the suite's two heaviest queries and carried no floor):
 
 * t24 probes at a 10×-sf0.1 documents corpus (manufactured once per
   source digest by tools/make_scale_documents.py — ~1.6s, 50k rows),
-  NOT at sf0.1: its historical failure mode is the swap-first cache
-  ordering (release the parent dictionary before the child
-  materializes → every iteration replays the whole fold chain from
-  the corpus, commit 3137007), whose cost scales with corpus mass —
-  the mutation reads 28.5s vs the 10.5s floor at 10× (2.72×, trips
-  the 2.4× factor) but only 1.28× at sf0.1 (invisible under any
-  usable factor). Mutation-checked by re-introducing the swap-first
-  ordering as a source edit, exactly the r8 regression.
+  NOT at sf0.1: its historical failure modes scale with corpus mass
+  (the r8 swap-first cache ordering replayed the whole fold chain
+  from the corpus — 28.5s vs the 10.5s floor at 10×, 2.72×, trips
+  the 2.4× factor, but only 1.28× at sf0.1). Round 9 replaced the
+  persist/release-one-behind loop with per-round
+  localCheckpoint(eager=False), which rules the swap-first class out
+  BY CONSTRUCTION (a parent's deps are cleared only when the child
+  checkpoint materializes) and fixes the superlinear plan-growth
+  OOM at production merge counts (train_bpe docstring); the current
+  code reads 7.4s at 10× (floor holds unchanged). Like g01, the
+  checkpoint-removal mutation is FASTER at this scale (4.2s — per-
+  round materialization only pays beyond ~32 merges, where the
+  no-truncation variant measured 54.6s at 32 merges on sf0.01 and
+  OOMs beyond; that regime is pinned by the K=32 batched golden in
+  tests/test_text.py), so t24's floor guards the t13 class: an
+  expression regression in the corpus agg, the pair-count shuffle,
+  or the fold kernel lands directly on its wall.
 * g01 carries the standard 3× factor at sf0.1 (floor 7.0; five
   baseline readings 6.7-7.2s). Mutations evaluated: REMOVING the
   edge/node caches reads FASTER at sf0.1 (6.3s vs 7.1 — the persist

@@ -288,6 +288,87 @@ def test_t24_matches_pure_python_bpe_trainer(spark, sf_smoke):
     assert got == exp
 
 
+def _pure_python_bpe_batched(word_freqs, n_merges, batch_m):
+    """Reference BATCHED BPE trainer mirroring train_bpe's batch
+    semantics exactly: per round, count pairs once, select the top
+    batch_m pairwise-symbol-disjoint pairs (left, right AND merged) of
+    the (count desc, left, right)-sorted list — skipping conflicting
+    candidates within the SAME over-collected window train_bpe uses —
+    and apply all selected merges in one greedy left-to-right pass."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
+        n_candidates = want if want == 1 else want * 4 + 8
+        pc: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + f
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        used: set[str] = set()
+        rules: dict[tuple[str, str], str] = {}
+        for (left, right), cnt in ranked[:n_candidates]:
+            if {left, right, left + right} & used:
+                continue
+            merges.append((len(merges) + 1, left, right, left + right, cnt))
+            rules[(left, right)] = left + right
+            used |= {left, right, left + right}
+            if len(rules) == want:
+                break
+        for w, s in vocab.items():
+            out: list[str] = []
+            for x in s:
+                if out and (out[-1], x) in rules:
+                    out[-1] = rules[(out[-1], x)]
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def test_train_bpe_batched_matches_pure_python_reference(spark, sf_smoke):
+    """The batched trainer (batch_m>1, the 30k-merge scale path) must
+    reproduce the pure-Python batched reference merge-for-merge; the
+    reference itself must degenerate to sequential Sennrich BPE at
+    batch_m=1 (validating the reference before trusting it); and the
+    Spark batch_m=1 path must equal the sequential golden — so batching
+    is proven to change ONLY the round granularity, never the
+    single-merge semantics.
+
+    n=32 is load-bearing beyond coverage: it doubles as the
+    plan-truncation canary — without train_bpe's per-round
+    localCheckpoint the logical plan grows a fold level per round and
+    optimizer re-inlining made 32 merges take 54.6s (vs ~4s) en route
+    to OOM at 64+, so a lost truncation shows up here as a
+    conspicuous suite slowdown long before the driver bench."""
+    import re
+    from collections import Counter
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    wf: Counter = Counter()
+    for r in load_table(spark, sf_smoke, "documents").select("text").collect():
+        for w in re.split(r"[^a-z0-9]+", r["text"].lower()):
+            if w:
+                wf[w] += 1
+    n = 32
+    assert _pure_python_bpe_batched(wf, n, 1) == _pure_python_bpe(wf, n)
+    for m in (4, 8):
+        exp = _pure_python_bpe_batched(wf, n, m)
+        got = [
+            (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in text.train_bpe(
+                load_table(spark, sf_smoke, "documents"), n_merges=n, batch_m=m
+            )
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == exp, f"batch_m={m}"
+
+
 def test_t24_first_merge_agrees_with_t20(spark, sf_smoke):
     """Consistency between the one-step operator and the trainer: t24's
     step-1 pair must be t20's rank-1 pair with the same count (t20
