@@ -63,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 120
+# The driver hash-checks only the FIRST 50 queries() entries, so with 121
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -131,8 +131,8 @@ _DEMOTED_BASELINES = frozenset(
 #     r4-green; x01's oracle also reruns in every pytest).
 # Steady state (round 8: g01 entered WITH its d08 twin demotion, the
 # f07/f05 pattern; t24 entered test-gated; round 9: m06/p08 entered
-# with the q34/d01 demotions): 120 − 6 test-gated − 2 demoted baselines
-# − 12 twin-demoted = 100 eligible = 2 × 50, so the strict
+# with the q34/d01 demotions, g02 with the g01 demotion): 121 − 6
+# test-gated − 2 demoted baselines − 13 twin-demoted = 100 eligible = 2 × 50, so the strict
 # "driver row within two rounds" cadence holds; any future newcomer
 # must bring a twin demotion (or test-gating rationale) with it.
 _DEMOTED_TWINNED = frozenset(
@@ -177,6 +177,19 @@ _DEMOTED_TWINNED = frozenset(
         #     x01↔x06 "composes the md5 membership kernel" precedent).
         "q34_merge_upsert",  # ↔ q36_merge_upsert_general (general merge subsumes the disjoint fast path)
         "d01_exact_dedup",  # ↔ d10_incremental_dedup (d10 composes d01's md5 content-hash kernel)
+        # Round-9 newcomer g02 (seeded TrustRank) brings its twin per
+        # the standing rule, and the pairing is the strongest kind —
+        # the q34↔q36 direction: g01 IS g02's all-seeds special case
+        # (one kernel, graph.trustrank_micro; pagerank_micro merely
+        # pins seeds=TRUE), and both share one templated recursive-CTE
+        # oracle (_rank_sql). g01 was driver-green r8; its oracle keeps
+        # running every pytest via held_out_oracle_sql(), plus the
+        # partitioning-invariance and rank-invariant gates in
+        # tests/test_graph.py and its perf-tripwire floor. g02 sits in
+        # _NEW_AWAITING_ROTATION this round (newcomers were not green
+        # in the previous CORRECTNESS file, so they cannot be held
+        # out) and enters the round-10 driver set on g01's slot.
+        "g01_host_pagerank",  # ↔ g02_host_trustrank (all-seeds special case of the seeded kernel)
     }
 )
 # ROUND-9 ROTATION (executed per the round-8 pre-written plan):
@@ -190,10 +203,20 @@ _DEMOTED_TWINNED = frozenset(
 # ROUND-10 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
 # CORRECTNESS_r09 (= the active set of this round, including the two
 # round-9 newcomers m06/p08, which entered WITH their twin demotions —
-# q34 and d01 — so the eligible pool stays 120 − 6 test-gated − 2
-# demoted baselines − 12 twin-demoted = 100 = 2×50); any round-10-born
-# query must bring its own twin demotion (or test-gating rationale).
-_NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
+# q34 and d01); active set := the remaining 50 eligible (the current
+# hold-outs minus the demoted g01, plus g02 leaving
+# _NEW_AWAITING_ROTATION on g01's slot). Eligible pool: 121 − 6
+# test-gated − 2 demoted baselines − 13 twin-demoted = 100 = 2×50; any
+# round-10-born query must bring its own twin demotion (or test-gating
+# rationale).
+_NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
+    {
+        # g02 lands with its g01 demotion (see _DEMOTED_TWINNED); its
+        # DuckDB oracle hash-checks every pytest run via
+        # held_out_oracle_sql() until its round-10 driver row.
+        "g02_host_trustrank",
+    }
+)
 _HELD_OUT = frozenset(
     {
         # = the 50 queries checked in CORRECTNESS_r08 (45 hash green +
@@ -206,7 +229,8 @@ _HELD_OUT = frozenset(
         "f01_jsonl_scan",
         "f03_jsonl_corrupt_tolerant",
         "f04_partitioned_scan",
-        "g01_host_pagerank",
+        # (g01_host_pagerank left this r8-checked set when it was
+        # twin-demoted ↔ g02 — buckets must stay disjoint)
         "m01_image_similarity_funnel",
         "m02_video_frame_sample",
         "m05_signature_band_relational",
@@ -275,7 +299,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (120 queries; exact count asserted in
+    """The FULL registry (121 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1963,6 +1963,67 @@ def host_pagerank(
     return attach_out_degree(pagerank_micro(nodes, e, iters=iters), e)
 
 
+def host_trustrank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    *,
+    iters: int = 6,
+    extra_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Seeded trust propagation (TrustRank — g02 semantics,
+    operators/graph.py) over an arbitrary edge DataFrame: rank mass
+    enters ONLY at the hosts in ``seeds`` (one ``host`` column — a
+    vetted whitelist) and decays through links, so a host no trusted
+    page reaches scores exactly 0 instead of :func:`host_pagerank`'s
+    uniform floor. Same exact BIGINT fixed-point arithmetic, same edge
+    hygiene, same output schema (host, rank_micro, out_deg), same
+    fixed-key cache contract; ``host_pagerank`` is the all-seeds
+    special case of the shared kernel (``graph.trustrank_micro``).
+    Seeds are a host-dimension relation → broadcast-joined onto the
+    node universe, never shuffling the graph."""
+    from big_data_analytics_cse545_spark.cache import swap_cached
+    from big_data_analytics_cse545_spark.operators.graph import (
+        attach_out_degree,
+        trustrank_micro,
+    )
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src_host"), F.col(dst_col).alias("dst_host")
+        )
+        .filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .distinct()
+    )
+    nodes = e.select(F.col("src_host").alias("host")).union(
+        e.select(F.col("dst_host").alias("host"))
+    )
+    if extra_nodes is not None:
+        nodes = nodes.union(extra_nodes.select(F.col("host")))
+    seed_flags = F.broadcast(
+        seeds.select(F.col("host")).distinct().withColumn(
+            "is_seed", F.lit(True)
+        )
+    )
+    nodes = swap_cached(
+        "api_trustrank_nodes",
+        nodes.distinct().join(seed_flags, "host", "left").select(
+            "host", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+        ),
+    )
+    outdeg = e.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    e = swap_cached("api_trustrank_edges", e.join(outdeg, "src_host"))
+    ranks = trustrank_micro(nodes, e, F.col("is_seed"), iters=iters)
+    return attach_out_degree(ranks, e)
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",

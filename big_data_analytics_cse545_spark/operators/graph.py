@@ -122,24 +122,41 @@ def host_link_graph(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return nodes, edges.join(outdeg, "src_host")
 
 
-def pagerank_micro(
-    nodes: DataFrame, edges: DataFrame, iters: int = G01_ITERS
+def trustrank_micro(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: Column,
+    iters: int = G01_ITERS,
 ) -> DataFrame:
-    """``iters`` fixed PageRank iterations in exact BIGINT micro-units.
+    """``iters`` fixed SEEDED PageRank (TrustRank, Gyöngyi et al.
+    VLDB'04) iterations in exact BIGINT micro-units. ``seeds`` is a
+    boolean Column over the ``nodes`` relation; trust mass enters the
+    graph ONLY at seed nodes and decays through links:
 
-    Update rule (mirrored token-for-token by the DuckDB oracle):
-    ``r₀(v) = RANK_ONE``;
-    ``rₖ₊₁(v) = BASE + Σ_{(u,v)∈E} (rₖ(u)·85) div (outdeg(u)·100)``.
-    Dangling mass (hosts with no out-links) is dropped, not
-    redistributed — the common simplification; deterministic either way.
+    ``r₀(v) = RANK_ONE if seed(v) else 0``;
+    ``rₖ₊₁(v) = (BASE if seed(v) else 0)
+                 + Σ_{(u,v)∈E} (rₖ(u)·85) div (outdeg(u)·100)``.
+
+    ``seeds = lit(True)`` degenerates to uniform PageRank exactly —
+    :func:`pagerank_micro` (g01) IS that special case, one kernel for
+    both entry points. Dangling mass (hosts with no out-links) is
+    dropped, not redistributed — the common simplification;
+    deterministic either way.
 
     One shuffle per iteration, keyed on host, over host-sized relations;
     the loop is declared lazily (plan depth = iters, bounded constant) —
     for much larger ``iters`` a deployment would localCheckpoint every
-    few rounds, but at the contract K the single plan is the cheaper
-    trade (no materialization barrier).
+    few rounds (the train_bpe lesson), but at the contract K the single
+    plan is the cheaper trade (no materialization barrier).
     """
-    ranks = nodes.select("host", F.lit(G01_RANK_ONE).cast("long").alias("r"))
+    ranks = nodes.select(
+        "host",
+        F.when(seeds, F.lit(G01_RANK_ONE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    base = F.when(seeds, F.lit(G01_BASE)).otherwise(F.lit(0)).cast("long")
     for _ in range(iters):
         contribs = (
             edges.join(ranks, edges["src_host"] == ranks["host"])
@@ -154,12 +171,19 @@ def pagerank_micro(
         )
         ranks = nodes.join(contribs, "host", "left").select(
             "host",
-            (
-                F.lit(G01_BASE).cast("long")
-                + F.coalesce(F.col("in_mass"), F.lit(0))
-            ).alias("r"),
+            (base + F.coalesce(F.col("in_mass"), F.lit(0))).alias("r"),
         )
     return ranks
+
+
+def pagerank_micro(
+    nodes: DataFrame, edges: DataFrame, iters: int = G01_ITERS
+) -> DataFrame:
+    """``iters`` fixed PageRank iterations in exact BIGINT micro-units —
+    the all-seeds special case of :func:`trustrank_micro` (every node
+    gets the uniform floor; ``when(TRUE, x)`` constant-folds, so the
+    plan is identical to the pre-generalization kernel)."""
+    return trustrank_micro(nodes, edges, F.lit(True), iters=iters)
 
 
 def attach_out_degree(ranks: DataFrame, edges: DataFrame) -> DataFrame:
@@ -203,7 +227,51 @@ def g01_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 g01_host_pagerank.__doc__ = g01_host_pagerank.__doc__.format(K=G01_ITERS)
 
 
-_G01_SQL = f"""
+# ---------------------------------------------------------------------------
+# g02 — seeded TrustRank over the same host link graph
+# ---------------------------------------------------------------------------
+
+# Deterministic seed set: the slot-0 host of every source — a stand-in
+# for the hand-vetted whitelist TrustRank starts from (one trusted host
+# per domain family). Pure string predicate, identical in both engines.
+G02_SEED_SUFFIX = "-h0.example.com"
+
+
+def g02_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded host trust propagation: {K} fixed TrustRank iterations
+    (Gyöngyi et al., VLDB'04) over g01's derived host link graph, in
+    the same exact BIGINT fixed-point units — trust mass enters ONLY at
+    seed hosts (the deterministic slot-0 whitelist) and decays through
+    links, so an unlinked spam farm scores 0 instead of g01's uniform
+    floor. This is the second half of the crawl-curation ranking story:
+    g01 answers "how central is this host", g02 answers "how reachable
+    is it from hosts we already trust" — pipelines threshold on both.
+
+    Same kernel as g01 (:func:`trustrank_micro`; g01 is its all-seeds
+    special case), same scale shape (host-sized relations, one shuffle
+    per iteration, edges persisted across the loop), same oracle
+    pattern (bounded-depth recursive CTE, seed condition templated into
+    the shared SQL builder).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nodes, edges = host_link_graph(d)
+    nodes = swap_cached("g02_nodes", nodes)
+    edges = swap_cached("g02_edges", edges)
+    ranks = trustrank_micro(
+        nodes, edges, F.col("host").endswith(G02_SEED_SUFFIX)
+    )
+    return attach_out_degree(ranks, edges).orderBy("host")
+
+
+g02_host_trustrank.__doc__ = g02_host_trustrank.__doc__.format(K=G01_ITERS)
+
+
+def _rank_sql(seed_cond: str) -> str:
+    """Shared recursive-CTE oracle for g01/g02: the seed condition (a
+    SQL boolean over ``host``) is the ONLY difference — ``TRUE`` is
+    uniform PageRank, a predicate is TrustRank. Mirrors
+    ``trustrank_micro`` token-for-token."""
+    return f"""
 WITH RECURSIVE
 hosted AS (
   SELECT doc_id,
@@ -239,9 +307,14 @@ nodes AS (
 ),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 pr(iter, host, r) AS (
-  SELECT 0, host, CAST({G01_RANK_ONE} AS BIGINT) FROM nodes
+  SELECT 0, host,
+         CASE WHEN {seed_cond} THEN CAST({G01_RANK_ONE} AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END
+  FROM nodes
   UNION ALL
-  SELECT iter + 1, host, CAST({G01_BASE} AS BIGINT) + SUM(c)
+  SELECT iter + 1, host,
+         CASE WHEN {seed_cond} THEN CAST({G01_BASE} AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END + SUM(c)
   FROM (
     SELECT p.iter AS iter, e.dst AS host,
            (p.r * {G01_DAMP_NUM}) // (d.outdeg * {G01_DAMP_DEN}) AS c
@@ -261,10 +334,16 @@ ORDER BY p.host
 """
 
 
+_G01_SQL = _rank_sql("TRUE")
+_G02_SQL = _rank_sql(f"host LIKE '%{G02_SEED_SUFFIX}'")
+
+
 QUERIES = {
     "g01_host_pagerank": g01_host_pagerank,
+    "g02_host_trustrank": g02_host_trustrank,
 }
 
 ORACLE = {
     "g01_host_pagerank": _G01_SQL,
+    "g02_host_trustrank": _G02_SQL,
 }

@@ -1094,6 +1094,42 @@ def test_host_pagerank_matches_g01(spark, sf_smoke):
     assert got == exp
 
 
+def test_host_trustrank_matches_g02_and_all_seeds_degenerates(spark, sf_smoke):
+    """api.host_trustrank fed g02's own graph + the slot-0 seed list
+    must reproduce g02's exact rank table; fed EVERY node as a seed it
+    must reproduce host_pagerank exactly (the all-seeds degeneracy that
+    justifies the g01 ↔ g02 twin demotion)."""
+    from big_data_analytics_cse545_spark.operators import graph
+
+    d = load_table(spark, sf_smoke, "documents")
+    nodes, edges = graph.host_link_graph(d)
+    seeds = nodes.filter(F.col("host").endswith(graph.G02_SEED_SUFFIX))
+    got = {
+        (r["host"], r["rank_micro"], r["out_deg"])
+        for r in api.host_trustrank(
+            edges, "src_host", "dst_host", seeds, extra_nodes=nodes
+        ).collect()
+    }
+    exp = {
+        (r["host"], r["rank_micro"], r["out_deg"])
+        for r in graph.g02_host_trustrank(spark, sf_smoke).collect()
+    }
+    assert got == exp
+    all_seeded = {
+        (r["host"], r["rank_micro"], r["out_deg"])
+        for r in api.host_trustrank(
+            edges, "src_host", "dst_host", nodes, extra_nodes=nodes
+        ).collect()
+    }
+    uniform = {
+        (r["host"], r["rank_micro"], r["out_deg"])
+        for r in api.host_pagerank(
+            edges, "src_host", "dst_host", extra_nodes=nodes
+        ).collect()
+    }
+    assert all_seeded == uniform
+
+
 def test_host_pagerank_hand_graph_and_edge_hygiene(spark):
     """Known graph, hand-computed integer ranks: a 2-cycle plus a source
     and a sink; parallel edges collapse to one, self-loops and null

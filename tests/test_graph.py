@@ -20,6 +20,43 @@ def test_g01_oracle_parity(spark, sf, request):
     assert_parity(df, graph.ORACLE["g01_host_pagerank"], sf_dir, "g01")
 
 
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_correctness"])
+def test_g02_oracle_parity(spark, sf, request):
+    sf_dir = request.getfixturevalue(sf)
+    df = graph.g02_host_trustrank(spark, sf_dir)
+    assert_parity(df, graph.ORACLE["g02_host_trustrank"], sf_dir, "g02")
+
+
+def test_g02_trust_semantics(spark, sf_smoke):
+    """TrustRank's discriminating properties vs uniform PageRank:
+    (1) per-host g02 rank ≤ g01 rank (mass enters at a SUBSET of nodes
+    and every update is monotone in the incoming ranks — integer floor
+    division included); (2) a non-seed host with no in-links scores
+    EXACTLY 0 (no uniform floor — the spam-farm case g01 cannot
+    express); (3) every seed scores ≥ BASE; and (4) the fixture
+    actually exercises the split (some zero-rank hosts exist and some
+    non-seeds still earn rank through links)."""
+    g01 = {r["host"]: r["rank_micro"]
+           for r in graph.g01_host_pagerank(spark, sf_smoke).collect()}
+    g02 = {r["host"]: r["rank_micro"]
+           for r in graph.g02_host_trustrank(spark, sf_smoke).collect()}
+    assert set(g01) == set(g02)
+    assert all(g02[h] <= g01[h] for h in g01)
+    d = load_table(spark, sf_smoke, "documents")
+    _, edges = graph.host_link_graph(d)
+    with_in = {r["dst_host"] for r in edges.select("dst_host").distinct().collect()}
+    seeds = {h for h in g02 if h.endswith(graph.G02_SEED_SUFFIX)}
+    for h, r in g02.items():
+        if h in seeds:
+            assert r >= graph.G01_BASE, (h, r)
+        elif h not in with_in:
+            assert r == 0, (h, r)
+    assert any(r == 0 for r in g02.values()), "no unreachable host in fixture"
+    assert any(
+        r > 0 for h, r in g02.items() if h not in seeds
+    ), "no trust propagation happened"
+
+
 def test_g01_partitioning_cannot_change_a_bit(spark, sf_smoke):
     """The integer micro-rank contract: floor divisions + BIGINT sums
     are exact, so adversarial repartitioning of nodes AND edges must
