@@ -219,10 +219,12 @@ _NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
 )
 _HELD_OUT = frozenset(
     {
-        # = the 50 queries checked in CORRECTNESS_r08 (45 hash green +
-        # the 5 rows-only-by-design). Their DuckDB oracles keep running
-        # every pytest run via held_out_oracle_sql(); they rotate back
-        # into the driver budget in round 10.
+        # = the queries checked in CORRECTNESS_r08 (45 hash green + the
+        # 5 rows-only-by-design), MINUS g01, which left this bucket when
+        # it was twin-demoted ↔ g02 — 49 names. Their DuckDB oracles
+        # keep running every pytest run via held_out_oracle_sql(); they
+        # rotate back into the driver budget in round 10 (with g02
+        # entering on g01's slot from _NEW_AWAITING_ROTATION).
         "d03_minhash_lsh_dedup",
         "d05_embedding_near_dup",
         "d10_incremental_dedup",
