@@ -458,8 +458,14 @@ def _p08_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(P08_CLAMP).cast("long"),
         ),
     )
+    # vec_id IS NOT NULL mirrors g01's NULL-source pin (r8): a NULL key
+    # would sort NULLS FIRST in Spark's init ordering but NULLS LAST in
+    # DuckDB's, silently shifting every initial centroid. vec_id is the
+    # table's unique key by contract (TESTDATA.md); duplicate keys would
+    # change n_members semantics in both engines and are not defended.
     return (
-        e.filter(F.col("embedding").isNotNull())
+        e.filter(F.col("vec_id").isNotNull())
+        .filter(F.col("embedding").isNotNull())
         .filter(F.size("embedding") == DIM)
         .select("vec_id", q.alias("q"))
     )
@@ -590,7 +596,8 @@ def _p08_sql() -> str:
   SELECT vec_id, t.i AS dim, {q} AS v
   FROM embeddings
   CROSS JOIN range(1, {DIM + 1}) t(i)
-  WHERE embedding IS NOT NULL AND len(embedding) = {DIM}
+  WHERE vec_id IS NOT NULL
+    AND embedding IS NOT NULL AND len(embedding) = {DIM}
 ),
 init AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster

@@ -83,6 +83,37 @@ def test_p08_trace_invariants_and_split_invariance(
     assert [tuple(r) for r in rows] == golden
 
 
+def test_p08_null_vec_id_cannot_shift_the_init(spark, sf_smoke, tmp_path):
+    """g01's NULL-key pin applied to p08 (round-9 self-review): a NULL
+    vec_id with a valid embedding would sort NULLS FIRST in Spark's
+    init ordering but NULLS LAST in DuckDB's, silently replacing the
+    first centroid. NULL keys are excluded on BOTH sides; the trace
+    must still hash-match the oracle on the planted data."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "nullkey_sf")
+    os.makedirs(d)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            shutil.copy(os.path.join(src, f), os.path.join(d, f))
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    ids[0] = None  # the row that would otherwise become centroid 0
+    t = t.set_column(
+        t.schema.get_field_index("vec_id"),
+        "vec_id",
+        pa.array(ids, type=t.schema.field("vec_id").type),
+    )
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    df = projection.p08_kmeans_trace(spark, d)
+    assert_parity(df, projection._p08_sql(), d, "p08-nullkey")
+
+
 def test_scalar_quantize_bounds(spark, sf_correctness):
     """Quantizer contract: codes in [0,255]; per-element reconstruction
     error bounded by one quantization step of that dimension."""
