@@ -463,10 +463,21 @@ def _p08_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's, silently shifting every initial centroid. vec_id is the
     # table's unique key by contract (TESTDATA.md); duplicate keys would
     # change n_members semantics in both engines and are not defended.
+    #
+    # Non-finite elements (NaN/±Inf — a failed encoder state, like null
+    # vectors) are EXCLUDED whole-vector on both sides (round-9 review):
+    # Spark's cast chain would clamp them (NaN→0, +Inf→CLAMP) while
+    # DuckDB's CAST(floor(NaN) AS BIGINT) raises a Conversion Error —
+    # so "clamp makes both engines identical" is only true for FINITE
+    # out-of-range values, and the vector filter restores parity on the
+    # rest. NULL elements ride the same filter (GREATEST(NULL, 0)
+    # differs across engines too).
+    bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
     return (
         e.filter(F.col("vec_id").isNotNull())
         .filter(F.col("embedding").isNotNull())
         .filter(F.size("embedding") == DIM)
+        .filter(F.size(F.filter("embedding", bad)) == 0)
         .select("vec_id", q.alias("q"))
     )
 
@@ -598,6 +609,8 @@ def _p08_sql() -> str:
   CROSS JOIN range(1, {DIM + 1}) t(i)
   WHERE vec_id IS NOT NULL
     AND embedding IS NOT NULL AND len(embedding) = {DIM}
+    AND len(list_filter(embedding,
+          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 init AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster

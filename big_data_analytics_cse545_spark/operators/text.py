@@ -1846,7 +1846,9 @@ def train_bpe(
     out by construction). The materializing action IS the next round's
     argmax collect — no extra count() job; superseded blocks are freed
     by the ContextCleaner once the child's checkpoint clears their
-    dependencies, so none outlives the call.
+    dependencies. That cleanup is ASYNCHRONOUS (GC-driven), not the
+    old deterministic finally-unpersist — see the checkpoint call's
+    comment for the bound and the production lever.
     """
     if batch_m < 1:
         raise ValueError(f"batch_m must be >= 1, got {batch_m}")
@@ -1864,7 +1866,14 @@ def train_bpe(
     # so the previous round's blocks become unreachable and the
     # ContextCleaner frees them — parent blocks provably outlive the
     # child's materialization (the r8 swap-first replay bug cannot
-    # recur), and no round's blocks survive the call.
+    # recur). Honesty note (round-9 review): that cleanup is
+    # ASYNCHRONOUS (py4j finalization → JVM GC → ContextCleaner), so a
+    # low-GC-pressure driver can hold several superseded vocab-sized
+    # block sets between GC cycles; blocks are MEMORY_AND_DISK and
+    # MB-scale, so the float is bounded and spillable, and a production
+    # 30k-merge run sets spark.cleaner.periodicGC.interval (e.g.
+    # "1min"; default 30min) to bound it tightly — the standard lever
+    # for checkpoint-loop workloads.
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -1925,6 +1934,8 @@ def train_bpe(
             used |= {left, right, left + right}
             if len(batch) == want:
                 break
+        if len(merges) == n_merges:
+            break  # table complete — applying the last batch is dead work
         words = words.select(
             _apply_merges(F.col("syms"), batch).alias("syms"), "wf"
         ).localCheckpoint(eager=False)

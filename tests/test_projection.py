@@ -83,12 +83,16 @@ def test_p08_trace_invariants_and_split_invariance(
     assert [tuple(r) for r in rows] == golden
 
 
-def test_p08_null_vec_id_cannot_shift_the_init(spark, sf_smoke, tmp_path):
-    """g01's NULL-key pin applied to p08 (round-9 self-review): a NULL
-    vec_id with a valid embedding would sort NULLS FIRST in Spark's
-    init ordering but NULLS LAST in DuckDB's, silently replacing the
-    first centroid. NULL keys are excluded on BOTH sides; the trace
-    must still hash-match the oracle on the planted data."""
+def test_p08_pathological_rows_cannot_break_parity(spark, sf_smoke, tmp_path):
+    """g01's NULL-key pin applied to p08, plus the non-finite sweep
+    (round-9 self-review): a NULL vec_id with a valid embedding would
+    sort NULLS FIRST in Spark's init ordering but NULLS LAST in
+    DuckDB's, silently replacing the first centroid; a NaN/Inf/NULL
+    ELEMENT would be clamped by Spark's cast chain but raise a DuckDB
+    Conversion Error (or diverge on GREATEST(NULL, 0)). All four
+    pathological rows are excluded whole-vector on BOTH sides; the
+    trace must still hash-match the oracle on the planted data, and
+    the planted rows must actually be gone from it."""
     import os
     import shutil
 
@@ -96,22 +100,36 @@ def test_p08_null_vec_id_cannot_shift_the_init(spark, sf_smoke, tmp_path):
     import pyarrow.parquet as pq
 
     src = "/root/testdata/sf0.001"
-    d = str(tmp_path / "nullkey_sf")
+    d = str(tmp_path / "pathological_sf")
     os.makedirs(d)
     for f in os.listdir(src):
         if f.endswith(".parquet") and f != "embeddings.parquet":
             shutil.copy(os.path.join(src, f), os.path.join(d, f))
     t = pq.read_table(os.path.join(src, "embeddings.parquet"))
     ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
     ids[0] = None  # the row that would otherwise become centroid 0
+    vecs[1] = [float("nan")] + vecs[1][1:]  # would clamp in Spark, raise in DuckDB
+    vecs[2] = [float("inf")] + vecs[2][1:]
+    vecs[3] = [None] + vecs[3][1:]
     t = t.set_column(
         t.schema.get_field_index("vec_id"),
         "vec_id",
         pa.array(ids, type=t.schema.field("vec_id").type),
     )
+    t = t.set_column(
+        t.schema.get_field_index("embedding"),
+        "embedding",
+        pa.array(vecs, type=t.schema.field("embedding").type),
+    )
     pq.write_table(t, os.path.join(d, "embeddings.parquet"))
     df = projection.p08_kmeans_trace(spark, d)
-    assert_parity(df, projection._p08_sql(), d, "p08-nullkey")
+    assert_parity(df, projection._p08_sql(), d, "p08-pathological")
+    n_good = len([v for i, v in enumerate(vecs) if ids[i] is not None
+                  and v is not None and None not in v
+                  and all(x == x and abs(x) != float("inf") for x in v)])
+    rows = df.collect()
+    assert sum(r["n_members"] for r in rows if r["step"] == 1) == n_good
 
 
 def test_scalar_quantize_bounds(spark, sf_correctness):

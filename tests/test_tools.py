@@ -73,7 +73,9 @@ def test_bench_control_vs_prior_bench_reads_driver_shape(monkeypatch):
 
     monkeypatch.setattr(
         bc, "prior_bench",
-        lambda: ("BENCH_r06.json", 6, {"q01": 1.0, "t13": 5.0, "q99": -1.0}),
+        lambda exclude_round=None: (
+            "BENCH_r06.json", 6, {"q01": 1.0, "t13": 5.0, "q99": -1.0}
+        ),
     )
     monkeypatch.setattr(bc, "prior_final_min", lambda n: None)
     out = bc.vs_prior_bench(
@@ -95,7 +97,9 @@ def test_bench_control_vs_prior_uses_collision_safe_short_codes(monkeypatch):
 
     monkeypatch.setattr(
         bc, "prior_bench",
-        lambda: ("BENCH_r07.json", 7, {"q01#1": 1.0, "q01#2": 1.0}),
+        lambda exclude_round=None: (
+            "BENCH_r07.json", 7, {"q01#1": 1.0, "q01#2": 1.0}
+        ),
     )
     monkeypatch.setattr(bc, "prior_final_min", lambda n: None)
     out = bc.vs_prior_bench({"q01_alpha": 2.5, "q01_beta": 1.0})
@@ -114,7 +118,9 @@ def test_bench_control_vs_prior_prefers_min_artifact(monkeypatch):
 
     monkeypatch.setattr(
         bc, "prior_bench",
-        lambda: ("BENCH_r08.json", 8, {"q01": 99.0}),  # must be ignored
+        lambda exclude_round=None: (
+            "BENCH_r08.json", 8, {"q01": 99.0}  # must be ignored
+        ),
     )
     monkeypatch.setattr(
         bc, "prior_final_min",
@@ -131,6 +137,64 @@ def test_bench_control_vs_prior_prefers_min_artifact(monkeypatch):
     assert out["basis"] == "min_vs_min"
     assert out["over_2x"] == {"q01_pricing_summary": 2.5}
     assert out["median_ratio"] == 1.75
+
+
+def test_bench_control_single_run_head_never_divides_by_min(monkeypatch):
+    """A SINGLE-RUN numerator must compare against the prior round's
+    single-run BENCH, never its min artifact (round-9 review): one
+    noisy run divided by a 5-run minimum systematically inflates every
+    ratio and manufactures the q15-class false trips the min artifact
+    exists to kill. prior_final_min must not even be consulted."""
+    import tools.bench_control as bc
+
+    monkeypatch.setattr(
+        bc, "prior_bench",
+        lambda exclude_round=None: ("BENCH_r08.json", 8, {"q01": 2.0}),
+    )
+    def _boom(n):  # noqa: ANN001
+        raise AssertionError("min artifact consulted for single-run head")
+    monkeypatch.setattr(bc, "prior_final_min", _boom)
+    out = bc.vs_prior_bench({"q01_pricing_summary": 2.5})
+    assert out["basis"] == "single_run_vs_single_run"
+    assert out["prior_bench"] == "BENCH_r08.json"
+    assert out["median_ratio"] == 1.25
+
+
+def test_bench_control_tripwire_cannot_self_compare(monkeypatch, tmp_path):
+    """Once this round's BENCH_r{N}.json is committed, the newest-BENCH
+    heuristic would resolve the tripwire denominator to the SAME round
+    as the numerator and read a vacuous 1.0 (round-9 review) —
+    exclude_round must step the resolution back one round."""
+    import tools.bench_control as bc
+
+    calls = []
+
+    def fake_prior(exclude_round=None):
+        calls.append(exclude_round)
+        # simulate: r9 is the newest BENCH but must be skipped
+        assert exclude_round == 9
+        return ("BENCH_r08.json", 8, {"q01": 1.0})
+
+    monkeypatch.setattr(bc, "prior_bench", fake_prior)
+    monkeypatch.setattr(
+        bc, "prior_final_min",
+        lambda n: ("r8_final_min.json", {"q01_pricing_summary": 1.0}),
+    )
+    out = bc.vs_prior_bench(
+        {"q01_pricing_summary": 3.0}, head_kind="min", exclude_round=9
+    )
+    assert calls == [9]
+    assert out["prior_bench"] == "r8_final_min.json"
+    assert out["over_2x"] == {"q01_pricing_summary": 3.0}
+    # and prior_bench itself must honor the exclusion on real files
+    import json as _json
+    import os as _os
+    monkeypatch.setattr(bc, "REPO", str(tmp_path))
+    for n, v in ((8, 1.0), (9, 2.0)):
+        with open(_os.path.join(tmp_path, f"BENCH_r{n}.json"), "w") as f:
+            _json.dump({"queries": {"q01": v}}, f)
+    name, rn, q = bc.prior_bench(exclude_round=9)
+    assert (name, rn, q) == ("BENCH_r08.json", 8, {"q01": 1.0})
 
 
 def test_bench_finals_run_bench_fails_loudly_without_stderr_line(monkeypatch):

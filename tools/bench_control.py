@@ -128,13 +128,16 @@ def check_control(path: str) -> int:
     return 0
 
 
-def prior_bench() -> tuple[str, int, dict] | None:
+def prior_bench(exclude_round: int | None = None) -> tuple[str, int, dict] | None:
     """The newest committed BENCH_r{N}.json — the prior round's driver
-    bench, used for the cross-round per-query tripwire."""
+    bench, used for the cross-round per-query tripwire.
+    ``exclude_round`` skips that round (pass the numerator artifact's
+    own round so a tripwire run AFTER the round's BENCH lands cannot
+    self-compare)."""
     best, best_n = None, -1
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
+        if m and int(m.group(1)) > best_n and int(m.group(1)) != exclude_round:
             best, best_n = p, int(m.group(1))
     if best is None:
         return None
@@ -220,7 +223,15 @@ def main() -> int:
             return 2
         with open(sys.argv[2]) as f:
             head_min = json.load(f)
-        result = vs_prior_bench(head_min.get("queries", {}), head_kind="min")
+        m = re.search(r"r(\d+)_final_min\.json$", sys.argv[2])
+        result = vs_prior_bench(
+            head_min.get("queries", {}),
+            head_kind="min",
+            # never let the newest-BENCH heuristic resolve the
+            # denominator to the numerator's own round (self-compare
+            # reads a vacuous 1.0 once BENCH_r{N}.json is committed)
+            exclude_round=int(m.group(1)) if m else None,
+        )
         print(json.dumps({"head_min": sys.argv[2], "vs_prior_bench": result}))
         return 0
     if len(sys.argv) < 2:
@@ -268,29 +279,40 @@ def main() -> int:
     return 0
 
 
-def vs_prior_bench(hq: dict, head_kind: str = "single_run") -> dict | None:
+def vs_prior_bench(
+    hq: dict,
+    head_kind: str = "single_run",
+    exclude_round: int | None = None,
+) -> dict | None:
     """Cross-round tripwire: HEAD timings (``hq``, FULL query names) vs
-    the prior round. Denominator preference (VERDICT r8 task #7):
+    the prior round, compared LIKE FOR LIKE (round-9 review — two fixes
+    over the first r8-task-#7 cut):
 
-    1. the prior round's ``r{N}_final_min.json`` (full names) — when
-       ``hq`` is itself a min-across-finals payload this is the
-       min-vs-min compare that ends single-run adjudication;
-    2. else the committed BENCH_r{N}.json (driver artifact, SHORT-code
-       keys — compared via bench.py's collision-safe mapping).
+    * a MIN numerator (``head_kind="min"``, the --tripwire path)
+      compares against the prior round's ``r{N}_final_min.json`` —
+      min-vs-min, the form that ends single-run adjudication;
+    * a SINGLE-RUN numerator (the control path) compares against the
+      prior round's single-run BENCH_r{N}.json — dividing one noisy
+      run by a 5-run minimum systematically inflates every ratio and
+      would MANUFACTURE the q15-style false trips the min artifact
+      exists to kill;
+    * ``exclude_round`` skips that round when resolving the prior —
+      once this round's BENCH_r{N}.json is committed, the newest-BENCH
+      heuristic would otherwise resolve the denominator to the SAME
+      artifact passed as the numerator and read a vacuous 1.0.
 
     Every query over 2× is NAMED so a regression like round 6's t13
-    cannot be adjudicated away as noise without an explicit decision.
-    ``head_kind`` is recorded verbatim so the reader knows whether the
-    numerator carries single-run noise."""
-    pb = prior_bench()
+    cannot be adjudicated away as noise without an explicit decision;
+    ``basis`` records which compare actually ran."""
+    pb = prior_bench(exclude_round)
     if pb is None:
         return None
     fname, round_n, prior_q = pb
-    pm = prior_final_min(round_n)
+    pm = prior_final_min(round_n) if head_kind == "min" else None
     if pm is not None:
         prior_name, prior_min_q = pm
         head, prior = hq, prior_min_q
-        basis = f"{head_kind}_vs_min"
+        basis = "min_vs_min"
     else:
         # bench.py's exact short-code mapping (stable '#N' suffixes on
         # collision) — a dict comprehension here silently kept only the

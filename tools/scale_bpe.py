@@ -39,12 +39,24 @@ def main() -> None:
     from big_data_analytics_cse545_spark.session import get_spark
     from big_data_analytics_cse545_spark.sources import load_table
 
+    # the status tracker only remembers spark.ui.retainedJobs job ids
+    # (default 1000) — a 30k-merge sequential cell is ~60k jobs, so the
+    # default silently under-reports jobs_per_merge ~60× at exactly the
+    # scale this tool exists to measure (round-9 review). Raise the
+    # retention AND guard the readout below.
+    retained_jobs = 500_000
     spark = get_spark(
         app_name="scale_bpe",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")
         ),
+        extra_conf={
+            "spark.ui.retainedJobs": str(retained_jobs),
+            # bound the superseded-checkpoint float on very long loops
+            # (train_bpe's state-discipline note)
+            "spark.cleaner.periodicGC.interval": "1min",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -71,6 +83,11 @@ def main() -> None:
             "jobs": jobs,
             "jobs_per_merge": round(jobs / max(len(table), 1), 3),
         }
+        if jobs >= retained_jobs * 0.8:
+            # near the retention ceiling: the count is a floor, not a
+            # measurement — say so in the artifact instead of letting a
+            # silently-truncated number land in SCALE.md
+            out["jobs_lower_bound_only"] = True
         assert steps == set(range(1, len(table) + 1)), "step numbering hole"
         print(json.dumps(out), flush=True)
 
