@@ -192,3 +192,98 @@ def test_freq_items_superset_guarantee(spark, sf_correctness):
         if r["count"] > support * n
     }
     assert exact <= got, f"missing heavy hitters: {exact - got}"
+
+
+# ---------------------------------------------------------------------------
+# Batched-BPE theory pins (round 9): the two claims train_bpe's batching
+# rests on, checked against hypothesis-generated corpora in pure Python
+# (fast — no Spark round-trip per example; the Spark kernel is pinned
+# equal to the pure-Python model by the goldens in tests/test_text.py).
+# ---------------------------------------------------------------------------
+
+
+def _py_apply_one(s: list[str], left: str, right: str) -> list[str]:
+    """Sennrich greedy left-to-right single-merge scan."""
+    out: list[str] = []
+    for x in s:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def _py_apply_batch(s: list[str], batch: list[tuple[str, str]]) -> list[str]:
+    """train_bpe's single-pass when-chain: at each position, the first
+    batch member whose (tail, incoming) matches applies."""
+    rules = {(l, r): l + r for l, r in batch}
+    out: list[str] = []
+    for x in s:
+        if out and (out[-1], x) in rules:
+            out[-1] = rules[(out[-1], x)]
+        else:
+            out.append(x)
+    return out
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=0, max_size=12
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_batched_bpe_selection_is_exact_at_m1(words):
+    """Claim 1 (the contract): batch_m=1 IS sequential Sennrich BPE —
+    the batched reference with batch size 1 reproduces the sequential
+    reference merge-for-merge on arbitrary corpora (tiny alphabet so
+    pair collisions, ties, and self-overlapping runs like 'aaaa' are
+    common, not rare)."""
+    from collections import Counter
+
+    from tests.test_text import _pure_python_bpe, _pure_python_bpe_batched
+
+    wf = Counter(words)
+    assert _pure_python_bpe_batched(wf, 10, 1) == _pure_python_bpe(wf, 10)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=10),
+        min_size=0,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_disjoint_batch_single_pass_equals_sequential_passes(words, m):
+    """Claim 2 (why one fold pass is sound): for a SYMBOL-DISJOINT
+    batch — selected exactly as train_bpe selects it from the true
+    pair counts — applying all members in ONE left-to-right pass
+    equals applying them one-per-pass in selection order, on every
+    word. (Disjointness is what makes the when-chain order-free: no
+    member can create, consume, or retype another member's match
+    sites.)"""
+    from collections import Counter
+
+    wf = Counter(words)
+    pc: dict[tuple[str, str], int] = {}
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[(w[i], w[i + 1])] = pc.get((w[i], w[i + 1]), 0) + f
+    ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    used: set[str] = set()
+    batch: list[tuple[str, str]] = []
+    for (left, right), _ in ranked:
+        if {left, right, left + right} & used:
+            continue
+        batch.append((left, right))
+        used |= {left, right, left + right}
+        if len(batch) == m:
+            break
+    for w in wf:
+        s = list(w)
+        one_pass = _py_apply_batch(s, batch)
+        multi = s
+        for left, right in batch:
+            multi = _py_apply_one(multi, left, right)
+        assert one_pass == multi, (w, batch)
