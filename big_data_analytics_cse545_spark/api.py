@@ -2049,6 +2049,57 @@ def bpe_train(
     return train_bpe(df, text_col=text_col, n_merges=n_merges, batch_m=batch_m)
 
 
+def kmeans_trace(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    iters: int = 4,
+    shift: float = 2.0,
+    scale: int = 1000,
+    clamp: int = 4000,
+) -> DataFrame:
+    """Bit-deterministic k-means over any embedding column (p08
+    semantics, operators/projection.py): quantize each vector to
+    non-negative BIGINT fixed-point ONCE (``floor((x + shift)·scale)``
+    clamped to [0, clamp] — pick ``shift`` so in-range values land
+    positive), then run ``iters`` Lloyd iterations entirely in integer
+    arithmetic (init = the first k vectors by ``id_col``; ties break
+    to the lowest cluster; empty clusters keep their centroid).
+    Returns the full per-iteration trace — (step, cluster, n_members,
+    ssd) — which is reproducible to the BIT under any partitioning,
+    task order, or retry (integer sums commute; floor division of
+    non-negative sums is engine-independent), so two runs on two
+    clusters can assert equality instead of eyeballing float drift —
+    the property that makes clustering usable inside a data-curation
+    pipeline's audit trail. NULL ids, wrong-dimension and
+    non-finite-element vectors are excluded (the failed-encoder
+    policy). Scale shape: one fused mapInPandas assignment+partials
+    pass per iteration emitting ≤ k rows per partition; only the k×dim
+    integer centroid matrix round-trips the driver."""
+    from big_data_analytics_cse545_spark.operators.projection import (
+        kmeans_trace_int,
+        quantize_fixed_point,
+    )
+
+    first = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], "step long, cluster long, n_members long, ssd long"
+        )
+    dim = len(first[0][0])
+    q = quantize_fixed_point(
+        df, vec_col, id_col, dim, shift=shift, scale=scale, clamp=clamp
+    )
+    return kmeans_trace_int(df.sparkSession, q, k=k, iters=iters)
+
+
 def _spark_half_up_round6(raw):
     """Round a float64 array to 6 decimals EXACTLY as Spark's
     ``round(x, 6)`` does: BigDecimal over the double's shortest decimal

@@ -441,21 +441,32 @@ P08_SCALE = 1000
 P08_CLAMP = 4000
 
 
-def _p08_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, q: array<bigint>) — the fixed-point embedding relation
-    both the Spark loop and the DuckDB oracle iterate over. Quantization
-    runs JVM-side on float32→float64 widened values, the exact double
-    arithmetic DuckDB performs on the same parquet floats."""
-    e = load_table(spark, sf_dir, "embeddings")
+def quantize_fixed_point(
+    e: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    *,
+    shift: float = P08_SHIFT,
+    scale: int = P08_SCALE,
+    clamp: int = P08_CLAMP,
+) -> DataFrame:
+    """(vec_id, q: array<bigint>) — the fixed-point relation
+    :func:`kmeans_trace_int` iterates over, from any (id, vector)
+    DataFrame. Quantization runs JVM-side on float→float64 widened
+    values (the exact double arithmetic a SQL oracle performs on the
+    same parquet floats); the row filters are the p08 parity pins
+    (NULL keys, wrong-dimension, and non-finite-element vectors are
+    excluded — rationale inline)."""
     q = F.transform(
-        "embedding",
+        vec_col,
         lambda x: F.least(
             F.greatest(
-                F.floor((x.cast("double") + F.lit(P08_SHIFT)) * F.lit(float(P08_SCALE)))
+                F.floor((x.cast("double") + F.lit(shift)) * F.lit(float(scale)))
                 .cast("long"),
                 F.lit(0).cast("long"),
             ),
-            F.lit(P08_CLAMP).cast("long"),
+            F.lit(clamp).cast("long"),
         ),
     )
     # vec_id IS NOT NULL mirrors g01's NULL-source pin (r8): a NULL key
@@ -474,11 +485,20 @@ def _p08_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differs across engines too).
     bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
     return (
-        e.filter(F.col("vec_id").isNotNull())
-        .filter(F.col("embedding").isNotNull())
-        .filter(F.size("embedding") == DIM)
-        .filter(F.size(F.filter("embedding", bad)) == 0)
-        .select("vec_id", q.alias("q"))
+        e.filter(F.col(id_col).isNotNull())
+        .filter(F.col(vec_col).isNotNull())
+        .filter(F.size(vec_col) == dim)
+        .filter(F.size(F.filter(vec_col, bad)) == 0)
+        .select(F.col(id_col).alias("vec_id"), q.alias("q"))
+    )
+
+
+def _p08_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings-table instance of :func:`quantize_fixed_point`
+    with the p08 contract constants — the relation the DuckDB oracle
+    mirrors token-for-token."""
+    return quantize_fixed_point(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", DIM
     )
 
 
@@ -497,7 +517,9 @@ def p08_kmeans_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign each vector to argmin (d2, cluster); emit (step=t, cluster,
     n_members, ssd=Σd2); update each non-empty cluster's centroid to
     (Σq) div n (empty clusters keep their previous centroid). Output:
-    the full {I}-step trace, k·{I} rows max.
+    the full {I}-step trace, k·{I} rows max. The loop itself is
+    :func:`kmeans_trace_int` (shared with ``api.kmeans_trace``, the
+    host_pagerank↔g01 one-kernel pattern).
 
     Scale shape (p05's, proven): assignment + per-cluster partials are
     ONE fused mapInPandas pass emitting ≤ k rows per partition — the
@@ -507,11 +529,30 @@ def p08_kmeans_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     gymnastics are needed at combine time (the float version needs a
     deterministic accumulation order; the integer one provably doesn't).
     """
+    return kmeans_trace_int(
+        spark, _p08_quantized(spark, sf_dir), k=P08_K, iters=P08_ITERS
+    )
+
+
+def kmeans_trace_int(
+    spark: SparkSession,
+    quantized: DataFrame,
+    *,
+    k: int,
+    iters: int,
+) -> DataFrame:
+    """The fixed-point Lloyd trace loop over a pre-quantized
+    (vec_id, q: array<bigint>) relation — p08's kernel, reusable by
+    ``api.kmeans_trace`` over arbitrary embedding DataFrames. All
+    arithmetic is int64 (numpy scatter-adds, floor division of
+    non-negative sums), so the returned (step, cluster, n_members,
+    ssd) trace is bit-deterministic under any partitioning. The input
+    MUST be non-negative BIGINT arrays of one fixed dimension with
+    non-null unique vec_ids (``_p08_quantized``'s postconditions)."""
     import numpy as np
     import pandas as pd
 
-    k, iters = P08_K, P08_ITERS
-    e = _p08_quantized(spark, sf_dir).persist()
+    e = quantized.persist()
     try:
         init = e.orderBy("vec_id").limit(k).collect()
         k_eff = len(init)
@@ -520,10 +561,11 @@ def p08_kmeans_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [], "step long, cluster long, n_members long, ssd long"
             )
         cents = np.array([r["q"] for r in init], dtype=np.int64)
+        dim = cents.shape[1]  # inferred — the kernel is dimension-agnostic
 
         def make_partials(c: np.ndarray):
             def partials(batches):
-                sums = np.zeros((k_eff, DIM), dtype=np.int64)
+                sums = np.zeros((k_eff, dim), dtype=np.int64)
                 cnts = np.zeros(k_eff, dtype=np.int64)
                 ssd = np.zeros(k_eff, dtype=np.int64)
                 for batch in batches:
@@ -556,7 +598,7 @@ def p08_kmeans_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         trace: list[tuple[int, int, int, int]] = []
         for it in range(1, iters + 1):
             parts = e.mapInPandas(make_partials(cents), schema=schema).collect()
-            sums = np.zeros((k_eff, DIM), dtype=np.int64)
+            sums = np.zeros((k_eff, dim), dtype=np.int64)
             cnts = np.zeros(k_eff, dtype=np.int64)
             ssd = np.zeros(k_eff, dtype=np.int64)
             # integer addition commutes exactly — no ordering needed

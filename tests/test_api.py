@@ -1130,6 +1130,39 @@ def test_host_trustrank_matches_g02_and_all_seeds_degenerates(spark, sf_smoke):
     assert all_seeded == uniform
 
 
+def test_kmeans_trace_matches_p08_and_is_bit_deterministic(spark, sf_smoke):
+    """api.kmeans_trace fed the embeddings table with p08's contract
+    constants must reproduce p08's exact trace (one kernel —
+    kmeans_trace_int); with a custom k and adversarial repartitioning
+    it must still return a bit-identical trace (the integer-arithmetic
+    guarantee the API docstring sells)."""
+    from big_data_analytics_cse545_spark.operators import projection
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    e = load_table(spark, sf_smoke, "embeddings")
+    got = [
+        tuple(r)
+        for r in api.kmeans_trace(e, "embedding", "vec_id").collect()
+    ]
+    exp = [
+        tuple(r)
+        for r in projection.p08_kmeans_trace(spark, sf_smoke).collect()
+    ]
+    assert got == exp
+    a = [
+        tuple(r)
+        for r in api.kmeans_trace(e, "embedding", "vec_id", k=5, iters=3).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in api.kmeans_trace(
+            e.repartition(13), "embedding", "vec_id", k=5, iters=3
+        ).collect()
+    ]
+    assert a == b and a
+    assert {r[0] for r in a} == {1, 2, 3} and max(r[1] for r in a) <= 4
+
+
 def test_host_pagerank_hand_graph_and_edge_hygiene(spark):
     """Known graph, hand-computed integer ranks: a 2-cycle plus a source
     and a sink; parallel edges collapse to one, self-loops and null
