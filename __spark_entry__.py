@@ -63,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 121
+# The driver hash-checks only the FIRST 50 queries() entries, so with 122
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -131,8 +131,9 @@ _DEMOTED_BASELINES = frozenset(
 #     r4-green; x01's oracle also reruns in every pytest).
 # Steady state (round 8: g01 entered WITH its d08 twin demotion, the
 # f07/f05 pattern; t24 entered test-gated; round 9: m06/p08 entered
-# with the q34/d01 demotions, g02 with the g01 demotion): 121 − 6
-# test-gated − 2 demoted baselines − 13 twin-demoted = 100 eligible = 2 × 50, so the strict
+# with the q34/d01 demotions, g02 with the g01 demotion; round 10: g03
+# entered with the st01 demotion): 122 − 6 test-gated − 2 demoted
+# baselines − 14 twin-demoted = 100 eligible = 2 × 50, so the strict
 # "driver row within two rounds" cadence holds; any future newcomer
 # must bring a twin demotion (or test-gating rationale) with it.
 _DEMOTED_TWINNED = frozenset(
@@ -190,92 +191,100 @@ _DEMOTED_TWINNED = frozenset(
         # in the previous CORRECTNESS file, so they cannot be held
         # out) and enters the round-10 driver set on g01's slot.
         "g01_host_pagerank",  # ↔ g02_host_trustrank (all-seeds special case of the seeded kernel)
+        # Round-10 newcomer g03 (link-multiplicity-weighted PageRank)
+        # brings its twin per the standing rule: st01 is st02's
+        # slide==duration SPECIAL CASE — both are the same Spark
+        # TimeWindow plan node under the same watermark/append-mode
+        # eviction machinery and the same _events_stream →
+        # _run_to_table harness (the q17↔q08/q09 "same plan node,
+        # special case" precedent). st02 was driver-green r9; st01's
+        # oracle keeps running every pytest via held_out_oracle_sql()
+        # plus the append-mode horizon gates in tests/test_streaming.py.
+        # g03 takes st01's freed ACTIVE slot this round (the m06↔q34
+        # same-round-debut pattern) — its weights-all-1 special case is
+        # g01, already demoted ↔ g02, so the slot donor is unrelated by
+        # necessity, as q34 was for m06.
+        "st01_tumbling_window",  # ↔ st02_sliding_window (slide==duration special case, same TimeWindow plan node)
     }
 )
-# ROUND-9 ROTATION (executed per the round-8 pre-written plan):
-#   new _HELD_OUT below = the 50 names in CORRECTNESS_r08 (all 50 green:
-#   45 rows+schema+hash, 5 rows-only by design); active set = the 50
-#   round-8 hold-outs, adjusted by this round's newcomer↔twin swaps
-#   (each newcomer enters on the slot its twin demotion frees, the g01↔
-#   d08 precedent), keeping the strict "driver row within two rounds"
-#   cadence (r8 ∪ r9 again covers all 100 eligible).
-#
-# ROUND-10 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names in
-# CORRECTNESS_r09 (= the active set of this round, including the two
-# round-9 newcomers m06/p08, which entered WITH their twin demotions —
-# q34 and d01); active set := the remaining 50 eligible (the current
-# hold-outs minus the demoted g01, plus g02 leaving
-# _NEW_AWAITING_ROTATION on g01's slot). Eligible pool: 121 − 6
-# test-gated − 2 demoted baselines − 13 twin-demoted = 100 = 2×50; any
+# ROUND-10 ROTATION (executed per the round-9 pre-written plan,
+# VERDICT r9 "Next round" #1): new _HELD_OUT below = the 50 names in
+# CORRECTNESS_r09 (all 50 hash-green, including the round-9 newcomers
+# m06/p08 on their twin-demotion slots); active set = the 49 round-9
+# hold-outs, plus g02 leaving _NEW_AWAITING_ROTATION on g01's slot —
+# g02's FIRST driver row — minus st01 (twin-demoted ↔ st02 this round)
+# plus the round-10 newcomer g03 on st01's slot (the m06↔q34
+# same-round-debut pattern). This half contains the five
+# rows-only-by-design queries (m01, m02, p03, p05, p07), so the
+# expected CORRECTNESS_r10 is 45 hash + 5 rows-only green, r9 ∩ r10 =
+# ∅, r9 ∪ r10 = all 100 eligible (st01 leaves the pool demoted, g03
+# enters it — both halves stay 50). Eligible pool: 122 − 6 test-gated
+# − 2 demoted baselines − 14 twin-demoted = 100 = 2×50; any
 # round-10-born query must bring its own twin demotion (or test-gating
 # rationale).
-_NEW_AWAITING_ROTATION: frozenset[str] = frozenset(
-    {
-        # g02 lands with its g01 demotion (see _DEMOTED_TWINNED); its
-        # DuckDB oracle hash-checks every pytest run via
-        # held_out_oracle_sql() until its round-10 driver row.
-        "g02_host_trustrank",
-    }
-)
+#
+# ROUND-11 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names
+# in CORRECTNESS_r10 (this round's active set, including the debuts
+# g02/g03); active set := the 50 names below (the CORRECTNESS_r09
+# half, unchanged — no demotion touched it). Any round-11-born query
+# must bring its own twin demotion (or test-gating rationale).
+_NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # = the queries checked in CORRECTNESS_r08 (45 hash green + the
-        # 5 rows-only-by-design), MINUS g01, which left this bucket when
-        # it was twin-demoted ↔ g02 — 49 names. Their DuckDB oracles
-        # keep running every pytest run via held_out_oracle_sql(); they
-        # rotate back into the driver budget in round 10 (with g02
-        # entering on g01's slot from _NEW_AWAITING_ROTATION).
-        "d03_minhash_lsh_dedup",
-        "d05_embedding_near_dup",
-        "d10_incremental_dedup",
-        "f01_jsonl_scan",
-        "f03_jsonl_corrupt_tolerant",
-        "f04_partitioned_scan",
-        # (g01_host_pagerank left this r8-checked set when it was
-        # twin-demoted ↔ g02 — buckets must stay disjoint)
-        "m01_image_similarity_funnel",
-        "m02_video_frame_sample",
-        "m05_signature_band_relational",
-        "p01_dim_stats",
-        "p03_pca_topk",
-        "p05_kmeans_iterative",
-        "p07_pq_ann",
-        "q01_pricing_summary",
-        "q02_revenue_by_nation",
-        "q03_top_orders",
-        "q04_customers_with_orders",
-        "q05_customers_without_orders",
-        "q08_rollup_region_nation",
-        "q09_cube_status_priority",
-        "q10_set_ops",
-        "q11_distinct_and_conditional_agg",
-        "q12_inlist_filter",
-        "q13_string_funcs",
-        "q14_events_by_month_type",
-        "q16_above_avg_lineitems",
-        "q20_approx_distinct",
-        "q36_merge_upsert_general",
-        "s03_ann_ivf",
-        "s06_ann_multitable_lsh",
-        "st01_tumbling_window",
-        "st03_session_window",
-        "st04_streaming_dedup",
-        "st05_stateful_user_counts",
-        "st06_stream_stream_join",
-        "st09_stream_incremental_dedup",
-        "st10_sliding_distinct_users",
-        "t01_wordcount",
-        "t02_word_set_difference",
-        "t03_term_mentions",
-        "t04_term_mentions_nested",
-        "t05_lang_guess",
-        "t08_fingerprint",
-        "t09_pseudo_xml_extract",
-        "t11_pii_scrub",
-        "t18_url_canonicalize",
-        "t19_unicode_normalize",
-        "x04_token_budget_select",
-        "x06_leakage_safe_split",
+        # = the 50 queries checked in CORRECTNESS_r09 (all hash green).
+        # Their DuckDB oracles keep running every pytest run via
+        # held_out_oracle_sql(); they rotate back into the driver
+        # budget in round 11.
+        "q06_topk_orders_per_customer",
+        "q07_order_running_analytics",
+        "q18_asof_join",
+        "q19_range_join",
+        "q21_null_semantics",
+        "q22_retention_cohorts",
+        "q23_event_funnel",
+        "q25_range_frame",
+        "q26_pivot",
+        "q27_gap_fill",
+        "q28_sessionize",
+        "q29_skew_safe_distinct",
+        "q31_variant_json",
+        "q32_approx_percentiles",
+        "q33_sql_subqueries",
+        "q35_recursive_cte",
+        "t06_quality_score",
+        "t10_wholetext_extract",
+        "t12_pack_sequences",
+        "t13_repetition_filter",
+        "t14_corpus_freq_score",
+        "t15_winnowing_pairs",
+        "t16_html_strip",
+        "t17_chunk_overlap",
+        "t20_bpe_pair_stats",
+        "t21_bm25_score",
+        "t22_unigram_nll",
+        "t23_host_reputation",
+        "x02_temperature_mix",
+        "x05_stratified_sample",
+        "x07_dsir_select",
+        "x08_prep_pipeline",
+        "f02_csv_scan",
+        "f06_python_datasource_scan",
+        "f07_xml_scan",
+        "d04_simhash_clusters",
+        "d07_decontaminate",
+        "d11_semantic_dedup",
+        "d12_cdc_chunk_dedup",
+        "s02_ann_hyperplane_lsh",
+        "s05_filtered_ann",
+        "p02_random_projection",
+        "p06_scalar_quantize",
+        "p08_kmeans_trace",
+        "m06_frame_index_relational",
+        "st02_sliding_window",
+        "st07_stream_static_join",
+        "st08_stream_outer_join",
+        "st11_transform_with_state",
+        "st12_python_stream_source",
     }
 )
 
@@ -301,7 +310,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (121 queries; exact count asserted in
+    """The FULL registry (122 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -2024,6 +2024,69 @@ def host_trustrank(
     return attach_out_degree(ranks, e)
 
 
+def host_pagerank_weighted(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    weight_col: str | None = None,
+    iters: int = 6,
+    extra_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Link-multiplicity-weighted PageRank over an arbitrary edge
+    DataFrame (g03 semantics, operators/graph.py): each link's
+    contribution is proportional to its weight — ``(r·w·85) div
+    (outw·100)`` with outw the source's total out-weight — the form
+    crawl-frontier prioritization uses (rank flows per MENTION, where
+    :func:`host_pagerank` flows per LINK). Returns (host, rank_micro,
+    out_weight) after ``iters`` exact-integer updates.
+
+    Weights: with ``weight_col=None`` parallel (src, dst) rows COUNT as
+    multiplicity; with a column, its values are summed per (src, dst)
+    — NULL or non-positive weights are dropped (the failed-extraction
+    policy; zero/negative mass has no rank semantics and would break
+    the floor-division exactness argument). Weights-all-1 reproduces
+    :func:`host_pagerank` exactly — one shared kernel
+    (``graph.trustrank_micro(weighted=True)``), whose docstring also
+    states the r·w·85 < 2^63 exactness bound and the pre-normalization
+    lever for heavier weights. Same edge hygiene (null endpoints and
+    self-loops dropped), same fixed-key cache contract as
+    :func:`host_pagerank` (see its docstring)."""
+    from big_data_analytics_cse545_spark.cache import swap_cached
+    from big_data_analytics_cse545_spark.operators.graph import (
+        attach_out_weight,
+        trustrank_micro,
+    )
+
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src_host"),
+        F.col(dst_col).alias("dst_host"),
+        w.alias("w_in"),
+    ).filter(
+        F.col("src_host").isNotNull()
+        & F.col("dst_host").isNotNull()
+        & (F.col("src_host") != F.col("dst_host"))
+        & F.col("w_in").isNotNull()
+        & (F.col("w_in") > 0)
+    )
+    e = e.groupBy("src_host", "dst_host").agg(F.sum("w_in").alias("w"))
+    nodes = e.select(F.col("src_host").alias("host")).union(
+        e.select(F.col("dst_host").alias("host"))
+    )
+    if extra_nodes is not None:
+        nodes = nodes.union(extra_nodes.select(F.col("host")))
+    nodes = swap_cached("api_pagerank_weighted_nodes", nodes.distinct())
+    outw = e.groupBy("src_host").agg(F.sum("w").alias("outw"))
+    e = swap_cached("api_pagerank_weighted_edges", e.join(outw, "src_host"))
+    ranks = trustrank_micro(nodes, e, F.lit(True), iters=iters, weighted=True)
+    return attach_out_weight(ranks, e)
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -2043,7 +2106,13 @@ def bpe_train(
     round — the batched approximation that makes 30k+-merge vocabulary
     builds tractable (Θ(n_merges/M) Spark jobs and lineage depth
     instead of Θ(n_merges); semantics and divergence bound documented
-    on ``text.train_bpe``)."""
+    on ``text.train_bpe``). Memory discipline: each round's superseded
+    dictionary checkpoint is unpersisted deterministically and the
+    final one is freed before returning, so repeated calls from a
+    long-lived driver hold no block-set float; if the deterministic
+    path is ever unavailable (it is best-effort over a private
+    LogicalRDD accessor), set ``spark.cleaner.periodicGC.interval``
+    (e.g. ``"1min"``) to bound the asynchronous fallback."""
     from big_data_analytics_cse545_spark.operators.text import train_bpe
 
     return train_bpe(df, text_col=text_col, n_merges=n_merges, batch_m=batch_m)
@@ -2059,6 +2128,7 @@ def kmeans_trace(
     shift: float = 2.0,
     scale: int = 1000,
     clamp: int = 4000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bit-deterministic k-means over any embedding column (p08
     semantics, operators/projection.py): quantize each vector to
@@ -2075,7 +2145,9 @@ def kmeans_trace(
     the property that makes clustering usable inside a data-curation
     pipeline's audit trail. NULL ids, wrong-dimension and
     non-finite-element vectors are excluded (the failed-encoder
-    policy). Scale shape: one fused mapInPandas assignment+partials
+    policy); ``dim`` pins the expected dimensionality explicitly, and
+    when omitted it is inferred from the vector of the MINIMUM id so
+    the inference itself is partition-order-independent. Scale shape: one fused mapInPandas assignment+partials
     pass per iteration emitting ≤ k rows per partition; only the k×dim
     integer centroid matrix round-trips the driver."""
     from big_data_analytics_cse545_spark.operators.projection import (
@@ -2083,17 +2155,25 @@ def kmeans_trace(
         quantize_fixed_point,
     )
 
-    first = (
-        df.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .limit(1)
-        .collect()
-    )
-    if not first:
-        return df.sparkSession.createDataFrame(
-            [], "step long, cluster long, n_members long, ssd long"
+    if dim is None:
+        # Infer dim DETERMINISTICALLY — from the vector of the MINIMUM
+        # id, never an unordered limit(1): on a column with mixed vector
+        # lengths an arbitrary first row would make which rows survive
+        # the size filter (and hence the whole trace) depend on
+        # partitioning/scan order, breaking the bit-determinism contract
+        # above (round-10 ADVICE). Callers that know dim should pass it.
+        first = (
+            df.select(id_col, vec_col)
+            .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+            .orderBy(id_col)
+            .limit(1)
+            .collect()
         )
-    dim = len(first[0][0])
+        if not first:
+            return df.sparkSession.createDataFrame(
+                [], "step long, cluster long, n_members long, ssd long"
+            )
+        dim = len(first[0][1])
     q = quantize_fixed_point(
         df, vec_col, id_col, dim, shift=shift, scale=scale, clamp=clamp
     )

@@ -82,6 +82,25 @@ def host_link_graph(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     rows at 100 TB, not billions) — exactly the shape that persists
     cheaply and broadcast-joins back onto corpus-sized scans.
     """
+    hosted, links = _host_links(d)
+    edges = links.distinct()
+    nodes = (
+        hosted.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    return nodes, edges.join(outdeg, "src_host")
+
+
+def _host_links(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared per-document link derivation under g01/g02/g03:
+    returns ``(hosted, links)`` where hosted is (doc_id, src_host) and
+    links is the per-document MULTISET of (src_host, dst_host) with
+    self-loops dropped — g01/g02 collapse it with distinct (rank flows
+    per link), g03 counts it (rank flows per mention)."""
     hosted = d.select(
         "doc_id",
         _host(F.col("source"), F.col("doc_id") % G01_SLOTS).alias("src_host"),
@@ -103,23 +122,31 @@ def host_link_graph(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         hash_bucket(F.col("doc_id"), "g01s|", n_src).alias("dst_sid"),
         hash_bucket(F.col("doc_id"), "g01h|", G01_SLOTS).alias("dst_slot"),
     ).join(F.broadcast(src_idx), F.col("dst_sid") == F.col("sid"))
-    edges = (
-        linked.select(
-            "src_host",
-            _host(F.col("dst_source"), F.col("dst_slot")).alias("dst_host"),
-        )
-        .filter(F.col("src_host") != F.col("dst_host"))
-        .distinct()
+    links = linked.select(
+        "src_host",
+        _host(F.col("dst_source"), F.col("dst_slot")).alias("dst_host"),
+    ).filter(F.col("src_host") != F.col("dst_host"))
+    return hosted, links
+
+
+def host_link_graph_weighted(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """g03's weighted twin of :func:`host_link_graph`: parallel links
+    are COUNTED, not collapsed — edges is (src_host, dst_host, w, outw)
+    where w is the link multiplicity (how many documents mention the
+    link) and outw = Σw over the source's out-links. Same node
+    universe, same NULL/self-loop hygiene (shared ``_host_links``
+    derivation), same host-sized relation shapes at 100 TB."""
+    hosted, links = _host_links(d)
+    edges = links.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
     )
     nodes = (
         hosted.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
-    outdeg = edges.groupBy("src_host").agg(
-        F.count(F.lit(1)).cast("long").alias("outdeg")
-    )
-    return nodes, edges.join(outdeg, "src_host")
+    outw = edges.groupBy("src_host").agg(F.sum("w").alias("outw"))
+    return nodes, edges.join(outw, "src_host")
 
 
 def trustrank_micro(
@@ -127,6 +154,8 @@ def trustrank_micro(
     edges: DataFrame,
     seeds: Column,
     iters: int = G01_ITERS,
+    *,
+    weighted: bool = False,
 ) -> DataFrame:
     """``iters`` fixed SEEDED PageRank (TrustRank, Gyöngyi et al.
     VLDB'04) iterations in exact BIGINT micro-units. ``seeds`` is a
@@ -143,6 +172,19 @@ def trustrank_micro(
     dropped, not redistributed — the common simplification;
     deterministic either way.
 
+    ``weighted=True`` is the g03 generalization: edges carry (w, outw)
+    instead of outdeg (``host_link_graph_weighted``) and each link
+    contributes ``(rₖ(u)·w·85) div (outw(u)·100)`` — weights-all-1 with
+    outw = outdeg reproduces the unweighted arithmetic EXACTLY (r·1 = r
+    and Σ1 = outdeg), so the unweighted entry points remain special
+    cases of one kernel. Exactness bound: the BIGINT product r·w·85
+    must stay under 2^63 — r ≤ N_hosts·RANK_ONE, so at a million hosts
+    per-edge multiplicities up to ~10^5 are exact; a deployment with
+    heavier multiplicities pre-normalizes w (cap, or divide each
+    source's weights by their gcd) before the loop — a documented
+    lever, not a silent wrap (Spark long arithmetic wraps, it does not
+    saturate).
+
     One shuffle per iteration, keyed on host, over host-sized relations;
     the loop is declared lazily (plan depth = iters, bounded constant) —
     for much larger ``iters`` a deployment would localCheckpoint every
@@ -157,14 +199,17 @@ def trustrank_micro(
         .alias("r"),
     )
     base = F.when(seeds, F.lit(G01_BASE)).otherwise(F.lit(0)).cast("long")
+    contrib = (
+        f"(r * w * {G01_DAMP_NUM}) div (outw * {G01_DAMP_DEN})"
+        if weighted
+        else f"(r * {G01_DAMP_NUM}) div (outdeg * {G01_DAMP_DEN})"
+    )
     for _ in range(iters):
         contribs = (
             edges.join(ranks, edges["src_host"] == ranks["host"])
             .select(
                 F.col("dst_host").alias("host"),
-                F.expr(
-                    f"(r * {G01_DAMP_NUM}) div (outdeg * {G01_DAMP_DEN})"
-                ).alias("c"),
+                F.expr(contrib).alias("c"),
             )
             .groupBy("host")
             .agg(F.sum("c").alias("in_mass"))
@@ -266,11 +311,87 @@ def g02_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 g02_host_trustrank.__doc__ = g02_host_trustrank.__doc__.format(K=G01_ITERS)
 
 
-def _rank_sql(seed_cond: str) -> str:
-    """Shared recursive-CTE oracle for g01/g02: the seed condition (a
-    SQL boolean over ``host``) is the ONLY difference — ``TRUE`` is
-    uniform PageRank, a predicate is TrustRank. Mirrors
-    ``trustrank_micro`` token-for-token."""
+# ---------------------------------------------------------------------------
+# g03 — link-multiplicity-weighted PageRank over the same host graph
+# ---------------------------------------------------------------------------
+
+
+def attach_out_weight(ranks: DataFrame, edges: DataFrame) -> DataFrame:
+    """g03's output tail — :func:`attach_out_degree` over the weighted
+    edge relation: (host, rank_micro, out_weight), out_weight = Σw of
+    the host's out-links (0 for sinks/isolated nodes)."""
+    deg = edges.select(F.col("src_host").alias("host"), "outw").distinct()
+    return ranks.join(deg, "host", "left").select(
+        "host",
+        F.col("r").alias("rank_micro"),
+        F.coalesce(F.col("outw"), F.lit(0)).cast("long").alias("out_weight"),
+    )
+
+
+def g03_host_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-multiplicity-weighted host PageRank: {K} fixed iterations
+    where each link's contribution is proportional to HOW MANY
+    documents assert it — ``(r·w·85) div (outw·100)`` with w the
+    per-(src,dst) document count and outw the source's total out-weight
+    — the form crawl-frontier prioritization actually uses (a host
+    linked once per page across a domain outranks one linked once
+    total, which g01's per-LINK flow cannot express). Weights-all-1 is
+    exactly g01: one kernel (:func:`trustrank_micro` with
+    ``weighted=True``), one shared link derivation (``_host_links``),
+    one templated oracle (``_rank_sql(weighted=True)``). Same exact
+    BIGINT fixed-point discipline — partitioning, task order, and
+    retries cannot change a bit (exactness bound for r·w·85 documented
+    on the kernel).
+
+    Scale shape is g01's: host-sized relations, one shuffle per
+    iteration, weighted edges persisted across the loop — the groupBy
+    that COUNTS parallel links replaces the DISTINCT that collapsed
+    them, same single shuffle either way.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nodes, edges = host_link_graph_weighted(d)
+    nodes = swap_cached("g03_nodes", nodes)
+    edges = swap_cached("g03_edges", edges)
+    ranks = trustrank_micro(nodes, edges, F.lit(True), weighted=True)
+    return attach_out_weight(ranks, edges).orderBy("host")
+
+
+g03_host_pagerank_weighted.__doc__ = g03_host_pagerank_weighted.__doc__.format(
+    K=G01_ITERS
+)
+
+
+def _rank_sql(seed_cond: str, *, weighted: bool = False) -> str:
+    """Shared recursive-CTE oracle for g01/g02/g03: the seed condition
+    (a SQL boolean over ``host``) and the weighted flag are the ONLY
+    differences — (TRUE, unweighted) is g01's uniform PageRank, a seed
+    predicate is g02's TrustRank, (TRUE, weighted) is g03's
+    multiplicity-weighted PageRank. Mirrors ``trustrank_micro``
+    token-for-token in each mode."""
+    if weighted:
+        edges_cte = """edges AS (
+  SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM linked WHERE src_host <> dst_host GROUP BY 1, 2
+),"""
+        # CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders as
+        # float64 — the driver's value-hash would mismatch Spark's long
+        deg_cte = (
+            "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw "
+            "FROM edges GROUP BY src),"
+        )
+        contrib = f"(p.r * e.w * {G01_DAMP_NUM}) // (d.outw * {G01_DAMP_DEN})"
+        out_col = "COALESCE(d.outw, 0) AS out_weight"
+    else:
+        edges_cte = """edges AS (
+  SELECT DISTINCT src_host AS src, dst_host AS dst
+  FROM linked WHERE src_host <> dst_host
+),"""
+        deg_cte = (
+            "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+            "FROM edges GROUP BY src),"
+        )
+        contrib = f"(p.r * {G01_DAMP_NUM}) // (d.outdeg * {G01_DAMP_DEN})"
+        out_col = "COALESCE(d.outdeg, 0) AS out_deg"
     return f"""
 WITH RECURSIVE
 hosted AS (
@@ -295,17 +416,14 @@ linked AS (
   CROSS JOIN nsrc
   JOIN srcs s2 ON s2.sid = {_sql_hash('h.doc_id', 'g01s|')} % nsrc.n
 ),
-edges AS (
-  SELECT DISTINCT src_host AS src, dst_host AS dst
-  FROM linked WHERE src_host <> dst_host
-),
+{edges_cte}
 nodes AS (
   SELECT DISTINCT host FROM (
     SELECT src_host AS host FROM hosted
     UNION ALL SELECT dst FROM edges
   )
 ),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+{deg_cte}
 pr(iter, host, r) AS (
   SELECT 0, host,
          CASE WHEN {seed_cond} THEN CAST({G01_RANK_ONE} AS BIGINT)
@@ -317,7 +435,7 @@ pr(iter, host, r) AS (
               ELSE CAST(0 AS BIGINT) END + SUM(c)
   FROM (
     SELECT p.iter AS iter, e.dst AS host,
-           (p.r * {G01_DAMP_NUM}) // (d.outdeg * {G01_DAMP_DEN}) AS c
+           {contrib} AS c
     FROM pr p
     JOIN deg d ON d.src = p.host
     JOIN edges e ON e.src = p.host
@@ -327,7 +445,7 @@ pr(iter, host, r) AS (
   WHERE iter < {G01_ITERS}
   GROUP BY iter, host
 )
-SELECT p.host, p.r AS rank_micro, COALESCE(d.outdeg, 0) AS out_deg
+SELECT p.host, p.r AS rank_micro, {out_col}
 FROM pr p LEFT JOIN deg d ON d.src = p.host
 WHERE p.iter = {G01_ITERS}
 ORDER BY p.host
@@ -336,14 +454,17 @@ ORDER BY p.host
 
 _G01_SQL = _rank_sql("TRUE")
 _G02_SQL = _rank_sql(f"host LIKE '%{G02_SEED_SUFFIX}'")
+_G03_SQL = _rank_sql("TRUE", weighted=True)
 
 
 QUERIES = {
     "g01_host_pagerank": g01_host_pagerank,
     "g02_host_trustrank": g02_host_trustrank,
+    "g03_host_pagerank_weighted": g03_host_pagerank_weighted,
 }
 
 ORACLE = {
     "g01_host_pagerank": _G01_SQL,
     "g02_host_trustrank": _G02_SQL,
+    "g03_host_pagerank_weighted": _G03_SQL,
 }

@@ -923,7 +923,17 @@ def audios_df(spark: SparkSession, sf_dir: str, n_clips: int = 16) -> DataFrame:
     for a real audio file scan (binaryFile over .wav/.flac)."""
     n_samples = 8192
     rate = 16000
-    ids = spark.range(n_clips).select(F.col("id").cast("long").alias("base_id"))
+    # pin the range to ≤ n_clips partitions: the default (one per core —
+    # 32 here) leaves half the tasks EMPTY for the 16-clip fixture, and
+    # every empty mapInPandas task still checks out a Python worker —
+    # pure spawn-storm surface under host load, the structural half of
+    # m04's recurring bench spread (round-10 diagnosis, SCALE.md; the
+    # other half is host contention, floored in test_perf_tripwire). At
+    # scale n_clips ≫ cores and the pin is a no-op.
+    n_parts = max(1, min(n_clips, spark.sparkContext.defaultParallelism))
+    ids = spark.range(0, n_clips, numPartitions=n_parts).select(
+        F.col("id").cast("long").alias("base_id")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

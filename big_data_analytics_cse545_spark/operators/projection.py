@@ -441,6 +441,16 @@ P08_SCALE = 1000
 P08_CLAMP = 4000
 
 
+def int64_safe_bound(shift: float, scale: int) -> float:
+    """Largest element magnitude for which floor((|x|+|shift|)*scale) is
+    guaranteed inside int64 in BOTH engines (2^62 headroom, so double
+    rounding in the multiply cannot tip it over). Elements above this
+    are excluded whole-vector by :func:`quantize_fixed_point` and by the
+    oracle's list_filter — Spark would saturate the long cast while
+    DuckDB raises a ConversionException (round-10 ADVICE)."""
+    return (float(2**62) / float(scale)) - abs(shift)
+
+
 def quantize_fixed_point(
     e: DataFrame,
     vec_col: str,
@@ -483,7 +493,19 @@ def quantize_fixed_point(
     # out-of-range values, and the vector filter restores parity on the
     # rest. NULL elements ride the same filter (GREATEST(NULL, 0)
     # differs across engines too).
-    bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
+    #
+    # FINITE elements whose scaled floor overflows int64 (e.g. a float32
+    # 3e38) hit the same engine split — Spark's cast("long") saturates
+    # while DuckDB's CAST(... AS BIGINT) raises — so the predicate also
+    # excludes any element whose magnitude could push (x+shift)*scale
+    # past ±2^62 (round-10 ADVICE; mirrored in _p08_sql's list_filter).
+    mag = int64_safe_bound(shift, scale)
+    bad = lambda x: (  # noqa: E731
+        x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf")))
+        | (F.abs(x) > F.lit(mag))
+    )
     return (
         e.filter(F.col(id_col).isNotNull())
         .filter(F.col(vec_col).isNotNull())
@@ -652,7 +674,8 @@ def _p08_sql() -> str:
   WHERE vec_id IS NOT NULL
     AND embedding IS NOT NULL AND len(embedding) = {DIM}
     AND len(list_filter(embedding,
-          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+          x -> x IS NULL OR isnan(x) OR isinf(x)
+               OR abs(x) > {int64_safe_bound(P08_SHIFT, P08_SCALE)!r})) = 0
 ),
 init AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster

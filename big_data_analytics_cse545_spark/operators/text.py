@@ -1793,6 +1793,20 @@ def _merge_when_chain(
     return chain.otherwise(F.concat(acc, F.array(x)))
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically release a localCheckpoint'ed DataFrame's blocks
+    (round-10 ADVICE: don't leave vocab-sized MEMORY_AND_DISK block sets
+    floating until py4j finalization → JVM GC → ContextCleaner). The
+    checkpointed RDD is the LogicalRDD's ``rdd`` field — a private but
+    stable accessor; if the path is ever unavailable the blocks simply
+    fall back to the asynchronous GC cleanup (the pre-fix behavior), so
+    this is strictly best-effort."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # GC/ContextCleaner fallback — bounded and spillable
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -1844,11 +1858,13 @@ def train_bpe(
     child checkpoint MATERIALIZES — the swap-first bug that replayed
     the whole fold chain, 21.8 s vs 12.9 s at the 10× corpus, is ruled
     out by construction). The materializing action IS the next round's
-    argmax collect — no extra count() job; superseded blocks are freed
-    by the ContextCleaner once the child's checkpoint clears their
-    dependencies. That cleanup is ASYNCHRONOUS (GC-driven), not the
-    old deterministic finally-unpersist — see the checkpoint call's
-    comment for the bound and the production lever.
+    argmax collect — no extra count() job; immediately after that
+    collect the superseded parent's blocks are freed DETERMINISTICALLY
+    via the LogicalRDD handle (``_free_local_checkpoint``, round-10
+    ADVICE — restoring the old finally-unpersist discipline), with the
+    asynchronous ContextCleaner as the documented fallback; the final
+    dictionary's blocks are freed the same way before returning, so a
+    long-lived driver calling this repeatedly holds no float.
     """
     if batch_m < 1:
         raise ValueError(f"batch_m must be >= 1, got {batch_m}")
@@ -1866,14 +1882,15 @@ def train_bpe(
     # so the previous round's blocks become unreachable and the
     # ContextCleaner frees them — parent blocks provably outlive the
     # child's materialization (the r8 swap-first replay bug cannot
-    # recur). Honesty note (round-9 review): that cleanup is
-    # ASYNCHRONOUS (py4j finalization → JVM GC → ContextCleaner), so a
-    # low-GC-pressure driver can hold several superseded vocab-sized
-    # block sets between GC cycles; blocks are MEMORY_AND_DISK and
-    # MB-scale, so the float is bounded and spillable, and a production
-    # 30k-merge run sets spark.cleaner.periodicGC.interval (e.g.
-    # "1min"; default 30min) to bound it tightly — the standard lever
-    # for checkpoint-loop workloads.
+    # recur). Round-10 ADVICE fix: superseded blocks no longer wait for
+    # the asynchronous ContextCleaner — _free_local_checkpoint
+    # unpersists each parent's checkpointed RDD right after the child
+    # materializes (and the final dictionary's before returning). The
+    # GC path remains the fallback if the private LogicalRDD accessor
+    # ever disappears, in which case a production 30k-merge run should
+    # set spark.cleaner.periodicGC.interval (e.g. "1min"; default
+    # 30min) — the standard lever for checkpoint-loop workloads, also
+    # mentioned on api.bpe_train.
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
@@ -1886,6 +1903,7 @@ def train_bpe(
         )
     ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
+    superseded: DataFrame | None = None
     while len(merges) < n_merges:
         want = min(batch_m, n_merges - len(merges))
         # over-collect: conflicting candidates are SKIPPED, so filling a
@@ -1911,6 +1929,13 @@ def train_bpe(
             .limit(n_candidates)
             .collect()
         )
+        # the collect above MATERIALIZED this round's checkpoint, so the
+        # superseded parent's blocks are now provably dead — free them
+        # deterministically (release-one-behind, restored per round-10
+        # ADVICE; previously left to the asynchronous ContextCleaner)
+        if superseded is not None:
+            _free_local_checkpoint(superseded)
+            superseded = None
         if not top:
             break  # vocabulary fully merged — nothing adjacent remains
         # top-M pairwise-symbol-disjoint selection: walk the ranked
@@ -1936,9 +1961,15 @@ def train_bpe(
                 break
         if len(merges) == n_merges:
             break  # table complete — applying the last batch is dead work
+        superseded = words
         words = words.select(
             _apply_merges(F.col("syms"), batch).alias("syms"), "wf"
         ).localCheckpoint(eager=False)
+    # the merge table lives in the driver list — no further action ever
+    # touches the dictionary, so free the final checkpoint too (a
+    # long-lived driver calling this repeatedly must not accumulate one
+    # vocab-sized block set per call)
+    _free_local_checkpoint(words)
     return spark.createDataFrame(
         merges,
         "step long, left string, right string, merged string, pair_count long",

@@ -1130,6 +1130,41 @@ def test_host_trustrank_matches_g02_and_all_seeds_degenerates(spark, sf_smoke):
     assert all_seeded == uniform
 
 
+def test_host_pagerank_weighted_matches_g03_both_weight_forms(spark, sf_smoke):
+    """api.host_pagerank_weighted fed g03's own graph must reproduce
+    g03's exact rank table through BOTH weight forms: the per-mention
+    multiset with weight_col=None (multiplicity counted inside the
+    api), and the pre-counted (src, dst, w) relation with
+    weight_col='w' (weights summed per pair — already unique here, so
+    the sum is the identity). One kernel, two ingestion spellings."""
+    from big_data_analytics_cse545_spark.operators import graph
+
+    d = load_table(spark, sf_smoke, "documents")
+    nodes, _ = graph.host_link_graph_weighted(d)
+    _, links = graph._host_links(d)
+    exp = {
+        (r["host"], r["rank_micro"], r["out_weight"])
+        for r in graph.g03_host_pagerank_weighted(spark, sf_smoke).collect()
+    }
+    counted = {
+        (r["host"], r["rank_micro"], r["out_weight"])
+        for r in api.host_pagerank_weighted(
+            links, "src_host", "dst_host", extra_nodes=nodes
+        ).collect()
+    }
+    assert counted == exp
+    pre = links.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    explicit = {
+        (r["host"], r["rank_micro"], r["out_weight"])
+        for r in api.host_pagerank_weighted(
+            pre, "src_host", "dst_host", weight_col="w", extra_nodes=nodes
+        ).collect()
+    }
+    assert explicit == exp
+
+
 def test_kmeans_trace_matches_p08_and_is_bit_deterministic(spark, sf_smoke):
     """api.kmeans_trace fed the embeddings table with p08's contract
     constants must reproduce p08's exact trace (one kernel —

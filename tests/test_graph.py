@@ -1,7 +1,9 @@
-"""g01 host PageRank: DuckDB-oracle parity plus the invariants that make
-a fixed-iteration integer PageRank trustworthy — partitioning must not
-change a bit, dangling/no-in-edge semantics must be exact, and total
-mass must stay bounded by the initial mass."""
+"""g01/g02/g03 host rank family: DuckDB-oracle parity plus the
+invariants that make a fixed-iteration integer PageRank trustworthy —
+partitioning must not change a bit, dangling/no-in-edge semantics must
+be exact, total mass must stay bounded by the initial mass, and each
+generalization (seeded g02, weighted g03) must reproduce its special
+case bit-for-bit."""
 
 from __future__ import annotations
 
@@ -25,6 +27,94 @@ def test_g02_oracle_parity(spark, sf, request):
     sf_dir = request.getfixturevalue(sf)
     df = graph.g02_host_trustrank(spark, sf_dir)
     assert_parity(df, graph.ORACLE["g02_host_trustrank"], sf_dir, "g02")
+
+
+@pytest.mark.parametrize("sf", ["sf_smoke", "sf_correctness"])
+def test_g03_oracle_parity(spark, sf, request):
+    sf_dir = request.getfixturevalue(sf)
+    df = graph.g03_host_pagerank_weighted(spark, sf_dir)
+    assert_parity(df, graph.ORACLE["g03_host_pagerank_weighted"], sf_dir, "g03")
+
+
+def test_g03_weights_all_one_is_exactly_g01(spark, sf_smoke):
+    """The kernel-sharing claim made executable: feeding the weighted
+    kernel the DISTINCT edge relation with w=1 and outw=outdeg must
+    reproduce pagerank_micro's ranks BIT-FOR-BIT (r·1 = r and Σ1 =
+    outdeg — the weighted arithmetic degenerates exactly, not
+    approximately)."""
+    d = load_table(spark, sf_smoke, "documents")
+    nodes, edges = graph.host_link_graph(d)
+    unweighted = {
+        r["host"]: r["r"] for r in graph.pagerank_micro(nodes, edges).collect()
+    }
+    all_one = edges.select(
+        "src_host",
+        "dst_host",
+        F.lit(1).cast("long").alias("w"),
+        F.col("outdeg").cast("long").alias("outw"),
+    )
+    weighted = {
+        r["host"]: r["r"]
+        for r in graph.trustrank_micro(
+            nodes, all_one, F.lit(True), weighted=True
+        ).collect()
+    }
+    assert unweighted == weighted
+
+
+def test_g03_multiplicity_semantics(spark, sf_smoke):
+    """g03's discriminating properties vs g01: (1) the fixture actually
+    carries parallel links (max multiplicity > 1 — otherwise this whole
+    test file would be comparing a no-op); (2) g03's ranks differ from
+    g01's somewhere (the weighting is load-bearing); (3) per-source
+    out_weight ≥ out_deg with equality iff all that source's links are
+    single-mention; (4) total-mass bound carries over (floor + dangling
+    only lose mass)."""
+    d = load_table(spark, sf_smoke, "documents")
+    _, wedges = graph.host_link_graph_weighted(d)
+    assert wedges.agg(F.max("w")).collect()[0][0] > 1, (
+        "degenerate fixture: no parallel links — g03 would equal g01"
+    )
+    g01 = {r["host"]: r["rank_micro"]
+           for r in graph.g01_host_pagerank(spark, sf_smoke).collect()}
+    g03_rows = graph.g03_host_pagerank_weighted(spark, sf_smoke).collect()
+    g03 = {r["host"]: r["rank_micro"] for r in g03_rows}
+    assert set(g01) == set(g03)
+    assert any(g01[h] != g03[h] for h in g01), "weighting changed nothing"
+    _, edges = graph.host_link_graph(d)
+    outdeg = {r["src_host"]: r["outdeg"]
+              for r in edges.select("src_host", "outdeg").distinct().collect()}
+    outw = {r["src_host"]: r["outw"]
+            for r in wedges.select("src_host", "outw").distinct().collect()}
+    assert set(outdeg) == set(outw)
+    assert all(outw[h] >= outdeg[h] for h in outdeg)
+    assert any(outw[h] > outdeg[h] for h in outdeg)
+    total = sum(g03.values())
+    assert total <= len(g03) * graph.G01_RANK_ONE
+
+
+def test_g03_partitioning_cannot_change_a_bit(spark, sf_smoke):
+    """g01's repartition-invariance gate on the weighted path: BIGINT
+    floor divisions and sums are exact, so adversarial repartitioning
+    must reproduce the identical rank table."""
+    d = load_table(spark, sf_smoke, "documents")
+    nodes, edges = graph.host_link_graph_weighted(d)
+    base = {
+        r["host"]: r["r"]
+        for r in graph.trustrank_micro(
+            nodes, edges, F.lit(True), weighted=True
+        ).collect()
+    }
+    shuffled = {
+        r["host"]: r["r"]
+        for r in graph.trustrank_micro(
+            nodes.repartition(13),
+            edges.repartition(7, "dst_host"),
+            F.lit(True),
+            weighted=True,
+        ).collect()
+    }
+    assert base == shuffled
 
 
 def test_g02_trust_semantics(spark, sf_smoke):

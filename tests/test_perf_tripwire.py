@@ -66,6 +66,35 @@ were the suite's two heaviest queries and carried no floor):
   — so g01's floor guards the t13 class (an expression regression in
   the corpus-sized hosted/edge derivation or the 6-iteration
   join/agg chain lands directly on its wall), not the cache contract.
+
+g02 + p08 + m04 added round 10 (VERDICT r9 tasks #2 and #7):
+
+* g02 shares g01's kernel (graph.trustrank_micro — g01 IS its
+  all-seeds special case), so g01's mutation analysis transfers
+  verbatim; its floor (4.5; probe readings 3.65-4.28) guards the
+  same corpus-derivation/iteration-chain expression class on the
+  seeded path, which g01's floor does not execute (seed semi-join +
+  per-seed normalization).
+* p08's floor (3.5; probe readings 3.24-3.43) guards the driver-loop
+  class its eager Lloyd iteration is prone to: a plan-depth or
+  expression regression in the fused assignment+partials pass lands
+  directly on its wall ×4 iterations. Mutation evaluated: dropping
+  the quantized relation's persist reads 4.24s vs ~3.3 (1.3× — like
+  g01's caches, the persist is a 100 TB design choice at this corpus,
+  so the floor guards the expression class, not the cache contract).
+* m04's floor (2.5, probe readings 2.28-2.30s) pins the round-10
+  diagnosis of its r5-r9 bench spread ([2.61, 14.62] in
+  r9_final_min.json; SCALE.md "m04 spread"): the structural term was
+  the session's FIRST-mapInPandas worker spawn amplified by 16 empty
+  tasks (spark.range default = 32 partitions for 16 clips), fixed by
+  pinning audios_df's range to n_clips partitions. Mutation
+  evaluated: reverting the pin reads 3.68s vs 2.3 in the probe
+  (1.6× — under the trip factor on a quiet host BY DESIGN; the empty
+  tasks only storm under host load, which a pytest floor must not
+  key on). The floor guards the steady-state kernel: an expression
+  regression in the frame fan-out/feature math or a worker-reuse
+  break lands directly on its 3× wall, where pre-fix cold readings
+  (7.0s) already sat.
 """
 
 from __future__ import annotations
@@ -121,6 +150,9 @@ FLOORS = {
     "d03_minhash_lsh_dedup": ("/root/testdata/sf0.01", 12.5, 3.0),
     "d08_dup_clusters": ("/root/testdata/sf0.01", 7.5, 3.0),
     "g01_host_pagerank": ("/root/testdata/sf0.1", 7.0, 3.0),
+    "g02_host_trustrank": ("/root/testdata/sf0.1", 4.5, 3.0),
+    "m04_audio_feature_profile": ("/root/testdata/sf0.1", 2.5, 3.0),
+    "p08_kmeans_trace": ("/root/testdata/sf0.1", 3.5, 3.0),
     "s06_ann_multitable_lsh": ("/root/testdata/sf0.1", 3.0, 2.4),
     "t13_repetition_filter": ("/root/testdata/sf0.1", 4.0, 3.0),
     "t24_bpe_train": (_DOCS_X10, 10.5, 2.4),
