@@ -1198,6 +1198,48 @@ def test_kmeans_trace_matches_p08_and_is_bit_deterministic(spark, sf_smoke):
     assert {r[0] for r in a} == {1, 2, 3} and max(r[1] for r in a) <= 4
 
 
+def test_kmeans_trace_mixed_dim_inference_is_partition_independent(spark):
+    """Round-10 ADVICE pin: on a column with MIXED vector lengths, dim
+    is inferred from the vector of the MINIMUM id — so which rows
+    survive the size filter (and the whole trace) cannot depend on
+    partitioning or scan order. The explicit-dim spelling must agree
+    with the inferred one, and choosing the other dim explicitly must
+    select the OTHER row population."""
+    rows = [(i, [float(i), float(i % 3), 1.0]) for i in range(0, 40, 2)]
+    rows += [(i, [float(i), 2.0, 0.5, -1.0]) for i in range(1, 40, 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = [
+        tuple(r)
+        for r in api.kmeans_trace(df, "embedding", "vec_id", k=3, iters=2).collect()
+    ]
+    shuffled = [
+        tuple(r)
+        for r in api.kmeans_trace(
+            df.repartition(7), "embedding", "vec_id", k=3, iters=2
+        ).collect()
+    ]
+    assert base == shuffled and base
+    # min id is 0 (dim 3) → inference must pick dim 3 = the explicit form
+    explicit3 = [
+        tuple(r)
+        for r in api.kmeans_trace(
+            df, "embedding", "vec_id", k=3, iters=2, dim=3
+        ).collect()
+    ]
+    assert base == explicit3
+    # the dim-4 population is a different (odd-id) universe entirely
+    explicit4 = [
+        tuple(r)
+        for r in api.kmeans_trace(
+            df, "embedding", "vec_id", k=3, iters=2, dim=4
+        ).collect()
+    ]
+    assert explicit4 and explicit4 != base
+    n3 = sum(r[2] for r in explicit3 if r[0] == 1)
+    n4 = sum(r[2] for r in explicit4 if r[0] == 1)
+    assert n3 == 20 and n4 == 20  # each population fully assigned
+
+
 def test_host_pagerank_hand_graph_and_edge_hygiene(spark):
     """Known graph, hand-computed integer ranks: a 2-cycle plus a source
     and a sink; parallel edges collapse to one, self-loops and null

@@ -92,7 +92,10 @@ def test_p08_pathological_rows_cannot_break_parity(spark, sf_smoke, tmp_path):
     Conversion Error (or diverge on GREATEST(NULL, 0)). All four
     pathological rows are excluded whole-vector on BOTH sides; the
     trace must still hash-match the oracle on the planted data, and
-    the planted rows must actually be gone from it."""
+    the planted rows must actually be gone from it. Round-10 ADVICE
+    pin: a FINITE element past the int64-safe magnitude (a float32
+    3e38 — Spark's long cast saturates where DuckDB's CAST raises) is
+    excluded by the same whole-vector filter on both sides."""
     import os
     import shutil
 
@@ -112,6 +115,7 @@ def test_p08_pathological_rows_cannot_break_parity(spark, sf_smoke, tmp_path):
     vecs[1] = [float("nan")] + vecs[1][1:]  # would clamp in Spark, raise in DuckDB
     vecs[2] = [float("inf")] + vecs[2][1:]
     vecs[3] = [None] + vecs[3][1:]
+    vecs[4] = [3e38] + vecs[4][1:]  # FINITE but floor((x+2)*1000) > 2^63
     t = t.set_column(
         t.schema.get_field_index("vec_id"),
         "vec_id",
@@ -125,9 +129,16 @@ def test_p08_pathological_rows_cannot_break_parity(spark, sf_smoke, tmp_path):
     pq.write_table(t, os.path.join(d, "embeddings.parquet"))
     df = projection.p08_kmeans_trace(spark, d)
     assert_parity(df, projection._p08_sql(), d, "p08-pathological")
+    from big_data_analytics_cse545_spark.operators.projection import (
+        P08_SCALE,
+        P08_SHIFT,
+        int64_safe_bound,
+    )
+
+    bound = int64_safe_bound(P08_SHIFT, P08_SCALE)
     n_good = len([v for i, v in enumerate(vecs) if ids[i] is not None
                   and v is not None and None not in v
-                  and all(x == x and abs(x) != float("inf") for x in v)])
+                  and all(x == x and abs(x) <= bound for x in v)])
     rows = df.collect()
     assert sum(r["n_members"] for r in rows if r["step"] == 1) == n_good
 

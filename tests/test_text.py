@@ -369,6 +369,30 @@ def test_train_bpe_batched_matches_pure_python_reference(spark, sf_smoke):
         assert got == exp, f"batch_m={m}"
 
 
+def test_train_bpe_releases_all_checkpoint_blocks(spark, sf_smoke):
+    """Round-10 ADVICE pin: train_bpe's per-round localCheckpoint block
+    sets are freed DETERMINISTICALLY (release-one-behind via the
+    LogicalRDD handle, plus the final dictionary before returning), so
+    a long-lived driver calling api.bpe_train repeatedly holds no
+    block-set float waiting on GC. After the call returns, the session
+    must hold exactly the persisted RDDs it held before it."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    table = text.train_bpe(
+        load_table(spark, sf_smoke, "documents"), n_merges=8, batch_m=4
+    ).collect()
+    assert table  # the loop actually ran (checkpoints were created)
+    after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    leaked = after - before
+    assert not leaked, (
+        f"train_bpe left {len(leaked)} persisted RDD block sets behind "
+        f"(ids {sorted(leaked)}) — the deterministic unpersist regressed "
+        "to the GC-dependent path"
+    )
+
+
 def test_t24_first_merge_agrees_with_t20(spark, sf_smoke):
     """Consistency between the one-step operator and the trainer: t24's
     step-1 pair must be t20's rank-1 pair with the same count (t20
