@@ -1892,6 +1892,35 @@ def host_reputation(
     )
 
 
+def _clean_host_edges(edges, src_col, dst_col, *extra):
+    """Shared edge hygiene for the three host-rank entry points (round-10
+    self-review: the select/filter block existed in three near-identical
+    copies): alias the endpoints to (src_host, dst_host), keep any extra
+    columns, drop null endpoints and self-loops. Parallel-edge policy
+    (DISTINCT vs count vs explicit weight) stays with each caller."""
+    return edges.select(
+        F.col(src_col).alias("src_host"),
+        F.col(dst_col).alias("dst_host"),
+        *extra,
+    ).filter(
+        F.col("src_host").isNotNull()
+        & F.col("dst_host").isNotNull()
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+
+
+def _host_node_universe(e, extra_nodes):
+    """Both edge endpoints plus any caller-supplied isolated nodes, one
+    distinct ``host`` column — the node relation every rank loop runs
+    over."""
+    nodes = e.select(F.col("src_host").alias("host")).union(
+        e.select(F.col("dst_host").alias("host"))
+    )
+    if extra_nodes is not None:
+        nodes = nodes.union(extra_nodes.select(F.col("host")))
+    return nodes.distinct()
+
+
 def host_pagerank(
     edges: DataFrame,
     src_col: str,
@@ -1939,23 +1968,8 @@ def host_pagerank(
         pagerank_micro,
     )
 
-    e = (
-        edges.select(
-            F.col(src_col).alias("src_host"), F.col(dst_col).alias("dst_host")
-        )
-        .filter(
-            F.col("src_host").isNotNull()
-            & F.col("dst_host").isNotNull()
-            & (F.col("src_host") != F.col("dst_host"))
-        )
-        .distinct()
-    )
-    nodes = e.select(F.col("src_host").alias("host")).union(
-        e.select(F.col("dst_host").alias("host"))
-    )
-    if extra_nodes is not None:
-        nodes = nodes.union(extra_nodes.select(F.col("host")))
-    nodes = swap_cached("api_pagerank_nodes", nodes.distinct())
+    e = _clean_host_edges(edges, src_col, dst_col).distinct()
+    nodes = swap_cached("api_pagerank_nodes", _host_node_universe(e, extra_nodes))
     outdeg = e.groupBy("src_host").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
@@ -1989,22 +2003,7 @@ def host_trustrank(
         trustrank_micro,
     )
 
-    e = (
-        edges.select(
-            F.col(src_col).alias("src_host"), F.col(dst_col).alias("dst_host")
-        )
-        .filter(
-            F.col("src_host").isNotNull()
-            & F.col("dst_host").isNotNull()
-            & (F.col("src_host") != F.col("dst_host"))
-        )
-        .distinct()
-    )
-    nodes = e.select(F.col("src_host").alias("host")).union(
-        e.select(F.col("dst_host").alias("host"))
-    )
-    if extra_nodes is not None:
-        nodes = nodes.union(extra_nodes.select(F.col("host")))
+    e = _clean_host_edges(edges, src_col, dst_col).distinct()
     seed_flags = F.broadcast(
         seeds.select(F.col("host")).distinct().withColumn(
             "is_seed", F.lit(True)
@@ -2012,7 +2011,9 @@ def host_trustrank(
     )
     nodes = swap_cached(
         "api_trustrank_nodes",
-        nodes.distinct().join(seed_flags, "host", "left").select(
+        _host_node_universe(e, extra_nodes)
+        .join(seed_flags, "host", "left")
+        .select(
             "host", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
         ),
     )
@@ -2043,9 +2044,12 @@ def host_pagerank_weighted(
 
     Weights: with ``weight_col=None`` parallel (src, dst) rows COUNT as
     multiplicity; with a column, its values are summed per (src, dst)
-    — NULL or non-positive weights are dropped (the failed-extraction
-    policy; zero/negative mass has no rank semantics and would break
-    the floor-division exactness argument). Weights-all-1 reproduces
+    — the column must be an INTEGRAL type (a float column would be
+    silently truncated by the long cast, so it is rejected loudly;
+    scale fractional weights to integers first), and NULL or
+    non-positive weights are dropped (the failed-extraction policy;
+    zero/negative mass has no rank semantics and would break the
+    floor-division exactness argument). Weights-all-1 reproduces
     :func:`host_pagerank` exactly — one shared kernel
     (``graph.trustrank_micro(weighted=True)``), whose docstring also
     states the r·w·85 < 2^63 exactness bound and the pre-normalization
@@ -2058,29 +2062,34 @@ def host_pagerank_weighted(
         trustrank_micro,
     )
 
+    if weight_col is not None:
+        from pyspark.sql.types import IntegralType
+
+        wt = edges.schema[weight_col].dataType
+        if not isinstance(wt, IntegralType):
+            # a float column would be silently TRUNCATED by the long
+            # cast (0.5 -> 0 -> dropped by the >0 filter — an empty
+            # graph with no error; round-10 self-review). Weights are
+            # integer mass by contract; the caller scales fractional
+            # weights to integers explicitly.
+            raise ValueError(
+                f"weight_col {weight_col!r} must be an integral type "
+                f"(got {wt.simpleString()}); scale fractional weights "
+                "to integers before ranking — the exact BIGINT "
+                "arithmetic has no fractional-mass form"
+            )
     w = (
         F.lit(1).cast("long")
         if weight_col is None
         else F.col(weight_col).cast("long")
     )
-    e = edges.select(
-        F.col(src_col).alias("src_host"),
-        F.col(dst_col).alias("dst_host"),
-        w.alias("w_in"),
-    ).filter(
-        F.col("src_host").isNotNull()
-        & F.col("dst_host").isNotNull()
-        & (F.col("src_host") != F.col("dst_host"))
-        & F.col("w_in").isNotNull()
-        & (F.col("w_in") > 0)
+    e = _clean_host_edges(edges, src_col, dst_col, w.alias("w_in")).filter(
+        F.col("w_in").isNotNull() & (F.col("w_in") > 0)
     )
     e = e.groupBy("src_host", "dst_host").agg(F.sum("w_in").alias("w"))
-    nodes = e.select(F.col("src_host").alias("host")).union(
-        e.select(F.col("dst_host").alias("host"))
+    nodes = swap_cached(
+        "api_pagerank_weighted_nodes", _host_node_universe(e, extra_nodes)
     )
-    if extra_nodes is not None:
-        nodes = nodes.union(extra_nodes.select(F.col("host")))
-    nodes = swap_cached("api_pagerank_weighted_nodes", nodes.distinct())
     outw = e.groupBy("src_host").agg(F.sum("w").alias("outw"))
     e = swap_cached("api_pagerank_weighted_edges", e.join(outw, "src_host"))
     ranks = trustrank_micro(nodes, e, F.lit(True), iters=iters, weighted=True)

@@ -84,15 +84,23 @@ def host_link_graph(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     hosted, links = _host_links(d)
     edges = links.distinct()
-    nodes = (
-        hosted.select(F.col("src_host").alias("host"))
-        .union(edges.select(F.col("dst_host").alias("host")))
-        .distinct()
-    )
     outdeg = edges.groupBy("src_host").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
-    return nodes, edges.join(outdeg, "src_host")
+    return _node_universe(hosted, links), edges.join(outdeg, "src_host")
+
+
+def _node_universe(hosted: DataFrame, links: DataFrame) -> DataFrame:
+    """Every host with documents plus every link destination, one
+    distinct ``host`` column — shared by the unweighted and weighted
+    graph derivations (round-10 self-review: was copy-pasted in both).
+    Built from the pre-collapse link multiset; the distinct makes it
+    identical to building from either collapsed edge relation."""
+    return (
+        hosted.select(F.col("src_host").alias("host"))
+        .union(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
 
 
 def _host_links(d: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -140,13 +148,8 @@ def host_link_graph_weighted(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     edges = links.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).cast("long").alias("w")
     )
-    nodes = (
-        hosted.select(F.col("src_host").alias("host"))
-        .union(edges.select(F.col("dst_host").alias("host")))
-        .distinct()
-    )
     outw = edges.groupBy("src_host").agg(F.sum("w").alias("outw"))
-    return nodes, edges.join(outw, "src_host")
+    return _node_universe(hosted, links), edges.join(outw, "src_host")
 
 
 def trustrank_micro(
@@ -178,12 +181,14 @@ def trustrank_micro(
     outw = outdeg reproduces the unweighted arithmetic EXACTLY (r·1 = r
     and Σ1 = outdeg), so the unweighted entry points remain special
     cases of one kernel. Exactness bound: the BIGINT product r·w·85
-    must stay under 2^63 — r ≤ N_hosts·RANK_ONE, so at a million hosts
-    per-edge multiplicities up to ~10^5 are exact; a deployment with
-    heavier multiplicities pre-normalizes w (cap, or divide each
-    source's weights by their gcd) before the loop — a documented
-    lever, not a silent wrap (Spark long arithmetic wraps, it does not
-    saturate).
+    must stay under 2^63. The worst-case rank is r ≤ N_hosts·RANK_ONE
+    (one sink absorbs all mass), so w_max ≈ 2^63 / (85·N_hosts·
+    RANK_ONE) — **~10^2 per-edge multiplicity at a million hosts**
+    (RANK_ONE = 1e9), ~10^5 only at a thousand hosts. The worst case
+    is pathological (real graphs spread mass), but a deployment must
+    budget against it: pre-normalize w before the loop (cap, or divide
+    each source's weights by their gcd) — a documented lever, not a
+    silent wrap (Spark long arithmetic wraps, it does not saturate).
 
     One shuffle per iteration, keyed on host, over host-sized relations;
     the loop is declared lazily (plan depth = iters, bounded constant) —

@@ -1240,6 +1240,20 @@ def test_kmeans_trace_mixed_dim_inference_is_partition_independent(spark):
     assert n3 == 20 and n4 == 20  # each population fully assigned
 
 
+def test_host_pagerank_weighted_rejects_fractional_weight_types(spark):
+    """Round-10 self-review pin: a float weight column would be
+    silently TRUNCATED by the long cast (0.5 → 0 → dropped by the >0
+    filter — an empty graph with no error), so non-integral weight
+    types are rejected loudly instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "b", 0.5), ("b", "a", 2.7)], "s string, d string, w double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        api.host_pagerank_weighted(df, "s", "d", weight_col="w")
+
+
 def test_host_pagerank_hand_graph_and_edge_hygiene(spark):
     """Known graph, hand-computed integer ranks: a 2-cycle plus a source
     and a sink; parallel edges collapse to one, self-loops and null
