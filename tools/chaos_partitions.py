@@ -90,6 +90,18 @@ one-codepoint mapping ('i', no split) — a pinned engine difference
 (tests/test_text.py::test_turkish_dotted_i_is_a_known_cross_engine_casing_difference),
 so the ``--unicode`` corpus excludes İ and runs to full parity.
 
+An eighth dimension — HEAVY KEY SKEW (``--skew``, round 10): 90% of
+documents collapse onto ONE source (so the host graph, host-reputation
+verdicts, splits and the dedup relational tails all see one dominant
+group/join key), 90% of events onto ONE user (sessionize, stateful
+streaming, DAU), and 90% of embedding labels onto ONE label
+(stratified sampling, filtered ANN). This is the 100 TB failure mode
+the skew playbook (SCALE.md) addresses: a shuffle where one reducer
+key carries 10× the median. The sweep checks both survival (no
+OOM/timeout at pathological splits) and, with ``--oracle``,
+bit-parity — a query whose tie-breaking or accumulation order
+silently depends on partition sizes diverges HERE first.
+
 Usage:
   python tools/chaos_partitions.py [sf_dir] [maxPartitionBytes] [shuffle] [arrowBatch]
   # config dimensions are POSITIONAL (e.g. a degenerate shuffle count:
@@ -98,6 +110,7 @@ Usage:
   python tools/chaos_partitions.py --nulls   # null-injected-columns sweep
   python tools/chaos_partitions.py --edge    # pathological-documents sweep
   python tools/chaos_partitions.py --unicode # multi-script documents sweep
+  python tools/chaos_partitions.py --skew    # dominant-key sweep
   python tools/chaos_partitions.py --nulls --oracle  # + DuckDB parity on that data
 
 Exit code 1 if any query fails. Not part of pytest (it re-runs the full
@@ -238,9 +251,51 @@ def _unicode_twin(sf_dir: str) -> str:
     return d
 
 
+def _skew_twin(sf_dir: str) -> str:
+    """90% of each relation's natural grouping key collapses onto one
+    dominant value (key % 10 != 0 → the minimum value of that column),
+    deterministically: documents.source, events.user_id,
+    embeddings.label. Content columns stay untouched — the probe
+    targets KEY distribution (shuffle/reducer skew and any tie-break
+    that silently keys on partition sizes), not content semantics."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    plan = {
+        "documents.parquet": ("doc_id", "source"),
+        "events.parquet": ("event_id", "user_id"),
+        "embeddings.parquet": ("vec_id", "label"),
+    }
+    d = "/tmp/chaos_skew_sf"
+    shutil.rmtree(d, ignore_errors=True)  # no stale prior-run tables
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(sf_dir, f))
+        if f in plan:
+            key, col = plan[f]
+            dominant = pc.min(t.column(col)).as_py()
+            keys = t.column(key).to_numpy()
+            mask = pa.array((keys % 10) != 0)
+            idx = t.schema.get_field_index(col)
+            arr = pc.if_else(
+                mask,
+                pa.scalar(dominant, t.schema.field(col).type),
+                t.column(col).combine_chunks(),
+            )
+            t = t.set_column(idx, col, arr)
+        pq.write_table(t, os.path.join(d, f))
+    return d
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--empty", "--nulls", "--edge", "--unicode", "--oracle")]
+            if a not in ("--empty", "--nulls", "--edge", "--unicode",
+                         "--skew", "--oracle")]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     max_bytes = args[1] if len(args) > 1 else "16384"
     shuffle = args[2] if len(args) > 2 else "16"
@@ -253,6 +308,8 @@ def main() -> None:
         sf_dir = _edge_twin(sf_dir)
     elif "--unicode" in sys.argv[1:]:
         sf_dir = _unicode_twin(sf_dir)
+    elif "--skew" in sys.argv[1:]:
+        sf_dir = _skew_twin(sf_dir)
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
