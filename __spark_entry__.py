@@ -63,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 122
+# The driver hash-checks only the FIRST 50 queries() entries, so with 123
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -132,8 +132,8 @@ _DEMOTED_BASELINES = frozenset(
 # Steady state (round 8: g01 entered WITH its d08 twin demotion, the
 # f07/f05 pattern; t24 entered test-gated; round 9: m06/p08 entered
 # with the q34/d01 demotions, g02 with the g01 demotion; round 10: g03
-# entered with the st01 demotion): 122 − 6 test-gated − 2 demoted
-# baselines − 14 twin-demoted = 100 eligible = 2 × 50, so the strict
+# entered with the st01 demotion, f08 with the f01 demotion): 123 − 6
+# test-gated − 2 demoted baselines − 15 twin-demoted = 100 eligible = 2 × 50, so the strict
 # "driver row within two rounds" cadence holds; any future newcomer
 # must bring a twin demotion (or test-gating rationale) with it.
 _DEMOTED_TWINNED = frozenset(
@@ -205,6 +205,17 @@ _DEMOTED_TWINNED = frozenset(
         # g01, already demoted ↔ g02, so the slot donor is unrelated by
         # necessity, as q34 was for m06.
         "st01_tumbling_window",  # ↔ st02_sliding_window (slide==duration special case, same TimeWindow plan node)
+        # Round-10 newcomer f08 (Avro container ingestion via the
+        # pure-stdlib codec + pyavro block-split DataSource) brings its
+        # twin per the standing rule: f01 is f03's ZERO-CORRUPTION
+        # special case — the same JSONL parse of the same schema over
+        # the same documents relation (f03's good-row stats re-verify
+        # f01's scan kernel; its fixture just adds torn lines and the
+        # quarantine bucket). f03 was driver-green r8 and is active
+        # again this round; f01's oracle keeps running every pytest via
+        # held_out_oracle_sql(). f08 takes f01's freed ACTIVE slot this
+        # round (the m06↔q34 / g03↔st01 same-round-debut pattern).
+        "f01_jsonl_scan",  # ↔ f03_jsonl_corrupt_tolerant (zero-corruption special case, same JSONL parse kernel)
     }
 )
 # ROUND-10 ROTATION (executed per the round-9 pre-written plan,
@@ -217,15 +228,15 @@ _DEMOTED_TWINNED = frozenset(
 # same-round-debut pattern). This half contains the five
 # rows-only-by-design queries (m01, m02, p03, p05, p07), so the
 # expected CORRECTNESS_r10 is 45 hash + 5 rows-only green, r9 ∩ r10 =
-# ∅, r9 ∪ r10 = all 100 eligible (st01 leaves the pool demoted, g03
-# enters it — both halves stay 50). Eligible pool: 122 − 6 test-gated
-# − 2 demoted baselines − 14 twin-demoted = 100 = 2×50; any
-# round-10-born query must bring its own twin demotion (or test-gating
-# rationale).
+# ∅, r9 ∪ r10 = all 100 eligible (st01 and f01 leave the pool demoted,
+# g03 and f08 enter it on their slots — both halves stay 50). Eligible
+# pool: 123 − 6 test-gated − 2 demoted baselines − 15 twin-demoted =
+# 100 = 2×50; any round-10-born query must bring its own twin demotion
+# (or test-gating rationale).
 #
 # ROUND-11 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names
 # in CORRECTNESS_r10 (this round's active set, including the debuts
-# g02/g03); active set := the 50 names below (the CORRECTNESS_r09
+# g02/g03/f08); active set := the 50 names below (the CORRECTNESS_r09
 # half, unchanged — no demotion touched it). Any round-11-born query
 # must bring its own twin demotion (or test-gating rationale).
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
@@ -310,7 +321,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (122 queries; exact count asserted in
+    """The FULL registry (123 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -722,6 +722,138 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# f08 — Avro container ingestion (pure-stdlib codec + pyavro DataSource)
+# ---------------------------------------------------------------------------
+
+# NULL-injection rule for the nullable-union column, shared verbatim by
+# the fixture writer and the oracle: priority is NULL on every 97th key.
+F08_NULL_MOD = 97
+F08_BLOCK_RECORDS = 256  # several blocks per shard even at sf0.001
+
+
+def avro_fixture_dir(sf_dir: str) -> str:
+    """orders re-materialized as N_SHARDS Avro object container files
+    (the pure-stdlib writer in sources/avro_io.py) — long keys, string
+    status/date, exact integer CENTS for the money column (the module
+    float-parity policy: the Spark side sums longs it READ, never
+    doubles it computed), and a nullable-union priority column that
+    proves union decoding. Half the shards use the null codec, half
+    deflate, so one scan exercises both. Small blocks
+    (F08_BLOCK_RECORDS) make every shard multi-block even at sf0.001 —
+    the split unit the pyavro source schedules on."""
+    import duckdb
+
+    from big_data_analytics_cse545_spark.sources.avro_io import write_avro
+
+    schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_orderdate", "type": "string"},
+            {"name": "price_cents", "type": "long"},
+            {"name": "priority", "type": ["null", "string"]},
+        ],
+    }
+
+    def write(tmp: str) -> None:
+        con = duckdb.connect()
+        for i in range(N_SHARDS):
+            rows = [
+                {
+                    "o_orderkey": k,
+                    "o_orderstatus": st,
+                    "o_orderdate": dt,
+                    "price_cents": cents,
+                    "priority": pr,
+                }
+                for k, st, dt, cents, pr in con.execute(
+                    f"SELECT o_orderkey, o_orderstatus, "
+                    f"strftime(o_orderdate, '%Y-%m-%d'), "
+                    f"CAST(round(o_totalprice * 100) AS BIGINT), "
+                    f"CASE WHEN o_orderkey % {F08_NULL_MOD} = 0 THEN NULL "
+                    f"     ELSE o_orderpriority END "
+                    f"FROM '{sf_dir}/orders.parquet' "
+                    f"WHERE o_orderkey % {N_SHARDS} = {i} "
+                    f"ORDER BY o_orderkey"
+                ).fetchall()
+            ]
+            write_avro(
+                rows,
+                schema,
+                os.path.join(tmp, f"part-{i}.avro"),
+                codec="deflate" if i % 2 else "null",
+                block_records=F08_BLOCK_RECORDS,
+            )
+        con.close()
+
+    return ensure_fixture_dir(f"graft-avro-{_sf_tag(sf_dir)}", write)
+
+
+def f08_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status revenue rollup straight off AVRO container files:
+    by (status, order year) — count, exact integer-cents revenue,
+    null-priority count (the nullable-union branch), and the first
+    key. Closes the format-coverage gap carried since round 3 ("no
+    Avro ingestion — spark-avro not in the distribution, installs out
+    of contract"): the Avro binary encoding and container layout are a
+    public Apache spec, implemented from scratch in
+    sources/avro_io.py (zigzag varints, IEEE doubles, unions; null +
+    deflate codecs — deflate is stdlib zlib) and served to Spark by
+    the ``pyavro`` Python DataSource (sources/avro_source.py), whose
+    partitions are BLOCK RUNS — scan parallelism = Avro block count,
+    the same splittability parquet gets from row groups. The DuckDB
+    oracle recomputes the rollup from the SOURCE parquet with the
+    identical cents/null derivations, so the hash-compare certifies
+    the whole write-avro → plan-blocks → decode chain end to end,
+    across BOTH codecs (shards alternate null/deflate).
+
+    At estate scale the steady-state answer is still convert-to-
+    parquet (Avro is a row format — no column pruning); this is the
+    ingestion edge, same posture as f01/f02.
+    """
+    from big_data_analytics_cse545_spark.sources import avro_source
+
+    avro_source.register(spark)
+    path = avro_fixture_dir(sf_dir)
+    d = spark.read.format("pyavro").option("path", path).load()
+    return (
+        d.withColumn("o_year", F.substring("o_orderdate", 1, 4).cast("long"))
+        .groupBy("o_orderstatus", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("revenue_cents"),
+            F.sum(
+                F.when(F.col("priority").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null_priority"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("o_orderstatus", "o_year")
+    )
+
+
+def _f08_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    # DuckDB has no Avro reader — the oracle recomputes from the SOURCE
+    # parquet with the identical cents/null derivations (both sides of
+    # the cents conversion run in DuckDB: fixture writer and oracle),
+    # certifying the write → block-plan → decode chain end to end.
+    avro_fixture_dir(sf_dir)  # ensure the fixture exists for the Spark side
+    return f"""
+SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(SUM(CASE WHEN o_orderkey % {F08_NULL_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_priority,
+       MIN(o_orderkey) AS first_key
+FROM orders
+GROUP BY o_orderstatus, o_year
+ORDER BY o_orderstatus, o_year
+"""
+
+
 QUERIES = {
     "f01_jsonl_scan": f01_jsonl_scan,
     "f02_csv_scan": f02_csv_scan,
@@ -730,6 +862,7 @@ QUERIES = {
     "f05_orc_scan": f05_orc_scan,
     "f06_python_datasource_scan": f06_python_datasource_scan,
     "f07_xml_scan": f07_xml_scan,
+    "f08_avro_scan": f08_avro_scan,
 }
 
 ORACLE = {
@@ -740,4 +873,5 @@ ORACLE = {
     "f05_orc_scan": _f05_sql,
     "f06_python_datasource_scan": _f06_sql,
     "f07_xml_scan": _f07_sql,
+    "f08_avro_scan": _f08_sql,
 }

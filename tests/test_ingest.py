@@ -214,3 +214,152 @@ def test_f03_survives_full_column_pruning(spark, sf_correctness):
     stay prune-safe under ANY downstream projection."""
     df = ingest.f03_jsonl_corrupt_tolerant(spark, sf_correctness)
     assert df.count() == df.select("source").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# f08 — the pure-stdlib Avro codec and the pyavro block-split DataSource
+# ---------------------------------------------------------------------------
+
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "x", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "flag", "type": "boolean"},
+    ],
+}
+
+
+def _adversarial_rows():
+    return [
+        {"k": -(2**62), "x": 1e308, "s": "", "opt": None, "flag": True},
+        {"k": 2**62, "x": -1e-308, "s": "héllo 日本語 \U0001f600", "opt": -1, "flag": False},
+        {"k": 0, "x": 0.0, "s": "a\nb\tc\"d", "opt": 0, "flag": True},
+        {"k": -1, "x": -0.0, "s": "x" * 5000, "opt": 2**61, "flag": False},
+    ] + [
+        {"k": i, "x": i / 7.0, "s": f"r{i}", "opt": None if i % 3 == 0 else i, "flag": bool(i % 2)}
+        for i in range(400)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_codec_round_trips_adversarial_values(tmp_path, codec):
+    """The spec-exactness gate for the from-scratch codec: zigzag
+    varints at ±2^62, empty/multi-script/huge strings, union nulls on
+    both branches, booleans, and BIT-exact doubles (±0.0 distinguished
+    via struct packing, denormals, 1e308) — through both codecs."""
+    import struct
+
+    from big_data_analytics_cse545_spark.sources.avro_io import (
+        _field_types,
+        block_index,
+        read_block,
+        write_avro,
+    )
+
+    rows = _adversarial_rows()
+    p = str(tmp_path / f"t_{codec}.avro")
+    write_avro(rows, _AVRO_SCHEMA, p, codec=codec, block_records=64)
+    schema, cdc, sync, blocks = block_index(p)
+    assert cdc == codec and len(blocks) > 1
+    fields = _field_types(schema)
+    back = []
+    for off, _, _ in blocks:
+        back.extend(read_block(p, off, fields, cdc, sync))
+    exp = [(r["k"], r["x"], r["s"], r["opt"], r["flag"]) for r in rows]
+    assert [t[0] for t in back] == [e[0] for e in exp]
+    assert [t[2:] for t in back] == [e[2:] for e in exp]
+    # doubles compared at the BIT level (−0.0 vs 0.0 must survive)
+    assert [struct.pack("<d", t[1]) for t in back] == [
+        struct.pack("<d", e[1]) for e in exp
+    ]
+
+
+def test_avro_source_block_split_knob(spark, tmp_path):
+    """Scan parallelism = block count at blocks_per_partition=1 (the
+    finest split — splittability is real, not per-file); the default
+    byte-targeted grouping and a coarse explicit count change only the
+    partitioning, never a value."""
+    from big_data_analytics_cse545_spark.sources import avro_source
+    from big_data_analytics_cse545_spark.sources.avro_io import write_avro
+
+    rows = _adversarial_rows()
+    d = str(tmp_path)
+    write_avro(rows, _AVRO_SCHEMA, f"{d}/a.avro", codec="null", block_records=64)
+    write_avro(rows, _AVRO_SCHEMA, f"{d}/b.avro", codec="deflate", block_records=64)
+    avro_source.register(spark)
+    read = spark.read.format("pyavro").option("path", d)
+    fine = read.option("blocks_per_partition", 1).load()
+    default = spark.read.format("pyavro").option("path", d).option(
+        "target_partition_bytes", 4096
+    ).load()
+    coarse = spark.read.format("pyavro").option("path", d).option(
+        "blocks_per_partition", 100
+    ).load()
+    n_fine = fine.rdd.getNumPartitions()
+    n_default = default.rdd.getNumPartitions()
+    assert n_fine > 2  # more partitions than files = block-level splits
+    assert n_fine >= n_default > coarse.rdd.getNumPartitions() == 2
+    a = sorted(map(tuple, fine.collect()))
+    b = sorted(map(tuple, coarse.collect()))
+    c = sorted(map(tuple, default.collect()))
+    assert a == b == c and len(a) == 2 * len(rows)
+
+
+def test_avro_failure_modes_are_loud(spark, tmp_path):
+    """No silent partial decode: a non-Avro file, an unsupported codec,
+    an unsupported schema type, and schema disagreement across shards
+    must all raise with a pointed message."""
+    from big_data_analytics_cse545_spark.sources import avro_source
+    from big_data_analytics_cse545_spark.sources.avro_io import (
+        block_index,
+        write_avro,
+    )
+
+    p = str(tmp_path / "notavro.avro")
+    with open(p, "wb") as fh:
+        fh.write(b"PAR1 not an avro file")
+    with pytest.raises(ValueError, match="magic"):
+        block_index(p)
+    with pytest.raises(ValueError, match="codec"):
+        write_avro([], _AVRO_SCHEMA, str(tmp_path / "x.avro"), codec="snappy")
+    bad_schema = {"type": "record", "name": "t",
+                  "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+    with pytest.raises(ValueError, match="unsupported Avro type"):
+        write_avro([], bad_schema, str(tmp_path / "y.avro"))
+    # shard schema disagreement surfaces at plan time, not mid-scan
+    d2 = tmp_path / "mixed"
+    d2.mkdir()
+    write_avro([], _AVRO_SCHEMA, str(d2 / "a.avro"))
+    other = {"type": "record", "name": "t",
+             "fields": [{"name": "z", "type": "long"}]}
+    write_avro([], other, str(d2 / "b.avro"))
+    avro_source.register(spark)
+    with pytest.raises(Exception, match="disagrees"):
+        spark.read.format("pyavro").option("path", str(d2)).load().collect()
+
+
+def test_f08_fixture_exercises_both_codecs_and_the_union(spark, sf_correctness):
+    """The f08 parity row only certifies what the fixture exercises —
+    assert the shards actually alternate null/deflate codecs and the
+    nullable-union branch actually fires (some priority nulls exist)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources.avro_io import block_index
+
+    path = ingest.avro_fixture_dir(sf_correctness)
+    codecs = {
+        f: block_index(_os.path.join(path, f))[1]
+        for f in sorted(_os.listdir(path))
+        if f.endswith(".avro")
+    }
+    assert set(codecs.values()) == {"null", "deflate"}
+    out = ingest.f08_avro_scan(spark, sf_correctness)
+    nulls = out.agg(F.sum("n_null_priority").alias("n")).collect()[0]["n"]
+    assert nulls > 0, "union null branch never exercised by the fixture"
