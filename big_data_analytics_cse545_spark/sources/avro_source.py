@@ -103,7 +103,11 @@ class AvroReader(DataSourceReader):
                 )
             for run in self._runs(blocks):
                 parts.append(_BlockRun(shard, run, codec, sync))
-        return parts
+        # NEVER return an empty list: Spark still schedules one task and
+        # hands read() a None partition (found by the --empty chaos
+        # sweep — 0-row shards have 0 blocks; same sentinel pysource.py
+        # uses). An offset-free run decodes nothing.
+        return parts or [_BlockRun(self.shards[0], [], "null", b"")]
 
     def read(self, partition: _BlockRun) -> Iterator[tuple]:
         for off in partition.offsets:

@@ -363,3 +363,20 @@ def test_f08_fixture_exercises_both_codecs_and_the_union(spark, sf_correctness):
     out = ingest.f08_avro_scan(spark, sf_correctness)
     nulls = out.agg(F.sum("n_null_priority").alias("n")).collect()[0]["n"]
     assert nulls > 0, "union null branch never exercised by the fixture"
+
+
+def test_avro_source_survives_zero_row_shards(spark, tmp_path):
+    """--empty chaos-sweep pin (round 10): a 0-row Avro shard has 0
+    blocks, and a partitions() that returned an empty list made Spark
+    schedule one task with a None partition (AttributeError mid-scan).
+    The sentinel empty run must yield an empty DataFrame instead."""
+    from big_data_analytics_cse545_spark.sources import avro_source
+    from big_data_analytics_cse545_spark.sources.avro_io import write_avro
+
+    d = str(tmp_path)
+    write_avro([], _AVRO_SCHEMA, f"{d}/a.avro")
+    write_avro([], _AVRO_SCHEMA, f"{d}/b.avro", codec="deflate")
+    avro_source.register(spark)
+    df = spark.read.format("pyavro").option("path", d).load()
+    assert df.count() == 0
+    assert df.schema.simpleString().startswith("struct<k:bigint")
