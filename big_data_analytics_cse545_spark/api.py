@@ -2051,9 +2051,10 @@ def host_pagerank_weighted(
     zero/negative mass has no rank semantics and would break the
     floor-division exactness argument). Weights-all-1 reproduces
     :func:`host_pagerank` exactly — one shared kernel
-    (``graph.trustrank_micro(weighted=True)``), whose docstring also
-    states the r·w·85 < 2^63 exactness bound and the pre-normalization
-    lever for heavier weights. Same edge hygiene (null endpoints and
+    (``graph.trustrank_micro(weighted=True)``), which ENFORCES the
+    r·w·85 < 2^63 exactness bound before the loop (raising ValueError
+    with the gcd/cap pre-normalization remedy rather than letting
+    Spark's long arithmetic wrap). Same edge hygiene (null endpoints and
     self-loops dropped), same fixed-key cache contract as
     :func:`host_pagerank` (see its docstring)."""
     from big_data_analytics_cse545_spark.cache import swap_cached

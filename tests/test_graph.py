@@ -240,3 +240,58 @@ def test_g01_iterations_move_mass(spark, sf_smoke):
     assert delta_late < delta_early, (
         "ranks are not settling: |r6-r5| should be far below |r5-r1|"
     )
+
+
+def test_g03_overflow_bound_is_enforced_not_documented(spark):
+    """r10 VERDICT #3: a pathological multiplicity graph whose r·w·85
+    product would exceed 2^63 used to WRAP silently (wrong ranks, no
+    error); now the weighted kernel raises a pointed ValueError before
+    the loop. Boundary check on the other side: a weight AT the
+    admissible bound runs (the guard rejects only what could actually
+    wrap) and its ranks obey the total-mass invariant the bound is
+    derived from."""
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["host"])
+    w_bound = (2**63 - 1) // (3 * graph.G01_DAMP_NUM * graph.G01_RANK_ONE)
+
+    def wedges(w):
+        return spark.createDataFrame(
+            [("a", "b", w, w), ("b", "c", w, w)],
+            ["src_host", "dst_host", "w", "outw"],
+        ).select(
+            "src_host",
+            "dst_host",
+            F.col("w").cast("long"),
+            F.col("outw").cast("long"),
+        )
+
+    # Today: raises, loudly and with the remedy, BEFORE any iteration.
+    with pytest.raises(ValueError, match="exact-arithmetic bound"):
+        graph.trustrank_micro(
+            nodes, wedges(w_bound + 1), F.lit(True), weighted=True
+        )
+    # Boundary: exactly-admissible weights still run and stay exact.
+    ranks = {
+        r["host"]: r["r"]
+        for r in graph.trustrank_micro(
+            nodes, wedges(w_bound), F.lit(True), weighted=True
+        ).collect()
+    }
+    assert set(ranks) == {"a", "b", "c"}
+    assert all(v >= 0 for v in ranks.values())
+    assert sum(ranks.values()) <= 3 * graph.G01_RANK_ONE
+
+
+def test_api_pagerank_weighted_propagates_overflow_guard(spark):
+    """api.host_pagerank_weighted feeds the same kernel, so a caller
+    with silently-huge multiplicities (the ADVICE scenario: unbounded
+    integral weight_col) gets the loud error, not wrapped ranks."""
+    from big_data_analytics_cse545_spark import api
+
+    edges = spark.createDataFrame(
+        [("a.example.com", "b.example.com", 2**52)],
+        ["src", "dst", "mult"],
+    ).select("src", "dst", F.col("mult").cast("long"))
+    with pytest.raises(ValueError, match="exact-arithmetic bound"):
+        api.host_pagerank_weighted(
+            edges, "src", "dst", weight_col="mult"
+        ).collect()
