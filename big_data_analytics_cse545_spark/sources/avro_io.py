@@ -91,7 +91,18 @@ def _encode_value(v, typ) -> bytes:
         other = typ[1] if typ[0] == "null" else typ[0]
         return _zigzag_encode(typ.index(other)) + _encode_value(v, other)
     if typ in ("long", "int"):
-        return _zigzag_encode(int(v))
+        v = int(v)
+        bits = 63 if typ == "long" else 31
+        if not -(1 << bits) <= v < (1 << bits):
+            # an unbounded Python int zigzag-encodes to an 11+-byte
+            # varint this reader happily round-trips but spec-conformant
+            # readers (spark-avro, fastavro) reject — fail at write time
+            # instead of shipping nonconformant files (r10 ADVICE)
+            raise ValueError(
+                f"value {v} out of range for Avro {typ!r} "
+                f"([-2^{bits}, 2^{bits}) two's complement)"
+            )
+        return _zigzag_encode(v)
     if typ == "double":
         return struct.pack("<d", float(v))
     if typ == "string":
@@ -118,6 +129,31 @@ def _decode_value(buf: memoryview, pos: int, typ):
         return bytes(buf[pos : pos + n]).decode("utf-8"), pos + n
     if typ == "boolean":
         return buf[pos] == 1, pos + 1
+    raise ValueError(f"unsupported Avro type {typ!r}")
+
+
+def _skip_value(buf: memoryview, pos: int, typ) -> int:
+    """Advance past one encoded value WITHOUT materializing it — the
+    projection fast path for columns the caller did not request (a row
+    format cannot prune I/O, but it CAN skip the per-value work:
+    strings seek past their length prefix instead of paying the UTF-8
+    decode, doubles/booleans are fixed-width hops). Used by the
+    ``columns`` option on the pyavro source."""
+    if isinstance(typ, list):
+        branch, pos = _zigzag_decode(buf, pos)
+        t = typ[branch]
+        return pos if t == "null" else _skip_value(buf, pos, t)
+    if typ in ("long", "int"):
+        while buf[pos] & 0x80:
+            pos += 1
+        return pos + 1
+    if typ == "double":
+        return pos + 8
+    if typ == "string":
+        n, pos = _zigzag_decode(buf, pos)
+        return pos + n
+    if typ == "boolean":
+        return pos + 1
     raise ValueError(f"unsupported Avro type {typ!r}")
 
 
@@ -156,14 +192,23 @@ def write_avro(
     *,
     codec: str = "null",
     block_records: int = 1000,
+    extra_meta: dict[str, bytes] | None = None,
 ) -> None:
     """Write an Avro object container file. The sync marker is derived
     deterministically from (schema, path) so fixture bytes are
-    reproducible run-to-run (the repo's fixture discipline)."""
+    reproducible run-to-run (the repo's fixture discipline).
+    ``extra_meta`` adds application metadata pairs (the spec reserves
+    only the ``avro.`` prefix) — also how the reader's oversized-header
+    path is exercised in tests."""
     import hashlib
 
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r} (null/deflate)")
+    for k in extra_meta or {}:
+        if k.startswith("avro."):
+            raise ValueError(
+                f"extra_meta key {k!r} uses the reserved 'avro.' prefix"
+            )
     fields = _field_types(schema)
     sync = hashlib.md5(
         (json.dumps(schema, sort_keys=True) + "|" + path).encode()
@@ -171,6 +216,7 @@ def write_avro(
     meta = {
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
+        **(extra_meta or {}),
     }
     with open(path, "wb") as fh:
         fh.write(MAGIC)
@@ -201,41 +247,95 @@ def write_avro(
 # ---------------------------------------------------------------------------
 
 
+class _TruncatedHeader(Exception):
+    """Internal: the metadata map runs past the bytes read so far —
+    read_header's incremental loop reads more (or raises pointedly at
+    end of file)."""
+
+
+def _header_varint(mv: memoryview, pos: int) -> tuple[int, int]:
+    try:
+        return _zigzag_decode(mv, pos)
+    except IndexError:
+        raise _TruncatedHeader from None
+
+
+def _parse_meta_map(mv: memoryview) -> tuple[dict[str, bytes], int]:
+    """Parse the file-metadata map from offset 0 of ``mv`` → (meta,
+    end_pos). Raises _TruncatedHeader when the map needs bytes beyond
+    the view (over-long memoryview slices DON'T raise — they silently
+    truncate — so the bounds are checked explicitly)."""
+    meta: dict[str, bytes] = {}
+    pos = 0
+    while True:
+        n, pos = _header_varint(mv, pos)
+        if n == 0:
+            return meta, pos
+        # the count CAN be negative in the spec (block-size form) —
+        # reject it loudly rather than mis-parse (never produced by
+        # mainstream writers for the header map)
+        if n < 0:
+            raise ValueError("negative-count metadata blocks unsupported")
+        for _ in range(n):
+            kl, pos = _header_varint(mv, pos)
+            if pos + kl > len(mv):
+                raise _TruncatedHeader
+            k = bytes(mv[pos : pos + kl]).decode()
+            pos += kl
+            vl, pos = _header_varint(mv, pos)
+            if pos + vl > len(mv):
+                raise _TruncatedHeader
+            meta[k] = bytes(mv[pos : pos + vl])
+            pos += vl
+
+
 def read_header(fh: io.BufferedReader) -> tuple[dict, str, bytes, int]:
-    """Parse the container header → (schema, codec, sync, data_start)."""
+    """Parse the container header → (schema, codec, sync, data_start).
+
+    The metadata map is read INCREMENTALLY (64 KiB chunks) until its
+    zero-count terminator: a wide schema or a foreign writer's extra
+    metadata keys can exceed any fixed guess, and the old fixed 64 KiB
+    read surfaced that as an IndexError inside the varint decoder — or
+    worse, a silently truncated value slice (r10 ADVICE). A map that
+    runs past end-of-file now raises a pointed ValueError instead."""
     head = fh.read(4)
     if head != MAGIC:
         raise ValueError(
             f"not an Avro object container file (magic {head!r} != 'Obj\\x01')"
         )
-    # metadata map: blocks of (count, then count key/value pairs); the
-    # count CAN be negative in the spec (block-size form) — reject it
-    # loudly rather than mis-parse (never produced by mainstream writers
-    # for the tiny header map)
-    buf = fh.read(1 << 16)  # header map is tiny; 64 KiB is generous
-    mv = memoryview(buf)
-    meta: dict[str, bytes] = {}
-    pos = 0
+    buf = b""
     while True:
-        n, pos = _zigzag_decode(mv, pos)
-        if n == 0:
+        chunk = fh.read(1 << 16)
+        buf += chunk
+        try:
+            meta, pos = _parse_meta_map(memoryview(buf))
             break
-        if n < 0:
-            raise ValueError("negative-count metadata blocks unsupported")
-        for _ in range(n):
-            kl, pos = _zigzag_decode(mv, pos)
-            k = bytes(mv[pos : pos + kl]).decode()
-            pos += kl
-            vl, pos = _zigzag_decode(mv, pos)
-            meta[k] = bytes(mv[pos : pos + vl])
-            pos += vl
-    sync = bytes(mv[pos : pos + 16])
+        except _TruncatedHeader:
+            if not chunk:
+                raise ValueError(
+                    "truncated Avro header: metadata map runs past "
+                    "end of file"
+                ) from None
+    if pos + 16 > len(buf):  # sync marker may straddle the last chunk
+        buf += fh.read(pos + 16 - len(buf))
+        if pos + 16 > len(buf):
+            raise ValueError("truncated Avro header: missing sync marker")
+    sync = bytes(buf[pos : pos + 16])
     data_start = 4 + pos + 16
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r} (null/deflate)")
     return schema, codec, sync, data_start
+
+
+def header_of(path: str) -> tuple[dict, str, bytes, int]:
+    """One metadata-only header read of ``path`` — what schema
+    discovery needs. (block_index walks EVERY block header; doing that
+    three times per load for schema alone was the r10 ADVICE 3×
+    metadata-I/O finding.)"""
+    with open(path, "rb") as fh:
+        return read_header(fh)
 
 
 def block_index(path: str) -> tuple[dict, str, bytes, list[tuple[int, int, int]]]:
@@ -264,11 +364,19 @@ def block_index(path: str) -> tuple[dict, str, bytes, list[tuple[int, int, int]]
 
 
 def read_block(
-    path: str, offset: int, fields: list[tuple[str, object]], codec: str, sync: bytes
+    path: str,
+    offset: int,
+    fields: list[tuple[str, object]],
+    codec: str,
+    sync: bytes,
+    keep: list[bool] | None = None,
 ) -> Iterator[tuple]:
     """Decode one block's records as tuples in field order. The trailing
     sync marker is VERIFIED — a torn or mis-offset block fails loudly
-    instead of yielding shifted garbage."""
+    instead of yielding shifted garbage. ``keep`` (parallel to
+    ``fields``) selects which columns are materialized; unselected ones
+    are length-seeked past (:func:`_skip_value`) and omitted from the
+    yielded tuples."""
     with open(path, "rb") as fh:
         fh.seek(offset)
         head = memoryview(fh.read(20))
@@ -285,14 +393,20 @@ def read_block(
     pos = 0
     for _ in range(n):
         row = []
-        for _, t in fields:
-            v, pos = _decode_value(mv, pos, t)
-            row.append(v)
+        for i, (_, t) in enumerate(fields):
+            if keep is None or keep[i]:
+                v, pos = _decode_value(mv, pos, t)
+                row.append(v)
+            else:
+                pos = _skip_value(mv, pos, t)
         yield tuple(row)
 
 
-def avro_schema_to_ddl(schema: dict) -> str:
-    """Map the supported Avro subset to a Spark DDL schema string."""
+def avro_schema_to_ddl(schema: dict, columns: list[str] | None = None) -> str:
+    """Map the supported Avro subset to a Spark DDL schema string.
+    ``columns`` restricts the output to those field names (FILE field
+    order is preserved, matching the keep-masked tuples read_block
+    yields); unknown names raise."""
     ddl = {"long": "bigint", "int": "bigint", "double": "double",
            "string": "string", "boolean": "boolean"}
 
@@ -301,4 +415,14 @@ def avro_schema_to_ddl(schema: dict) -> str:
             return one(next(x for x in t if x != "null"))
         return ddl[t]
 
-    return ", ".join(f"{n} {one(t)}" for n, t in _field_types(schema))
+    fields = _field_types(schema)
+    if columns is not None:
+        names = {n for n, _ in fields}
+        unknown = sorted(set(columns) - names)
+        if unknown:
+            raise ValueError(
+                f"columns {unknown} not in Avro schema "
+                f"(has {sorted(names)})"
+            )
+        fields = [(n, t) for n, t in fields if n in set(columns)]
+    return ", ".join(f"{n} {one(t)}" for n, t in fields)

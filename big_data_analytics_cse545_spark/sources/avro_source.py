@@ -21,9 +21,15 @@ bound per-task overhead without losing splittability — measured:
 256-record blocks scheduled one-per-task cost 11.7 s on a 150k-row
 scan vs 0.7 s in byte-sized runs, pure scheduler overhead);
 ``blocks_per_partition`` — explicit count-based override (1 = finest
-split, used by the splittability tests). Schema is taken from the
-first shard's embedded writer schema (every shard must agree —
-checked loudly at plan time, the explicit-schema discipline).
+split, used by the splittability tests); ``columns`` (comma-separated
+field names) — caller-declared projection: the Python DataSource API
+does not push column pruning down, so a caller that knows its
+projection states it here and unrequested fields are length-SEEKED
+past instead of materialized (strings skip the UTF-8 decode — the
+dominant per-value cost in a row format that cannot prune I/O).
+Schema is taken from the first shard's embedded writer schema (every
+shard must agree — checked loudly at plan time, the explicit-schema
+discipline).
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ from big_data_analytics_cse545_spark.sources.avro_io import (
     _field_types,
     avro_schema_to_ddl,
     block_index,
+    header_of,
     read_block,
 )
 
@@ -69,8 +76,23 @@ class AvroReader(DataSourceReader):
             options.get("target_partition_bytes", 1 << 20)
         )
         self.shards = _list_shards(self.path)
-        self.schema_json, _, _, _ = block_index(self.shards[0])
+        # header-only schema discovery: the block walk belongs to
+        # partitions(), once per shard — schema() + __init__ +
+        # partitions() each walking shard 0's blocks was the r10
+        # ADVICE 3×-metadata-I/O finding
+        self.schema_json, _, _, _ = header_of(self.shards[0])
         self.fields = _field_types(self.schema_json)
+        self.keep: list[bool] | None = None
+        cols = options.get("columns")
+        if cols is not None:
+            want = {c.strip() for c in cols.split(",") if c.strip()}
+            names = {n for n, _ in self.fields}
+            if not want <= names:
+                raise ValueError(
+                    f"columns {sorted(want - names)} not in Avro schema "
+                    f"(has {sorted(names)})"
+                )
+            self.keep = [n in want for n, _ in self.fields]
 
     def _runs(self, blocks: list[tuple[int, int, int]]) -> list[list[int]]:
         """Group one shard's blocks into partition runs: explicit count
@@ -112,7 +134,12 @@ class AvroReader(DataSourceReader):
     def read(self, partition: _BlockRun) -> Iterator[tuple]:
         for off in partition.offsets:
             yield from read_block(
-                partition.path, off, self.fields, partition.codec, partition.sync
+                partition.path,
+                off,
+                self.fields,
+                partition.codec,
+                partition.sync,
+                keep=self.keep,
             )
 
 
@@ -122,9 +149,19 @@ class AvroDataSource(DataSource):
         return "pyavro"
 
     def schema(self) -> str:
-        # planning-time metadata read of the first shard only
-        schema_json, _, _, _ = block_index(_list_shards(self.options["path"])[0])
-        return avro_schema_to_ddl(schema_json)
+        # planning-time HEADER read of the first shard only (no block
+        # walk); the same columns restriction the reader applies, so
+        # the DDL arity always matches the keep-masked tuples
+        schema_json, _, _, _ = header_of(
+            _list_shards(self.options["path"])[0]
+        )
+        cols = self.options.get("columns")
+        want = (
+            [c.strip() for c in cols.split(",") if c.strip()]
+            if cols is not None
+            else None
+        )
+        return avro_schema_to_ddl(schema_json, columns=want)
 
     def reader(self, schema) -> AvroReader:
         return AvroReader(self.options)

@@ -380,3 +380,101 @@ def test_avro_source_survives_zero_row_shards(spark, tmp_path):
     df = spark.read.format("pyavro").option("path", d).load()
     assert df.count() == 0
     assert df.schema.simpleString().startswith("struct<k:bigint")
+
+
+def test_avro_header_beyond_64kib_and_truncation_are_handled(tmp_path):
+    """r10 ADVICE: the old fixed 64 KiB header read hit IndexError (or
+    silently truncated slices) on a header larger than the guess. The
+    incremental reader must round-trip a >64 KiB metadata map, and a
+    header torn mid-map must raise a pointed ValueError, not garbage."""
+    from big_data_analytics_cse545_spark.sources.avro_io import (
+        _field_types,
+        block_index,
+        header_of,
+        read_block,
+        write_avro,
+    )
+
+    rows = _adversarial_rows()[:50]
+    p = str(tmp_path / "fat_header.avro")
+    write_avro(
+        rows,
+        _AVRO_SCHEMA,
+        p,
+        block_records=16,
+        extra_meta={"app.blob": b"x" * (80 << 10), "app.k2": b"y" * 4096},
+    )
+    schema, codec, sync, start = header_of(p)
+    assert start > (80 << 10)  # the map really exceeded the old read
+    _, _, _, blocks = block_index(p)
+    back = []
+    for off, _, _ in blocks:
+        back.extend(read_block(p, off, _field_types(schema), codec, sync))
+    assert len(back) == len(rows) and back[0][0] == rows[0]["k"]
+    # torn mid-map: cut inside the metadata map, before its terminator
+    t = str(tmp_path / "torn.avro")
+    with open(p, "rb") as fh:
+        blob = fh.read(40 << 10)
+    with open(t, "wb") as fh:
+        fh.write(blob)
+    with pytest.raises(ValueError, match="truncated Avro header"):
+        header_of(t)
+    # reserved-prefix discipline on the writer side
+    with pytest.raises(ValueError, match="reserved"):
+        write_avro(rows, _AVRO_SCHEMA, str(tmp_path / "z.avro"),
+                   extra_meta={"avro.codec": b"evil"})
+
+
+def test_avro_writer_rejects_out_of_range_integers(tmp_path):
+    """r10 ADVICE: a Python int beyond the declared width zigzag-encodes
+    to a varint THIS reader round-trips but spec-conformant readers
+    (spark-avro, fastavro) reject — the writer must fail loudly instead
+    of shipping nonconformant bytes. Both widths, both signs, and the
+    exact boundary values still write."""
+    from big_data_analytics_cse545_spark.sources.avro_io import write_avro
+
+    ok = {"k": 2**63 - 1, "x": 0.0, "s": "", "opt": -(2**63), "flag": True}
+    write_avro([ok], _AVRO_SCHEMA, str(tmp_path / "ok.avro"))
+    for bad_k in (2**63, -(2**63) - 1):
+        with pytest.raises(ValueError, match="out of range for Avro 'long'"):
+            write_avro([dict(ok, k=bad_k)], _AVRO_SCHEMA,
+                       str(tmp_path / "bad.avro"))
+    int_schema = {"type": "record", "name": "t",
+                  "fields": [{"name": "i", "type": "int"}]}
+    write_avro([{"i": 2**31 - 1}, {"i": -(2**31)}], int_schema,
+               str(tmp_path / "i.avro"))
+    with pytest.raises(ValueError, match="out of range for Avro 'int'"):
+        write_avro([{"i": 2**31}], int_schema, str(tmp_path / "i2.avro"))
+
+
+def test_avro_columns_option_projects_without_decoding(spark, tmp_path):
+    """The caller-declared projection (r10 VERDICT #8): 'columns'
+    restricts both the plan-time schema and the decoded tuples —
+    values must equal the full scan's projection exactly, file field
+    order is preserved regardless of request order, and unknown names
+    raise at plan time."""
+    from big_data_analytics_cse545_spark.sources import avro_source
+    from big_data_analytics_cse545_spark.sources.avro_io import write_avro
+
+    rows = _adversarial_rows()
+    d = str(tmp_path)
+    write_avro(rows, _AVRO_SCHEMA, f"{d}/a.avro", codec="null", block_records=64)
+    write_avro(rows, _AVRO_SCHEMA, f"{d}/b.avro", codec="deflate", block_records=64)
+    avro_source.register(spark)
+    full = spark.read.format("pyavro").option("path", d).load()
+    # request order reversed on purpose — output must be file order
+    proj = (
+        spark.read.format("pyavro")
+        .option("path", d)
+        .option("columns", "opt, k")
+        .load()
+    )
+    assert proj.schema.simpleString() == "struct<k:bigint,opt:bigint>"
+    nones_last = lambda t: (t[0], t[1] is not None, t[1] or 0)  # noqa: E731
+    a = sorted(map(tuple, full.select("k", "opt").collect()), key=nones_last)
+    b = sorted(map(tuple, proj.collect()), key=nones_last)
+    assert a == b and len(b) == 2 * len(rows)
+    with pytest.raises(Exception, match="not in Avro schema"):
+        spark.read.format("pyavro").option("path", d).option(
+            "columns", "k,nope"
+        ).load()
