@@ -63,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 123
+# The driver hash-checks only the FIRST 50 queries() entries, so with 124
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -96,6 +96,14 @@ _TEST_GATED = frozenset(
         # tests/test_text.py — a rows-only driver row adds no signal
         # beyond that exact-merge-table comparison.
         "t24_bpe_train",  # ↔ golden vs pure-Python BPE (tests/test_text.py)
+        # Round-11 addition, the t24 rationale verbatim: t25 applies
+        # the merge table the iterative argmax trainer produced, so no
+        # DuckDB oracle can exist (no_oracle by design) — the hard
+        # gates are the token-for-token golden vs an independent
+        # pure-Python encoder AND the expr≡arrow execution-regime
+        # parity in tests/test_text.py; a rows-only driver row adds no
+        # signal beyond those exact-token comparisons.
+        "t25_bpe_encode",  # ↔ golden + regime parity (tests/test_text.py)
     }
 )
 # Permanently demoted exact baselines (round-2 VERDICT recommendation):
@@ -132,7 +140,8 @@ _DEMOTED_BASELINES = frozenset(
 # Steady state (round 8: g01 entered WITH its d08 twin demotion, the
 # f07/f05 pattern; t24 entered test-gated; round 9: m06/p08 entered
 # with the q34/d01 demotions, g02 with the g01 demotion; round 10: g03
-# entered with the st01 demotion, f08 with the f01 demotion): 123 − 6
+# entered with the st01 demotion, f08 with the f01 demotion; round
+# 11: t25 entered test-gated, the t24 pattern): 124 − 7
 # test-gated − 2 demoted baselines − 15 twin-demoted = 100 eligible = 2 × 50, so the strict
 # "driver row within two rounds" cadence holds; any future newcomer
 # must bring a twin demotion (or test-gating rationale) with it.
@@ -230,8 +239,8 @@ _DEMOTED_TWINNED = frozenset(
 # expected CORRECTNESS_r10 is 45 hash + 5 rows-only green, r9 ∩ r10 =
 # ∅, r9 ∪ r10 = all 100 eligible (st01 and f01 leave the pool demoted,
 # g03 and f08 enter it on their slots — both halves stay 50). Eligible
-# pool: 123 − 6 test-gated − 2 demoted baselines − 15 twin-demoted =
-# 100 = 2×50; any round-10-born query must bring its own twin demotion
+# pool (as of r10): 123 − 6 test-gated − 2 demoted baselines − 15
+# twin-demoted = 100 = 2×50; any round-10-born query must bring its own twin demotion
 # (or test-gating rationale).
 #
 # ROUND-11 ROTATION (executed per the round-10 pre-written plan,
@@ -246,7 +255,7 @@ _DEMOTED_TWINNED = frozenset(
 # merge-table application is not SQL-expressible, no_oracle by
 # design; the hard gate is the token-for-token golden vs a
 # pure-Python encoder in tests/test_text.py), so the eligible pool
-# stays 123 + 1 − 7 test-gated − 2 demoted baselines − 15
+# stays 124 − 7 test-gated − 2 demoted baselines − 15
 # twin-demoted = 100 = 2×50.
 #
 # ROUND-12 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names
@@ -336,7 +345,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (123 queries; exact count asserted in
+    """The FULL registry (124 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

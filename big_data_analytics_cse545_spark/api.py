@@ -2128,6 +2128,36 @@ def bpe_train(
     return train_bpe(df, text_col=text_col, n_merges=n_merges, batch_m=batch_m)
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "toks",
+    mode: str = "auto",
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE merge table (t25 semantics,
+    operators/text.py) — the production step after :func:`bpe_train`:
+    adds ``out_col`` (``array<string>`` subword tokens) to every row,
+    applying the merges in training order with exactly the trainer's
+    per-pass greedy-scan semantics, so training and inference cannot
+    drift. ``mode="expr"`` is a pure-JVM chained-fold plan (capped at
+    64 rules — plan depth grows per rule); ``mode="arrow"`` is one
+    Arrow-batched ``mapInPandas`` pass with a per-worker word→tokens
+    memo, the regime for 30k-rule production tables; ``"auto"``
+    (default) picks by table size. Both regimes are exact-equal by
+    test. Encode is embarrassingly parallel — no shuffle, scan-bound,
+    and the only shared state (the merge table) is kilobytes collected
+    driver-side (the centroid precedent)."""
+    from big_data_analytics_cse545_spark.operators.text import (
+        bpe_encode as _bpe_encode,
+    )
+
+    return _bpe_encode(
+        df, merges, text_col=text_col, out_col=out_col, mode=mode
+    )
+
+
 def kmeans_trace(
     df: DataFrame,
     vec_col: str,

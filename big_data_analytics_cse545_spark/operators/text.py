@@ -2006,6 +2006,190 @@ t24_bpe_train.__eager_loop__ = (
 )
 
 
+# ---------------------------------------------------------------------------
+# t25 — BPE ENCODE: apply a trained merge table to a corpus (the
+# production step AFTER t24's training — nothing previously consumed
+# the merge tables t20/t24 produce; r10 VERDICT #4)
+# ---------------------------------------------------------------------------
+
+# expression-path ceiling: each rule is one chained JVM fold, so plan
+# depth = n_rules — fine at tokenizer-bootstrap sizes, but a 30k-merge
+# production table as one expression tree is exactly the nested-plan
+# blowup train_bpe's localCheckpoint discipline exists to avoid (its
+# measured 64-fold OOM) — past this, the Arrow kernel is the only
+# sound regime
+BPE_EXPR_MAX_RULES = 64
+
+
+def _char_split(w: F.Column) -> F.Column:
+    """A word as its single-character symbol array — the trainer's
+    initial-dictionary derivation, as a lambda-friendly Column form."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.substr(w, i, F.lit(1)),
+    )
+
+
+def _encode_word_py(word: str, rules: list[tuple[str, str, str]]) -> list[str]:
+    """The Arrow kernel's per-word encode: apply each merge rule, in
+    training order, as one left-to-right non-overlapping pass —
+    token-for-token the semantics of :func:`_apply_merges` with a
+    1-element batch per rule (replace-last greedy scan), which is also
+    Sennrich's reference apply_bpe loop. The substring pre-check skips
+    rules that cannot match (adjacent symbols ``left``,``right`` imply
+    ``left+right`` occurs in the concatenation; the converse is
+    conservative) — at real vocabularies most rules skip."""
+    syms = list(word)
+    for left, right, merged in rules:
+        # merging only concatenates, so "".join(syms) == word forever —
+        # the original word is the permanent substring oracle
+        if merged not in word:
+            continue
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = merged
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    out_col: str = "toks",
+    mode: str = "auto",
+) -> DataFrame:
+    """Encode a corpus with a trained BPE merge table — the reusable
+    core of t25 (and ``api.bpe_encode``). Adds ``out_col`` (an
+    ``array<string>`` of subword tokens) to every row: the text is
+    tokenized with the trainer's exact tokenizer (:func:`tokens`),
+    each word is split to characters, and the merge rules apply in
+    TRAINING ORDER, each as one left-to-right non-overlapping pass —
+    precisely what :func:`train_bpe`'s ``_apply_merges`` did to the
+    dictionary during training, so training and inference cannot
+    drift (reference anchor: the tokenize-then-aggregate I/O shape of
+    ``a1p2b_ahuja.py:65-72``, with the tokenizer now a learned one).
+
+    Two execution regimes, exact-equal by test:
+
+    * ``mode="expr"`` — each rule is a chained JVM ``aggregate`` fold
+      inside a per-word ``transform``: zero Python boundary, whole
+      plan stays codegen-eligible. Plan depth = n_rules, so this is
+      capped at ``BPE_EXPR_MAX_RULES`` (raises loudly past it).
+    * ``mode="arrow"`` — one ``mapInPandas`` pass with the rule list
+      (model-sized: n_merges rows, the centroid-collect precedent)
+      closure-captured and a per-worker word→tokens memo, so each
+      DISTINCT word in a batch is encoded once regardless of its
+      corpus frequency — the production regime for 30k-rule tables,
+      where the corpus is touched ONCE, nothing shuffles, and the
+      kernel cost is bounded by distinct-word mass per partition (the
+      same Zipf argument train_bpe's word-frequency pre-aggregation
+      rests on).
+
+    ``mode="auto"`` picks expr at ≤ BPE_EXPR_MAX_RULES rules, arrow
+    beyond. At 100 TB: encode is embarrassingly parallel either way —
+    no shuffle, no skew surface, scan-bound; the merge table is the
+    only shared state and it is kilobytes.
+    """
+    rows = sorted(
+        merges.select("step", "left", "right").collect(),
+        key=lambda r: r["step"],
+    )
+    rules = [(r["left"], r["right"], r["left"] + r["right"]) for r in rows]
+    if mode == "auto":
+        mode = "expr" if len(rules) <= BPE_EXPR_MAX_RULES else "arrow"
+    if mode == "expr":
+        if len(rules) > BPE_EXPR_MAX_RULES:
+            raise ValueError(
+                f"mode='expr' caps at {BPE_EXPR_MAX_RULES} rules "
+                f"(got {len(rules)}): plan depth grows one fold per rule "
+                "— use mode='arrow' (or 'auto') for production tables"
+            )
+        words = tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+        def encode_word(w: F.Column) -> F.Column:
+            syms = _char_split(w)
+            for rule in rules:
+                syms = _apply_merges(syms, [rule])
+            return syms
+
+        return df.withColumn(
+            out_col, F.flatten(F.transform(words, encode_word))
+        )
+    if mode != "arrow":
+        raise ValueError(f"mode must be expr/arrow/auto, got {mode!r}")
+
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    # a NEW StructType — StructType.add mutates (and returns) the live
+    # df.schema object, which desyncs df.columns from its actual plan
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))]
+    )
+    split_re = _re.compile(TOKEN_SPLIT_RE)
+    rule_list = list(rules)
+
+    def encode_batches(batches):
+        memo: dict[str, list[str]] = {}
+
+        def word_toks(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = _encode_word_py(w, rule_list)
+            return got
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                [
+                    t
+                    for w in split_re.split(("" if txt is None else txt).lower())
+                    if w
+                    for t in word_toks(w)
+                ]
+                for txt in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode_batches, out_schema)
+
+
+def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a tokenizer TRAINED ON IT: t24's merge
+    table ({K} merges), applied by :func:`bpe_encode`'s pure-JVM
+    expression regime. Output: per document, the subword token count
+    and an md5 over the separator-joined token stream (the t11
+    md5-of-scrubbed pattern — the hash certifies every token
+    byte-for-byte, not just the count), ordered by doc_id.
+
+    Not SQL-expressible (the merge table is the output of the
+    iterative argmax trainer) → test-gated like t24; the hard gate is
+    the token-for-token golden vs an independent pure-Python encoder
+    plus the expr≡arrow regime-parity gate in tests/test_text.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    table = train_bpe(d)
+    enc = bpe_encode(d, table, mode="expr")
+    return enc.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", "toks")).alias("tokens_md5"),
+    ).orderBy("doc_id")
+
+
+t25_bpe_encode.__doc__ = t25_bpe_encode.__doc__.format(K=BPE_TRAIN_MERGES)
+t25_bpe_encode.__eager_loop__ = (
+    "t25 trains its merge table via train_bpe (t24's eager driver "
+    "loop) before the encode plan is declared"
+)
+
+
 QUERIES = {
     "t01_wordcount": t01_wordcount,
     "t02_word_set_difference": t02_word_set_difference,
@@ -2031,6 +2215,7 @@ QUERIES = {
     "t22_unigram_nll": t22_unigram_nll,
     "t23_host_reputation": t23_host_reputation,
     "t24_bpe_train": t24_bpe_train,
+    "t25_bpe_encode": t25_bpe_encode,
 }
 
 ORACLE = {

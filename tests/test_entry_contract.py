@@ -32,7 +32,7 @@ def test_registry_size_and_docstrings():
     in docstring position is an expression (``__doc__`` becomes None),
     a bug that shipped twice before this gate existed."""
     full = em.all_queries()
-    assert len(full) == 123, f"registry is {len(full)}, docs say 123"
+    assert len(full) == 124, f"registry is {len(full)}, docs say 124"
     undocumented = [n for n, fn in full.items() if not fn.__doc__]
     assert not undocumented, f"queries with no docstring: {undocumented}"
 
@@ -52,6 +52,7 @@ def test_eager_loop_markers():
     assert marked == {
         "p05_kmeans_iterative",
         "t24_bpe_train",
+        "t25_bpe_encode",  # trains its table via train_bpe before encoding
         "p08_kmeans_trace",
     }, marked
 

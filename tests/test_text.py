@@ -19,7 +19,10 @@ def test_only_t24_lacks_an_oracle():
     """Every text query is DuckDB-oracle-checked except the ones with a
     documented rows-only rationale — a new no-oracle query must be added
     HERE deliberately, not fall out of the parity sweep silently."""
-    assert set(text.QUERIES) - set(text.ORACLE) == {"t24_bpe_train"}
+    assert set(text.QUERIES) - set(text.ORACLE) == {
+        "t24_bpe_train",
+        "t25_bpe_encode",  # r11: encodes with the trainer's merge table
+    }
 
 
 def test_wordcount_counts_are_case_insensitive(spark, sf_smoke):
@@ -524,3 +527,140 @@ def test_turkish_dotted_i_is_a_known_cross_engine_casing_difference(spark):
         " t -> t <> '')"
     ).fetchone()[0]
     assert duck_toks == ["istanbul"], duck_toks  # simple-mapping, no split
+
+
+# ---------------------------------------------------------------------------
+# t25 — BPE encode (test-gated: golden + regime parity, the t24 pattern)
+# ---------------------------------------------------------------------------
+
+
+def _pure_python_encode(textval, rules):
+    """Independent reference encoder: trainer tokenization, then each
+    merge rule in training order as one left-to-right non-overlapping
+    greedy pass (Sennrich's apply loop). Written from the algorithm,
+    not from the engine code — the golden must not share its bugs."""
+    import re
+
+    toks = []
+    for w in re.split(r"[^a-z0-9]+", ("" if textval is None else textval).lower()):
+        if not w:
+            continue
+        syms = list(w)
+        for left, right, merged in rules:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_t25_encode_matches_pure_python_token_for_token(spark, sf_smoke):
+    """Golden gate (t25 is test-gated by design — its merge table is
+    the output of the non-SQL-expressible trainer): every document's
+    token array from the pure-JVM expr regime must equal the
+    independent pure-Python encoder token for token, merges must
+    actually fire (multi-char tokens exist), and encoding must
+    conserve characters (concat(tokens) == concat(word chars))."""
+    import re
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    table = text.train_bpe(d)
+    rules = [
+        (r["left"], r["right"], r["merged"])
+        for r in table.orderBy("step").collect()
+    ]
+    assert len(rules) == text.BPE_TRAIN_MERGES
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in text.bpe_encode(d, table, mode="expr")
+        .select("doc_id", "toks")
+        .collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    assert set(got) == set(src) and len(got) >= 100
+    for did, txt in src.items():
+        assert got[did] == _pure_python_encode(txt, rules), f"doc {did}"
+    assert any(len(t) > 1 for ts in got.values() for t in ts), (
+        "no merge ever fired — the golden compared a no-op"
+    )
+    for did, txt in src.items():
+        chars = "".join(w for w in re.split(r"[^a-z0-9]+", txt.lower()) if w)
+        assert "".join(got[did]) == chars, f"doc {did} lost/created chars"
+
+
+def test_t25_execution_regimes_agree_exactly(spark, sf_smoke):
+    """expr (chained JVM folds) and arrow (mapInPandas + word memo)
+    are two implementations of ONE contract: token arrays must be
+    identical for every document, including a NULL-text row (both
+    regimes encode it to an empty array, not NULL/crash)."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    d = d.unionByName(
+        spark.createDataFrame([(10**9, None)], "doc_id long, text string")
+    )
+    table = text.train_bpe(d)
+    a = {
+        r["doc_id"]: r["toks"]
+        for r in text.bpe_encode(d, table, mode="expr").collect()
+    }
+    b = {
+        r["doc_id"]: r["toks"]
+        for r in text.bpe_encode(d, table, mode="arrow").collect()
+    }
+    assert a == b
+    assert a[10**9] == []
+
+
+def test_t25_expr_cap_and_auto_mode(spark, sf_smoke):
+    """The expr regime refuses tables past BPE_EXPR_MAX_RULES (plan
+    depth grows one fold per rule — the t24 nested-plan lesson), and
+    auto mode silently selects the arrow regime instead. Disjoint
+    synthetic rules so the arrow path still encodes correctly."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    n = text.BPE_EXPR_MAX_RULES + 1
+    fake = spark.createDataFrame(
+        [(i + 1, f"q{i}x", "z") for i in range(n)],
+        "step long, left string, right string",
+    )
+    d = load_table(spark, sf_smoke, "documents").limit(5)
+    with pytest.raises(ValueError, match="caps at"):
+        text.bpe_encode(d, fake, mode="expr")
+    out = text.bpe_encode(d, fake, mode="auto").select("toks").collect()
+    assert len(out) == 5 and all(r["toks"] for r in out)
+    with pytest.raises(ValueError, match="mode must be"):
+        text.bpe_encode(d, fake, mode="jvm")
+
+
+def test_t25_registry_output_contract(spark, sf_smoke):
+    """The registry query's (n_tokens, tokens_md5) must be derivable
+    from the token arrays the encode itself produces — the hash
+    certifies every token byte-for-byte (the t11 md5-of-scrubbed
+    pattern), so a count-preserving token corruption cannot pass."""
+    import hashlib
+
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    table = text.train_bpe(d)
+    toks = {
+        r["doc_id"]: r["toks"]
+        for r in text.bpe_encode(d, table, mode="expr")
+        .select("doc_id", "toks")
+        .collect()
+    }
+    out = text.t25_bpe_encode(spark, sf_smoke).collect()
+    assert [r["doc_id"] for r in out] == sorted(toks)
+    for r in out:
+        ts = toks[r["doc_id"]]
+        assert r["n_tokens"] == len(ts)
+        assert r["tokens_md5"] == hashlib.md5(
+            "\x1f".join(ts).encode()
+        ).hexdigest()
