@@ -43,6 +43,34 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
+def _fixture_key(sf_dir: str, kind: str, table: str) -> dict:
+    """ensure_fixture_dir kwargs for a fixture derived from
+    ``{sf_dir}/{table}.parquet``: path-hash + content-digest keyed
+    (the _m01_fixture_dir discipline) so (a) same-basename corpora at
+    different paths cannot collide and (b) a REWRITTEN source
+    re-materializes instead of serving stale bytes with stale prune.
+    The round-11 skew sweep caught the failure mode the old
+    basename-only keying allowed: chaos twins regenerate at a FIXED
+    path (/tmp/chaos_skew_sf), and f07's XML fixture kept serving the
+    previous twin's rows — a 10-vs-28-row oracle divergence that was
+    fixture staleness, not an engine bug."""
+    import hashlib
+    import re
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    path_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
+    digest = hashlib.md5(
+        f"{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    prefix = f"{kind}-{_sf_tag(sf_dir)}-{path_key}-"
+    return {
+        "name": f"{prefix}{digest}",
+        "prune_prefix": prefix,
+        "prune_re": rf"{re.escape(prefix)}[0-9a-f]{{10}}",
+    }
+
+
 def jsonl_fixture_dir(sf_dir: str) -> str:
     """documents.parquet re-materialized as N_SHARDS newline-delimited
     JSON files (DuckDB's JSON writer: standard escaping, one object per
@@ -59,7 +87,9 @@ def jsonl_fixture_dir(sf_dir: str) -> str:
             )
         con.close()
 
-    return ensure_fixture_dir(f"graft-jsonl-{_sf_tag(sf_dir)}", write)
+    return ensure_fixture_dir(
+        writer=write, **_fixture_key(sf_dir, "graft-jsonl", "documents")
+    )
 
 
 def csv_fixture_dir(sf_dir: str) -> str:
@@ -80,7 +110,9 @@ def csv_fixture_dir(sf_dir: str) -> str:
             )
         con.close()
 
-    return ensure_fixture_dir(f"graft-csv-{_sf_tag(sf_dir)}", write)
+    return ensure_fixture_dir(
+        writer=write, **_fixture_key(sf_dir, "graft-csv", "orders")
+    )
 
 
 def f01_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +236,9 @@ def orc_fixture_dir(sf_dir: str) -> str:
             orc.write_table(t, os.path.join(tmp, f"part-{i}.orc"))
         con.close()
 
-    return ensure_fixture_dir(f"graft-orc-{_sf_tag(sf_dir)}", write)
+    return ensure_fixture_dir(
+        writer=write, **_fixture_key(sf_dir, "graft-orc", "lineitem")
+    )
 
 
 def f05_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +357,9 @@ def xml_fixture_dir(sf_dir: str) -> str:
                 fh.write("</docs>\n")
         con.close()
 
-    return ensure_fixture_dir(f"graft-xml-{_sf_tag(sf_dir)}", write)
+    return ensure_fixture_dir(
+        writer=write, **_fixture_key(sf_dir, "graft-xml", "documents")
+    )
 
 
 def f07_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +538,10 @@ def corrupt_jsonl_fixture_dir(sf_dir: str) -> str:
                     )
                     f.write(line + "\n")
 
-    return ensure_fixture_dir(f"spark_graft_jsonl_corrupt_{_sf_tag(sf_dir)}", write)
+    return ensure_fixture_dir(
+        writer=write,
+        **_fixture_key(sf_dir, "spark_graft_jsonl_corrupt", "documents"),
+    )
 
 
 # assigned after the def: a formatted string literal in docstring
@@ -657,7 +696,8 @@ def partitioned_parquet_fixture_dir(sf_dir: str) -> str:
         con.close()
 
     return ensure_fixture_dir(
-        f"spark_graft_parquet_bylang_{_sf_tag(sf_dir)}", write
+        writer=write,
+        **_fixture_key(sf_dir, "spark_graft_parquet_bylang", "documents"),
     )
 
 
@@ -789,7 +829,9 @@ def avro_fixture_dir(sf_dir: str) -> str:
             )
         con.close()
 
-    return ensure_fixture_dir(f"graft-avro-{_sf_tag(sf_dir)}", write)
+    return ensure_fixture_dir(
+        writer=write, **_fixture_key(sf_dir, "graft-avro", "orders")
+    )
 
 
 def f08_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,12 +90,16 @@ one-codepoint mapping ('i', no split) — a pinned engine difference
 (tests/test_text.py::test_turkish_dotted_i_is_a_known_cross_engine_casing_difference),
 so the ``--unicode`` corpus excludes İ and runs to full parity.
 
-An eighth dimension — HEAVY KEY SKEW (``--skew``, round 10): 90% of
-documents collapse onto ONE source (so the host graph, host-reputation
-verdicts, splits and the dedup relational tails all see one dominant
-group/join key), 90% of events onto ONE user (sessionize, stateful
-streaming, DAU), and 90% of embedding labels onto ONE label
-(stratified sampling, filtered ANN). This is the 100 TB failure mode
+An eighth dimension — HEAVY KEY SKEW (``--skew``, round 10;
+cardinality-preserved since round 11): ~90% of documents collapse onto
+ONE source (so the host graph, host-reputation verdicts, splits and
+the dedup relational tails all see one dominant group/join key), ~90%
+of events onto ONE user (sessionize, stateful streaming, DAU), and
+~90% of embedding labels onto ONE label (stratified sampling, filtered
+ANN) — while every ORIGINAL distinct key keeps at least one row, so
+the key universe is identical to the uniform table and a skew-vs-
+uniform timing delta measures skew, not cardinality (the r10 twin's
+confound). ``tools/skew_tax.py`` runs that timing comparison. This is the 100 TB failure mode
 the skew playbook (SCALE.md) addresses: a shuffle where one reducer
 key carries 10× the median. The sweep checks both survival (no
 OOM/timeout at pathological splits) and, with ``--oracle``,
@@ -252,14 +256,21 @@ def _unicode_twin(sf_dir: str) -> str:
 
 
 def _skew_twin(sf_dir: str) -> str:
-    """90% of each relation's natural grouping key collapses onto one
-    dominant value (key % 10 != 0 → the minimum value of that column),
-    deterministically: documents.source, events.user_id,
-    embeddings.label. Content columns stay untouched — the probe
-    targets KEY distribution (shuffle/reducer skew and any tie-break
-    that silently keys on partition sizes), not content semantics."""
+    """~90% of each relation's natural grouping key collapses onto one
+    dominant value, CARDINALITY-PRESERVED (round-11, de-confounding the
+    r10 probe): every original distinct value keeps its FIRST row, and
+    rows with key % 10 == 0 keep theirs, so the distinct-key universe
+    is IDENTICAL to the uniform table — the r10 twin deleted ~90% of
+    the hosts/users along with the skew, which made skewed runs faster
+    for the wrong reason (smaller graphs/state, not better plans).
+    Deterministic: documents.source, events.user_id, embeddings.label;
+    dominant = the column's minimum. Content columns stay untouched —
+    the probe targets KEY distribution (shuffle/reducer skew and any
+    tie-break that silently keys on partition sizes), not content
+    semantics."""
     import os
 
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -280,13 +291,25 @@ def _skew_twin(sf_dir: str) -> str:
             key, col = plan[f]
             dominant = pc.min(t.column(col)).as_py()
             keys = t.column(key).to_numpy()
-            mask = pa.array((keys % 10) != 0)
+            vals = t.column(col).combine_chunks()
+            # first occurrence of every distinct value survives, so
+            # |distinct(col)| is invariant under the rewrite
+            codes = pc.dictionary_encode(vals).indices.to_numpy(
+                zero_copy_only=False
+            )
+            _, first_idx = np.unique(codes, return_index=True)
+            keep = np.zeros(len(keys), dtype=bool)
+            keep[first_idx] = True
+            keep |= (keys % 10) == 0
             idx = t.schema.get_field_index(col)
             arr = pc.if_else(
-                mask,
+                pa.array(keep),
+                vals,
                 pa.scalar(dominant, t.schema.field(col).type),
-                t.column(col).combine_chunks(),
             )
+            before = len(pc.unique(vals))
+            after = len(pc.unique(arr))
+            assert after == before, (f, before, after)
             t = t.set_column(idx, col, arr)
         pq.write_table(t, os.path.join(d, f))
     return d
