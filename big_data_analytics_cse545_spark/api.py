@@ -2135,6 +2135,7 @@ def bpe_encode(
     *,
     out_col: str = "toks",
     mode: str = "auto",
+    emit: str = "tokens",
 ) -> DataFrame:
     """Tokenize a corpus with a trained BPE merge table (t25 semantics,
     operators/text.py) — the production step after :func:`bpe_train`:
@@ -2146,16 +2147,110 @@ def bpe_encode(
     Arrow-batched ``mapInPandas`` pass with a per-worker word→tokens
     memo, the regime for 30k-rule production tables; ``"auto"``
     (default) picks by table size. Both regimes are exact-equal by
-    test. Encode is embarrassingly parallel — no shuffle, scan-bound,
-    and the only shared state (the merge table) is kilobytes collected
-    driver-side (the centroid precedent)."""
+    test. ``emit="ids"`` yields ``array<bigint>`` vocabulary ids (the
+    :func:`bpe_vocab` id space) instead of token strings — what a
+    model pipeline actually consumes. Encode is embarrassingly
+    parallel — no shuffle, scan-bound, and the only shared state (the
+    merge table) is kilobytes collected driver-side (the centroid
+    precedent)."""
     from big_data_analytics_cse545_spark.operators.text import (
         bpe_encode as _bpe_encode,
     )
 
     return _bpe_encode(
-        df, merges, text_col=text_col, out_col=out_col, mode=mode
+        df, merges, text_col=text_col, out_col=out_col, mode=mode,
+        emit=emit,
     )
+
+
+def bpe_vocab(merges: DataFrame) -> DataFrame:
+    """The id-assigning vocabulary a trained tokenizer ships (t25
+    machinery, operators/text.py): (token string, token_id long) —
+    base alphabet [0-9a-z] at ids 0..35, then one id per distinct
+    merged string in training order, first-wins on duplicate merged
+    strings (two rules CAN produce the same string; a shipped vocab is
+    keyed by string, the GPT-2/SentencePiece convention). Every token
+    :func:`bpe_encode` can produce is in this vocab by construction."""
+    from big_data_analytics_cse545_spark.operators.text import (
+        bpe_vocab as _bpe_vocab,
+    )
+
+    return _bpe_vocab(merges)
+
+
+def save_bpe(merges: DataFrame, path: str) -> None:
+    """Persist a trained BPE merge table to ``path`` (a ``merges``
+    parquet + a one-row ``params`` parquet) — the durable tokenizer
+    artifact: train once per corpus release, encode many batches,
+    possibly in different jobs, days apart (the save_dedup_index /
+    save_pq_index pattern). The params row pins the artifact version,
+    the exact tokenizer contract the table was trained under, and the
+    merge count, so :func:`load_bpe` can refuse an artifact this
+    engine would silently mis-apply."""
+    import json
+
+    from big_data_analytics_cse545_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from big_data_analytics_cse545_spark.operators.text import (
+        BPE_BASE_ALPHABET,
+    )
+
+    spark = merges.sparkSession
+    merges.write.mode("overwrite").parquet(f"{path}/merges")
+    params = {
+        "version": 1,
+        "tokenizer": f"lower+split:{TOKEN_SPLIT_RE}",
+        "base_alphabet": BPE_BASE_ALPHABET,
+        "n_merges": merges.count(),
+    }
+    spark.createDataFrame(
+        [(json.dumps(params),)], "params string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_bpe(spark: SparkSession, path: str) -> DataFrame:
+    """Load a persisted BPE merge table, refusing loudly on contract
+    drift: wrong artifact version, a tokenizer other than the one this
+    engine encodes with (a table trained under a different split regex
+    would tokenize silently wrong), a changed base alphabet, or a
+    merge table whose steps are not the contiguous 1..n the in-order
+    apply requires (a torn/partial artifact)."""
+    import json
+
+    from big_data_analytics_cse545_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from big_data_analytics_cse545_spark.operators.text import (
+        BPE_BASE_ALPHABET,
+    )
+
+    params = json.loads(
+        spark.read.parquet(f"{path}/params").collect()[0]["params"]
+    )
+    want = {
+        "version": 1,
+        "tokenizer": f"lower+split:{TOKEN_SPLIT_RE}",
+        "base_alphabet": BPE_BASE_ALPHABET,
+    }
+    for k, v in want.items():
+        if params.get(k) != v:
+            raise ValueError(
+                f"BPE artifact at {path!r} has {k}={params.get(k)!r}, "
+                f"this engine requires {v!r} — re-train rather than "
+                "silently mis-tokenize"
+            )
+    merges = spark.read.parquet(f"{path}/merges")
+    steps = sorted(r["step"] for r in merges.select("step").collect())
+    if steps != list(range(1, len(steps) + 1)) or len(steps) != params.get(
+        "n_merges"
+    ):
+        raise ValueError(
+            f"BPE artifact at {path!r} is torn: expected contiguous "
+            f"steps 1..{params.get('n_merges')}, found {len(steps)} "
+            f"steps starting {steps[:5]}"
+        )
+    return merges
 
 
 def kmeans_trace(

@@ -2061,6 +2061,7 @@ def bpe_encode(
     text_col: str = "text",
     out_col: str = "toks",
     mode: str = "auto",
+    emit: str = "tokens",
 ) -> DataFrame:
     """Encode a corpus with a trained BPE merge table — the reusable
     core of t25 (and ``api.bpe_encode``). Adds ``out_col`` (an
@@ -2090,10 +2091,15 @@ def bpe_encode(
       rests on).
 
     ``mode="auto"`` picks expr at ≤ BPE_EXPR_MAX_RULES rules, arrow
-    beyond. At 100 TB: encode is embarrassingly parallel either way —
-    no shuffle, no skew surface, scan-bound; the merge table is the
-    only shared state and it is kilobytes.
+    beyond. ``emit="ids"`` yields ``array<bigint>`` vocabulary ids
+    instead of token strings (:func:`_vocab_dict` — what a model
+    pipeline actually consumes; in-vocab guaranteed by construction).
+    At 100 TB: encode is embarrassingly parallel either way — no
+    shuffle, no skew surface, scan-bound; the merge table is the only
+    shared state and it is kilobytes.
     """
+    if emit not in ("tokens", "ids"):
+        raise ValueError(f"emit must be tokens/ids, got {emit!r}")
     rows = sorted(
         merges.select("step", "left", "right").collect(),
         key=lambda r: r["step"],
@@ -2116,9 +2122,17 @@ def bpe_encode(
                 syms = _apply_merges(syms, [rule])
             return syms
 
-        return df.withColumn(
-            out_col, F.flatten(F.transform(words, encode_word))
-        )
+        out = F.flatten(F.transform(words, encode_word))
+        if emit == "ids":
+            # the vocab rides as a map LITERAL — bounded by the expr
+            # cap (≤ 36 + 64 entries), far below expression-size limits
+            vocab = _vocab_dict(rules)
+            pairs: list[F.Column] = []
+            for tok, tid in vocab.items():
+                pairs += [F.lit(tok), F.lit(tid).cast("long")]
+            vmap = F.create_map(*pairs)
+            out = F.transform(out, lambda t: F.element_at(vmap, t))
+        return df.withColumn(out_col, out)
     if mode != "arrow":
         raise ValueError(f"mode must be expr/arrow/auto, got {mode!r}")
 
@@ -2128,20 +2142,26 @@ def bpe_encode(
 
     # a NEW StructType — StructType.add mutates (and returns) the live
     # df.schema object, which desyncs df.columns from its actual plan
+    from pyspark.sql.types import LongType
+
+    out_type = ArrayType(LongType() if emit == "ids" else StringType())
     out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField(out_col, ArrayType(StringType()))]
+        list(df.schema.fields) + [StructField(out_col, out_type)]
     )
     split_re = _re.compile(TOKEN_SPLIT_RE)
     rule_list = list(rules)
+    vocab = _vocab_dict(rule_list) if emit == "ids" else None
 
     def encode_batches(batches):
-        memo: dict[str, list[str]] = {}
+        memo: dict[str, list] = {}
 
-        def word_toks(w: str) -> list[str]:
+        def word_toks(w: str) -> list:
             got = memo.get(w)
             if got is None:
-                got = memo[w] = _encode_word_py(w, rule_list)
+                ts = _encode_word_py(w, rule_list)
+                got = memo[w] = (
+                    ts if vocab is None else [vocab[t] for t in ts]
+                )
             return got
 
         for pdf in batches:
@@ -2158,6 +2178,47 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(encode_batches, out_schema)
+
+
+# the only characters the trainer's tokenizer can emit (tokens() lowers
+# and splits on [^a-z0-9]+, so every symbol is built from these),
+# digits first — the fixed base id space of the shipped artifact
+BPE_BASE_ALPHABET = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _vocab_dict(rules: list[tuple[str, str, str]]) -> dict[str, int]:
+    """token → contiguous id: 0..35 are the base alphabet, then one id
+    per DISTINCT merged string in training order, FIRST-WINS on
+    duplicates — two different rules CAN produce the same string
+    (("a","bc") now and ("ab","c") later both yield "abc"), and a
+    shipped vocabulary is keyed by string, so the earlier id owns it
+    (the GPT-2 encoder.json / SentencePiece convention). Every token
+    bpe_encode can produce is covered by construction: a token is
+    either a single base char or some rule's merged string."""
+    vocab = {c: i for i, c in enumerate(BPE_BASE_ALPHABET)}
+    for _, _, merged in rules:
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
+    return vocab
+
+
+def bpe_vocab(merges: DataFrame) -> DataFrame:
+    """The id-assigning vocabulary a trained tokenizer SHIPS, as a
+    relation: (token string, token_id long) — base alphabet first,
+    then merges in step order (:func:`_vocab_dict` for the exact
+    rules, including duplicate-merged-string first-wins)."""
+    spark = merges.sparkSession
+    rows = sorted(
+        merges.select("step", "left", "right").collect(),
+        key=lambda r: r["step"],
+    )
+    vocab = _vocab_dict(
+        [(r["left"], r["right"], r["left"] + r["right"]) for r in rows]
+    )
+    return spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]),
+        "token string, token_id long",
+    )
 
 
 def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

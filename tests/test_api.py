@@ -1304,3 +1304,92 @@ def test_bpe_train_matches_t24(spark, sf_smoke):
         for r in text_ops.t24_bpe_train(spark, sf_smoke).orderBy("step").collect()
     ]
     assert got == exp and len(got) == 12
+
+
+def test_bpe_vocab_layout_and_duplicate_merged_strings(spark):
+    """The shipped vocabulary's id contract: base alphabet [0-9a-z] at
+    ids 0..35, merges in step order after it, contiguous ids, and
+    FIRST-WINS when two different rules produce the same merged string
+    (("a","bc") then ("ab","c") both yield "abc" — a string-keyed
+    vocab must give the earlier id ownership)."""
+    merges = spark.createDataFrame(
+        [(1, "a", "bc"), (2, "ab", "c"), (3, "x", "y")],
+        "step long, left string, right string",
+    )
+    rows = api.bpe_vocab(merges).orderBy("token_id").collect()
+    base = "0123456789abcdefghijklmnopqrstuvwxyz"
+    assert [(r["token"], r["token_id"]) for r in rows[:36]] == [
+        (c, i) for i, c in enumerate(base)
+    ]
+    tail = [(r["token"], r["token_id"]) for r in rows[36:]]
+    # "abc" appears ONCE (step 1 owns it); "xy" follows contiguously
+    assert tail == [("abc", 36), ("xy", 37)]
+
+
+def test_bpe_encode_ids_agree_with_vocab_in_both_regimes(spark, sf_smoke):
+    """emit='ids' must be exactly the vocab mapping of emit='tokens',
+    in BOTH execution regimes — and the two regimes must agree with
+    each other (the t25 parity contract extended to ids)."""
+    d = load_table(spark, sf_smoke, "documents").limit(120)
+    merges = api.bpe_train(d, "text", n_merges=8)
+    vocab = {
+        r["token"]: r["token_id"] for r in api.bpe_vocab(merges).collect()
+    }
+    toks = {
+        r["doc_id"]: r["toks"]
+        for r in api.bpe_encode(d, merges).select("doc_id", "toks").collect()
+    }
+    for mode in ("expr", "arrow"):
+        ids = {
+            r["doc_id"]: r["toks"]
+            for r in api.bpe_encode(d, merges, mode=mode, emit="ids")
+            .select("doc_id", "toks")
+            .collect()
+        }
+        assert ids == {
+            did: [vocab[t] for t in ts] for did, ts in toks.items()
+        }, mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="emit must be"):
+        api.bpe_encode(d, merges, emit="bytes")
+
+
+def test_bpe_artifact_round_trip_and_mismatch_guards(spark, sf_smoke, tmp_path):
+    """save_bpe → load_bpe must reproduce encoding exactly (the
+    train-once-encode-many contract across jobs), and load_bpe must
+    refuse a tampered tokenizer contract and a torn merge table."""
+    import json
+
+    import pytest as _pytest
+
+    d = load_table(spark, sf_smoke, "documents").limit(80)
+    merges = api.bpe_train(d, "text", n_merges=6)
+    path = str(tmp_path / "bpe")
+    api.save_bpe(merges, path)
+    loaded = api.load_bpe(spark, path)
+    a = {r["doc_id"]: r["toks"]
+         for r in api.bpe_encode(d, merges).select("doc_id", "toks").collect()}
+    b = {r["doc_id"]: r["toks"]
+         for r in api.bpe_encode(d, loaded).select("doc_id", "toks").collect()}
+    assert a == b
+    # tampered tokenizer contract → loud refusal
+    bad = str(tmp_path / "bpe_bad")
+    api.save_bpe(merges, bad)
+    params = json.loads(
+        spark.read.parquet(f"{bad}/params").collect()[0]["params"]
+    )
+    params["tokenizer"] = "lower+split:[^a-z]+"
+    spark.createDataFrame(
+        [(json.dumps(params),)], "params string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{bad}/params")
+    with _pytest.raises(ValueError, match="re-train"):
+        api.load_bpe(spark, bad)
+    # torn table (a step missing) → loud refusal
+    torn = str(tmp_path / "bpe_torn")
+    api.save_bpe(merges, torn)
+    merges.filter(F.col("step") != 3).write.mode("overwrite").parquet(
+        f"{torn}/merges"
+    )
+    with _pytest.raises(ValueError, match="torn"):
+        api.load_bpe(spark, torn)
