@@ -148,6 +148,20 @@ Round 11 (VERDICT r10 tasks #2 and #7):
   The p08 persist-drop mutation reads 1.3x quiet, so the raised
   factor still trips the plan-depth/expression class it guards (the
   r9 swap-first class read 2.7-3x).
+* Run 3 (with the cooldown + log in place) tripped AGAIN — and the
+  log made it adjudicable at last: under one-minute loadavg 6.1 every
+  floor inflated 2-7x SIMULTANEOUSLY (d03 38.2s, d08 46.5s, m04
+  15.2s, p08 24.0s), the cooldown probe drained most of it, and d08
+  landed 0.85s over its line (23.35 vs 22.5). A uniform inflation is
+  definitionally NOT the class this wire guards — so breaches are now
+  judged after dividing each wall by the probe's median wall/floor
+  ratio (``_breaches``; clamped at ≥1 so quiet probes are
+  unchanged). Single-query regressions still trip — they move their
+  own ratio, not the median (the s06 N_PLANES collapse reads ratio
+  ~2.5 against a ~0.8 median) — while whole-probe storms cancel
+  exactly. Run 3's both probes re-judged under this rule: zero
+  breaches (unit-pinned below with the recorded walls). Global
+  many-query regressions remain the bench control's gate.
 """
 
 from __future__ import annotations
@@ -272,14 +286,41 @@ def _plan():
     ]
 
 
+def _breaches(walls):
+    """Queries over their trip line AFTER storm normalization. The
+    tripwire guards SINGLE-QUERY expression/plan regressions — a code
+    regression moves one query's wall/floor ratio while its peers'
+    stay put, whereas a host storm inflates EVERY ratio at once
+    (round-11 probe log: under one-minute loadavg 6.1, all eleven
+    probes read 2-7x their floors simultaneously — d03 38.2s, d08
+    46.5s, m04 15.2s — then drained together). Dividing each wall by
+    the probe's MEDIAN wall/floor ratio (clamped at ≥1 so a fast quiet
+    probe never tightens the lines) cancels the uniform term exactly
+    and leaves the per-query term the floors were recorded to guard;
+    the quiet-calibration medians read 0.55-0.9, so quiet-box behavior
+    (and every mutation-check reading in this file's analyses) is
+    unchanged. A regression hitting MANY queries at once would read as
+    storm and pass here — that class is global, and the bench control
+    (tools/bench_control.py) is its gate."""
+    import statistics
+
+    storm = max(
+        1.0,
+        statistics.median(
+            walls[n] / floor for n, (_, floor, _) in FLOORS.items()
+        ),
+    )
+    return {
+        name: (round(walls[name], 2), round(storm, 2))
+        for name, (_, floor, factor) in FLOORS.items()
+        if walls[name] / storm > factor * floor
+    }
+
+
 def test_hot_queries_stay_within_factor_of_recorded_floor():
     walls = _run_probe(_plan())
-    breaches = {
-        name
-        for name, (_, floor, factor) in FLOORS.items()
-        if walls[name] > factor * floor
-    }
-    if breaches:
+    first = _breaches(walls)
+    if first:
         # confirm-on-breach (min of two independent probes): a one-off
         # GC/scheduling hiccup can land on any single reading — the r8
         # control saw an UNCHANGED query read 8.9x once and 1.1x on the
@@ -295,17 +336,53 @@ def test_hot_queries_stay_within_factor_of_recorded_floor():
         # so the confirm probe measures the code, not the storm.
         time.sleep(30)
         rerun = _run_probe(_plan())
-        walls.update(
-            {n: min(walls[n], rerun[n]) for n in breaches}
+        second = _breaches(rerun)
+        breaches = {n: (first[n], second[n]) for n in first if n in second}
+        assert not breaches, (
+            f"perf tripwire: {breaches} ((wall, storm_factor) per probe) "
+            f"exceeded their per-query trip factor over the recorded "
+            f"floors {FLOORS} in BOTH of two independent storm-normalized "
+            "probes — an expression/plan regression is reaching the "
+            "bench; A/B it with tools/bench_control.py before shipping "
+            "(per-probe walls + loadavg: "
+            "/tmp/spark_graft_tripwire_probes.jsonl)"
         )
-    breaches = {
-        name: round(walls[name], 2)
-        for name, (_, floor, factor) in FLOORS.items()
-        if walls[name] > factor * floor
+
+
+def test_storm_normalization_on_recorded_probes():
+    """_breaches pinned against three RECORDED probes: the round-11
+    run-3 storm pair (every floor inflated together; the old rule
+    tripped on d08 and cost a full-suite red) must judge clean in both
+    probes, and a synthetic single-query regression on an otherwise
+    quiet probe must still trip exactly that query."""
+    storm1 = {  # run-3 probe 1, loadavg 6.1
+        "d03_minhash_lsh_dedup": 38.2, "d08_dup_clusters": 46.5,
+        "f08_avro_scan": 13.0, "g01_host_pagerank": 13.4,
+        "g02_host_trustrank": 7.1, "g03_host_pagerank_weighted": 12.9,
+        "m04_audio_feature_profile": 15.2, "p08_kmeans_trace": 24.0,
+        "s06_ann_multitable_lsh": 9.7, "t13_repetition_filter": 6.0,
+        "t24_bpe_train": 10.1,
     }
-    assert not breaches, (
-        f"perf tripwire: {breaches} exceeded their per-query trip factor "
-        f"over the recorded floors {FLOORS} in BOTH of two independent "
-        "probes — an expression/plan regression is reaching the bench; "
-        "A/B it with tools/bench_control.py before shipping"
-    )
+    storm2 = {  # run-3 confirm probe after the cooldown, loadavg 7.2
+        "d03_minhash_lsh_dedup": 33.2, "d08_dup_clusters": 23.4,
+        "f08_avro_scan": 10.3, "g01_host_pagerank": 9.4,
+        "g02_host_trustrank": 4.7, "g03_host_pagerank_weighted": 5.8,
+        "m04_audio_feature_profile": 5.8, "p08_kmeans_trace": 12.6,
+        "s06_ann_multitable_lsh": 3.6, "t13_repetition_filter": 3.3,
+        "t24_bpe_train": 6.7,
+    }
+    quiet = {  # this round's quiet calibration probe, loadavg 3.9
+        "d03_minhash_lsh_dedup": 7.1, "d08_dup_clusters": 5.4,
+        "f08_avro_scan": 4.4, "g01_host_pagerank": 6.1,
+        "g02_host_trustrank": 3.8, "g03_host_pagerank_weighted": 5.1,
+        "m04_audio_feature_profile": 0.7, "p08_kmeans_trace": 4.0,
+        "s06_ann_multitable_lsh": 2.9, "t13_repetition_filter": 2.3,
+        "t24_bpe_train": 4.5,
+    }
+    assert _breaches(storm1) == {}
+    assert _breaches(storm2) == {}
+    assert _breaches(quiet) == {}
+    # the r8 s06 mutation class on a quiet box: ~2.6x its floor while
+    # the median stays sub-1 — must trip s06 and ONLY s06
+    regressed = dict(quiet, s06_ann_multitable_lsh=7.8)
+    assert set(_breaches(regressed)) == {"s06_ann_multitable_lsh"}
