@@ -253,13 +253,29 @@ print("TRIPWIRE " + json.dumps(out))
 
 def _run_probe(plan):
     probe = _PROBE % {"plan": json.dumps(plan)}
-    res = subprocess.run(
-        [sys.executable, "-c", probe],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=300,
-    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", probe],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        # r11 run-5 red: under one-minute loadavg ~10 the probe JVM sat
+        # at "(0 + 0) / 32" — NOT ONE task scheduled in 300s, pure
+        # executor starvation against the suite's live local[32]
+        # session, with walls never measured. One cooled-down retry
+        # with a longer leash; a SECOND timeout fails the test (an
+        # engine that genuinely hangs must still be caught).
+        time.sleep(60)
+        res = subprocess.run(
+            [sys.executable, "-c", probe],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
     assert res.returncode == 0, res.stderr[-2000:]
     line = [l for l in res.stdout.splitlines() if l.startswith("TRIPWIRE ")]
     assert line, res.stdout[-2000:]
@@ -317,7 +333,12 @@ def _breaches(walls):
     }
 
 
-def test_hot_queries_stay_within_factor_of_recorded_floor():
+def test_hot_queries_stay_within_factor_of_recorded_floor(spark):
+    # quiesce the suite's live session-scoped local[32] JVM before
+    # probing: drop its cached relations so the fresh probe JVM is not
+    # competing with a hot block manager for the same 32 cores (later
+    # tests re-persist on demand — swap_cached is reentrant)
+    spark.catalog.clearCache()
     walls = _run_probe(_plan())
     first = _breaches(walls)
     if first:
