@@ -2223,20 +2223,27 @@ def bpe_vocab(merges: DataFrame) -> DataFrame:
 
 def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with a tokenizer TRAINED ON IT: t24's merge
-    table ({K} merges), applied by :func:`bpe_encode`'s pure-JVM
-    expression regime. Output: per document, the subword token count
-    and an md5 over the separator-joined token stream (the t11
-    md5-of-scrubbed pattern — the hash certifies every token
-    byte-for-byte, not just the count), ordered by doc_id.
+    table ({K} merges), applied by :func:`bpe_encode`'s Arrow regime —
+    the production path, and measured 20× faster than the chained-fold
+    regime at sf0.1 (1.6-1.9 s vs 34-36 s): the per-worker word→tokens
+    memo makes encode cost proportional to DISTINCT-word mass per
+    partition, while the JVM fold pays per OCCURRENCE — a gap that
+    only widens with corpus size at fixed vocabulary (the Zipf
+    argument, now measured; SCALE.md round 11). Output: per document,
+    the subword token count and an md5 over the separator-joined token
+    stream (the t11 md5-of-scrubbed pattern — the hash certifies every
+    token byte-for-byte, not just the count), ordered by doc_id.
 
     Not SQL-expressible (the merge table is the output of the
     iterative argmax trainer) → test-gated like t24; the hard gate is
     the token-for-token golden vs an independent pure-Python encoder
-    plus the expr≡arrow regime-parity gate in tests/test_text.py.
+    plus the expr≡arrow regime-parity gate in tests/test_text.py
+    (which is also what licenses this regime swap — both paths are
+    token-for-token equal on every fixture).
     """
     d = load_table(spark, sf_dir, "documents")
     table = train_bpe(d)
-    enc = bpe_encode(d, table, mode="expr")
+    enc = bpe_encode(d, table, mode="arrow")
     return enc.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
