@@ -258,68 +258,90 @@ _DEMOTED_TWINNED = frozenset(
 # stays 124 − 7 test-gated − 2 demoted baselines − 15
 # twin-demoted = 100 = 2×50.
 #
-# ROUND-12 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names
-# in CORRECTNESS_r11 (this round's active set = the r09 half); active
-# set := the 50 names below (the CORRECTNESS_r10 half, unchanged).
-# Any round-12-born query must bring its own twin demotion (or
-# test-gating rationale).
+# ROUND-12 ROTATION (executed per the round-11 pre-written plan,
+# VERDICT r11 "Next round" #1): new _HELD_OUT below = the 50 names in
+# CORRECTNESS_r11 (all 50 hash-green; the active half this round was
+# the all-oracle r09 half). Active set = the CORRECTNESS_r10 half,
+# MINUS the two round-12 twin demotions q08 (↔ q09, same Expand plan
+# node — rollup's grouping sets are a strict subset of cube's; the
+# st01↔st02 "same plan node, special case" precedent, with q17 already
+# demoted against both) and t03 (↔ t04, which CALLS t03_term_mentions
+# verbatim and re-aggregates — the d01↔d10 "composes the kernel"
+# precedent; t04 is active and driver-checked THIS round), PLUS the
+# two round-12 newcomers d13 (exact-substring span dedup) and x09
+# (quality-classifier gate) entering on the freed slots (the m06↔q34 /
+# g03↔st01 same-round-debut pattern). The r10 half was 45 hash + 5
+# rows-only-by-design (m01, m02, p03, p05, p07); q08/t03 out (both
+# hash) and d13/x09 in (both hash) keeps the expected CORRECTNESS_r12
+# at 45 hash + 5 rows-only green = 50.
+# r11 ∩ r12 = ∅; r11 ∪ r12 = 100 eligible minus {q08, t03} (newly
+# demoted, their oracles keep running every pytest via
+# held_out_oracle_sql()) plus {d13, x09} (debuts). Pool arithmetic:
+# 126 registered − 7 test-gated − 2 demoted baselines − 17
+# twin-demoted = 100 = 2×50.
+#
+# ROUND-13 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names
+# in CORRECTNESS_r12 (this round's active set, incl. the debuts d13
+# and x09); active set := the 50 names below (the CORRECTNESS_r11
+# half, unchanged). Any round-13-born query must bring its own twin
+# demotion (or test-gating rationale).
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # = the 50 queries checked in CORRECTNESS_r10 (all green).
+        # = the 50 queries checked in CORRECTNESS_r11 (all hash-green).
         # Their DuckDB oracles keep running every pytest run via
         # held_out_oracle_sql(); they rotate back into the driver
-        # budget in round 12.
-        "d03_minhash_lsh_dedup",
-        "d05_embedding_near_dup",
-        "d10_incremental_dedup",
-        "f03_jsonl_corrupt_tolerant",
-        "f04_partitioned_scan",
-        "f08_avro_scan",
-        "g02_host_trustrank",
-        "g03_host_pagerank_weighted",
-        "m01_image_similarity_funnel",
-        "m02_video_frame_sample",
-        "m05_signature_band_relational",
-        "p01_dim_stats",
-        "p03_pca_topk",
-        "p05_kmeans_iterative",
-        "p07_pq_ann",
-        "q01_pricing_summary",
-        "q02_revenue_by_nation",
-        "q03_top_orders",
-        "q04_customers_with_orders",
-        "q05_customers_without_orders",
-        "q08_rollup_region_nation",
-        "q09_cube_status_priority",
-        "q10_set_ops",
-        "q11_distinct_and_conditional_agg",
-        "q12_inlist_filter",
-        "q13_string_funcs",
-        "q14_events_by_month_type",
-        "q16_above_avg_lineitems",
-        "q20_approx_distinct",
-        "q36_merge_upsert_general",
-        "s03_ann_ivf",
-        "s06_ann_multitable_lsh",
-        "st03_session_window",
-        "st04_streaming_dedup",
-        "st05_stateful_user_counts",
-        "st06_stream_stream_join",
-        "st09_stream_incremental_dedup",
-        "st10_sliding_distinct_users",
-        "t01_wordcount",
-        "t02_word_set_difference",
-        "t03_term_mentions",
-        "t04_term_mentions_nested",
-        "t05_lang_guess",
-        "t08_fingerprint",
-        "t09_pseudo_xml_extract",
-        "t11_pii_scrub",
-        "t18_url_canonicalize",
-        "t19_unicode_normalize",
-        "x04_token_budget_select",
-        "x06_leakage_safe_split",
+        # budget in round 13.
+        "q06_topk_orders_per_customer",
+        "q07_order_running_analytics",
+        "q18_asof_join",
+        "q19_range_join",
+        "q21_null_semantics",
+        "q22_retention_cohorts",
+        "q23_event_funnel",
+        "q25_range_frame",
+        "q26_pivot",
+        "q27_gap_fill",
+        "q28_sessionize",
+        "q29_skew_safe_distinct",
+        "q31_variant_json",
+        "q32_approx_percentiles",
+        "q33_sql_subqueries",
+        "q35_recursive_cte",
+        "t06_quality_score",
+        "t10_wholetext_extract",
+        "t12_pack_sequences",
+        "t13_repetition_filter",
+        "t14_corpus_freq_score",
+        "t15_winnowing_pairs",
+        "t16_html_strip",
+        "t17_chunk_overlap",
+        "t20_bpe_pair_stats",
+        "t21_bm25_score",
+        "t22_unigram_nll",
+        "t23_host_reputation",
+        "x02_temperature_mix",
+        "x05_stratified_sample",
+        "x07_dsir_select",
+        "x08_prep_pipeline",
+        "f02_csv_scan",
+        "f06_python_datasource_scan",
+        "f07_xml_scan",
+        "d04_simhash_clusters",
+        "d07_decontaminate",
+        "d11_semantic_dedup",
+        "d12_cdc_chunk_dedup",
+        "s02_ann_hyperplane_lsh",
+        "s05_filtered_ann",
+        "p02_random_projection",
+        "p06_scalar_quantize",
+        "p08_kmeans_trace",
+        "m06_frame_index_relational",
+        "st02_sliding_window",
+        "st07_stream_static_join",
+        "st08_stream_outer_join",
+        "st11_transform_with_state",
+        "st12_python_stream_source",
     }
 )
 
