@@ -63,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 124
+# The driver hash-checks only the FIRST 50 queries() entries, so with 125
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -225,6 +225,19 @@ _DEMOTED_TWINNED = frozenset(
         # held_out_oracle_sql(). f08 takes f01's freed ACTIVE slot this
         # round (the m06↔q34 / g03↔st01 same-round-debut pattern).
         "f01_jsonl_scan",  # ↔ f03_jsonl_corrupt_tolerant (zero-corruption special case, same JSONL parse kernel)
+        # Round-12 newcomer d13 (exact-substring span dedup, the Lee
+        # et al. 2022 family) brings its twin per the standing rule:
+        # q08's ROLLUP grouping sets are a strict subset of q09's CUBE
+        # on the same Expand plan node (the st01↔st02 "same plan node,
+        # special case" precedent — and q17, the GROUPING SETS
+        # generalization of both, is already demoted against this
+        # pair). q09 is active and driver-checked THIS round; q08's
+        # oracle keeps running every pytest via held_out_oracle_sql().
+        # d13 takes q08's freed ACTIVE slot (the m06↔q34 / g03↔st01
+        # same-round-debut pattern); d13 itself composes t15's
+        # winnowing candidate kernel verbatim and extends it with the
+        # exact diagonal-merge confirm stage.
+        "q08_rollup_region_nation",  # ↔ q09_cube_status_priority (rollup ⊂ cube, same Expand plan node)
     }
 )
 # ROUND-10 ROTATION (executed per the round-9 pre-written plan,
@@ -367,7 +380,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (124 queries; exact count asserted in
+    """The FULL registry (125 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1722,6 +1722,48 @@ def cdc_dedup(
     )
 
 
+def shared_spans(
+    df: DataFrame, text_col: str, id_col: str, *, min_span: int | None = None
+) -> DataFrame:
+    """Maximal shared token spans between document pairs (d13
+    semantics — the Lee et al. 2022 exact-substring dedup family):
+    (d1, d2, s1, e1, s2, e2, span_len) with inclusive 0-based token
+    bounds. ``min_span`` (default SPAN_MIN_TOKENS = the winnowing
+    guarantee threshold) may only be RAISED — below the guarantee
+    boundary detection is probabilistic, so the operator refuses to
+    pretend otherwise."""
+    from big_data_analytics_cse545_spark.operators.dedup import (
+        SPAN_MIN_TOKENS,
+        shared_spans as _shared_spans,
+    )
+
+    spans = _shared_spans(df, text_col=text_col, id_col=id_col)
+    if min_span is not None:
+        if min_span < SPAN_MIN_TOKENS:
+            raise ValueError(
+                f"min_span={min_span} is below the winnowing guarantee "
+                f"threshold {SPAN_MIN_TOKENS} (K+W-1): runs shorter than "
+                "that are not reliably detected — lower WINNOW_K/W "
+                "instead of silently under-reporting"
+            )
+        spans = spans.filter(F.col("span_len") >= min_span)
+    return spans
+
+
+def strip_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Keep-first span removal (d13's removal transform): drop every
+    shared-span occurrence from the LATER document (the d2 side),
+    returning (doc_id, toks) for every input row — the token-level
+    corpus after exact-substring dedup."""
+    from big_data_analytics_cse545_spark.operators.dedup import (
+        strip_spans as _strip_spans,
+    )
+
+    return _strip_spans(df, spans, text_col=text_col, id_col=id_col)
+
+
 def merge_upsert(
     snapshot: DataFrame,
     changes: DataFrame,

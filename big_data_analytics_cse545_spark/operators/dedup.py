@@ -1525,6 +1525,219 @@ ORDER BY chunk_hash
 """
 
 
+# ---------------------------------------------------------------------------
+# d13 — exact-substring span dedup (the Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+# Minimal reported span = the winnowing guarantee threshold t = K+W-1:
+# any shared token run of at least this length is GUARANTEED to yield a
+# shared winnow fingerprint (SIGMOD'03), so the candidate stage cannot
+# miss a reportable span — modulo the documented MAX_DF boilerplate cap.
+SPAN_MIN_TOKENS = 8  # = WINNOW_K + WINNOW_W - 1; asserted at import below
+
+
+def shared_spans(
+    d: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MAXIMAL shared token spans between document pairs — the
+    exact-substring dedup family of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499),
+    whose suffix-array "every duplicated substring ≥ threshold" output
+    is re-expressed here as a two-stage Spark funnel (the reference's
+    sketch→exact discipline, ``Assignment 2/a2_ahuja.py:233-241``):
+
+    1. CANDIDATES — t15's winnowing machinery verbatim
+       (operators/text.py ``winnow_gram_relation`` →
+       ``winnow_fingerprints`` → ``winnow_bucket_pairs``): bucketed,
+       df-capped, never all-pairs. Any shared run ≥ K+W-1 tokens
+       yields a shared fingerprint, so recall at the SPAN_MIN_TOKENS
+       threshold is structural, not probabilistic (the only loss
+       surface is a run whose EVERY selected fingerprint is shared by
+       > WINNOW_MAX_DF docs — boilerplate by definition, excluded on
+       both engines identically).
+    2. EXACT SPANS — for candidate pairs only, equi-join the two docs'
+       FULL k-gram relations on gram hash and merge same-diagonal
+       consecutive matches with one gaps-and-islands window
+       (``grp = p1 − row_number() over (d1, d2, p1−p2 ORDER BY p1)``):
+       a maximal shared run of length L is exactly L−K+1 consecutive
+       matches on one diagonal → one island → one span of length L.
+       Pure integer arithmetic end to end, hence the DuckDB oracle.
+
+    Output: (d1, d2, s1, e1, s2, e2, span_len) — inclusive 0-based
+    token-position bounds of each maximal span in both docs; internally
+    periodic text yields one span per alignment (diagonal), which is
+    what token-level removal needs. Scale shape: the gram relation is
+    computed ONCE (swap-cached; both the winnow branch and both join
+    sides read it), shuffles carry (doc_id, pos, 32-hex hash) rows
+    only, and the quadratic confirm is confined to df-capped candidate
+    pairs — the d03/t15 100 TB shape. ``strip_spans`` below is the
+    removal transform.
+    """
+    from big_data_analytics_cse545_spark.cache import swap_cached
+    from big_data_analytics_cse545_spark.operators.text import (
+        WINNOW_K,
+        winnow_bucket_pairs,
+        winnow_fingerprints,
+        winnow_gram_relation,
+    )
+
+    grams = swap_cached(
+        "d13_grams", winnow_gram_relation(d, text_col=text_col, id_col=id_col)
+    )
+    cand = winnow_bucket_pairs(winnow_fingerprints(grams)).distinct()
+    g1 = grams.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "gh"
+    )
+    g2 = grams.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), "gh"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("d1", "d2", "diag").orderBy("p1")
+    return (
+        cand.join(g1, "d1")
+        .join(g2, ["d2", "gh"])
+        .withColumn("diag", F.col("p1") - F.col("p2"))
+        .withColumn("grp", F.col("p1") - F.row_number().over(w))
+        .groupBy("d1", "d2", "diag", "grp")
+        .agg(
+            F.min("p1").cast("long").alias("s1"),
+            (F.max("p1") + (WINNOW_K - 1)).cast("long").alias("e1"),
+            F.min("p2").cast("long").alias("s2"),
+            (F.max("p2") + (WINNOW_K - 1)).cast("long").alias("e2"),
+            (F.max("p1") - F.min("p1") + WINNOW_K).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= SPAN_MIN_TOKENS)
+        .select("d1", "d2", "s1", "e1", "s2", "e2", "span_len")
+    )
+
+
+def strip_spans(
+    d: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-first span removal (the Lee et al. dedup policy): for every
+    shared span, drop the covered tokens from the LATER document (the
+    ``d2`` side of :func:`shared_spans`; the ``d1`` occurrence
+    survives). Token-level on purpose — the engine's canonical token
+    stream (``functions.text.tokens``) is the unit every downstream
+    operator consumes; char-offset surgery on raw text would have to
+    invert a lossy tokenizer.
+
+    Output: (doc_id, toks) for EVERY input document — untouched docs
+    keep their full token array, fully-covered docs keep an empty one.
+    Plan shape: one anti-join of the token relation against the span
+    intervals (equi on doc_id + pos-range residual — membership needs
+    no interval merging, overlap is absorbed by the anti-join), then a
+    per-doc re-assembly. No driver loops, no UDFs.
+    """
+    iv = spans.select(
+        F.col("d2").alias("doc_id"), F.col("s2").alias("s"), F.col("e2").alias("e")
+    )
+    toks = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.alias("t").join(
+        iv.alias("i"),
+        (F.col("t.doc_id") == F.col("i.doc_id"))
+        & (F.col("t.pos") >= F.col("i.s"))
+        & (F.col("t.pos") <= F.col("i.e")),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda x: x["tok"],
+        ).alias("toks")
+    )
+    return (
+        d.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("toks"), F.array().cast("array<string>")).alias(
+                "toks"
+            ),
+        )
+    )
+
+
+def d13_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for :func:`shared_spans` on the documents table:
+    every maximal shared token span ≥ SPAN_MIN_TOKENS between any
+    document pair, ordered by (d1, d2, s1, s2) — (d1, d2, s1, s2) is
+    unique by construction (one island per (pair, diagonal, start)),
+    so the order is total and the driver hash deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return shared_spans(d).orderBy("d1", "d2", "s1", "s2")
+
+
+def _d13_sql() -> str:
+    from big_data_analytics_cse545_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_MAX_DF,
+        WINNOW_W,
+    )
+
+    assert SPAN_MIN_TOKENS == WINNOW_K + WINNOW_W - 1
+    return f"""
+WITH big AS (
+  SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+  WHERE len({_SQL_TOKENS}) >= {WINNOW_K}
+),
+kg AS (
+  SELECT doc_id,
+         list_transform(range(0, len(ts) - {WINNOW_K} + 1),
+           i -> md5(array_to_string(list_slice(ts, i + 1, i + {WINNOW_K}), ' '))) AS kgs
+  FROM big
+),
+gr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(kgs)),
+           i -> {{'pos': i, 'gh': kgs[i + 1]}}), recursive := true)
+  FROM kg
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(0, len(kgs) - {WINNOW_W} + 1),
+           j -> list_aggregate(list_slice(kgs, j + 1, j + {WINNOW_W}), 'min')))) AS fp
+  FROM kg
+  WHERE len(kgs) >= {WINNOW_W}
+),
+rare AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {WINNOW_MAX_DF}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM (SELECT * FROM sel JOIN rare USING (fp)) a
+  JOIN (SELECT * FROM sel JOIN rare USING (fp)) b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.d1, c.d2, g1.pos AS p1, g2.pos AS p2
+  FROM cand c
+  JOIN gr g1 ON g1.doc_id = c.d1
+  JOIN gr g2 ON g2.doc_id = c.d2 AND g2.gh = g1.gh
+),
+isl AS (
+  SELECT d1, d2, p1, p2,
+         p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp
+  FROM m
+)
+SELECT d1, d2,
+       CAST(MIN(p1) AS BIGINT) AS s1,
+       CAST(MAX(p1) + {WINNOW_K - 1} AS BIGINT) AS e1,
+       CAST(MIN(p2) AS BIGINT) AS s2,
+       CAST(MAX(p2) + {WINNOW_K - 1} AS BIGINT) AS e2,
+       CAST(MAX(p1) - MIN(p1) + {WINNOW_K} AS BIGINT) AS span_len
+FROM isl
+GROUP BY d1, d2, p1 - p2, grp
+HAVING MAX(p1) - MIN(p1) + {WINNOW_K} >= {SPAN_MIN_TOKENS}
+ORDER BY d1, d2, s1, s2
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard_pairs": d02_ngram_jaccard_pairs,
@@ -1538,6 +1751,7 @@ QUERIES = {
     "d10_incremental_dedup": d10_incremental_dedup,
     "d11_semantic_dedup": d11_semantic_dedup,
     "d12_cdc_chunk_dedup": d12_cdc_chunk_dedup,
+    "d13_exact_substring_spans": d13_exact_substring_spans,
 }
 
 ORACLE = {
@@ -1552,4 +1766,6 @@ ORACLE = {
     "d10_incremental_dedup": _D10_SQL,
     "d11_semantic_dedup": _d11_sql,
     "d12_cdc_chunk_dedup": _D12_SQL,
+    # callable — composes the winnow constants lazily (the d04/d11 pattern)
+    "d13_exact_substring_spans": _d13_sql,
 }

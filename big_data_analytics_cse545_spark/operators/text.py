@@ -891,11 +891,29 @@ def t15_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once (the old self-join re-ran it on both sides).
     """
     d = load_table(spark, sf_dir, "documents")
+    return (
+        winnow_bucket_pairs(winnow_fingerprints(winnow_gram_relation(d)))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("d1", "d2")
+    )
+
+
+def winnow_gram_relation(d: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, gh): md5 of the K-token gram starting at each token
+    position — the ROW-wise formulation t15's docstring motivates (the
+    nested-array spelling is O(T²) under CollapseProject; measured 109s
+    vs 6s at sf0.01). Shared by t15's fingerprint funnel and d13's
+    exact-substring span confirm (operators/dedup.py), which needs the
+    SAME gram relation twice: winnow-selected for candidates, full for
+    the diagonal merge."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     toks = d.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
-    grams = (
+    return (
         toks.withColumn(
             "gh",
             # full grams only: the K-1 lookahead is NULL in the tail
@@ -912,13 +930,30 @@ def t15_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gh").isNotNull())
         .select("doc_id", "pos", "gh")
     )
-    fps = (
+
+
+def winnow_fingerprints(grams: DataFrame) -> DataFrame:
+    """(doc_id, fp): the winnowing-selected fingerprint set — min gram
+    hash of each W-window, distinct per doc (SIGMOD'03 guarantee: any
+    shared token run of length ≥ K+W-1 yields a shared fp)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
         grams.withColumn("_wend", F.lead("gh", WINNOW_W - 1).over(w))
         .withColumn("fp", F.min("gh").over(w.rowsBetween(0, WINNOW_W - 1)))
         .filter(F.col("_wend").isNotNull())
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def winnow_bucket_pairs(fps: DataFrame) -> DataFrame:
+    """Ordered candidate pairs (d1 < d2), one row per shared rare
+    fingerprint — bucket-local generation, never a fingerprint
+    self-join: group by fp, drop boilerplate buckets (doc-frequency >
+    WINNOW_MAX_DF — both the standard relevance move and the skew
+    guard), emit pairs from each ≤MAX_DF-doc bucket with one nested
+    transform over a tiny array. The shuffle carries (32-char hash,
+    doc_id) only; fan-out per fingerprint is bounded by MAX_DF²."""
     buckets = (
         fps.groupBy("fp")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
@@ -935,10 +970,6 @@ def t15_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.d1", "p.d2")
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
-        .orderBy("d1", "d2")
     )
 
 

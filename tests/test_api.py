@@ -1393,3 +1393,32 @@ def test_bpe_artifact_round_trip_and_mismatch_guards(spark, sf_smoke, tmp_path):
     )
     with _pytest.raises(ValueError, match="torn"):
         api.load_bpe(spark, torn)
+
+
+def test_shared_spans_api_and_min_span_guard(spark):
+    """api.shared_spans matches the d13 core on a planted corpus, the
+    min_span knob only RAISES the threshold (filtering shorter spans),
+    and a below-guarantee min_span is a loud refusal."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    df = spark.createDataFrame(
+        [
+            (1, "zeta one two three four " + shared + " omega nine"),
+            (2, "kappa red green blue yellow purple " + shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = api.shared_spans(df, "text", "doc_id").collect()
+    assert len(spans) == 1 and spans[0]["span_len"] == 10
+    assert api.shared_spans(df, "text", "doc_id", min_span=11).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="guarantee"):
+        api.shared_spans(df, "text", "doc_id", min_span=3)
+    stripped = {
+        r["doc_id"]: r["toks"]
+        for r in api.strip_spans(
+            df, api.shared_spans(df, "text", "doc_id"), "text", "doc_id"
+        ).collect()
+    }
+    assert stripped[2] == "kappa red green blue yellow purple".split()
+    assert len(stripped[1]) == 17

@@ -445,3 +445,87 @@ def test_wide_key_banding_is_exact_and_narrower(spark, sf_correctness):
         map(tuple, dedup.simhash_near_dup_pairs(d, wide_keys=True).collect())
     )
     assert classic == wide and len(classic) > 0
+
+
+def _span_corpus(spark):
+    """Three docs sharing one planted 10-token passage (docs 1 and 2),
+    plus an unrelated doc. Surroundings are made of distinct words so
+    no accidental k-gram collides with the planted run."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    d1 = "zeta one two three four " + shared + " omega nine eight seven six"
+    d2 = "kappa red green blue yellow purple " + shared
+    d3 = "totally unrelated words about gardening tomatoes and sunshine here"
+    return spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id bigint, text string"
+    )
+
+
+def test_d13_planted_span_is_exact_and_maximal(spark):
+    """A planted shared run of exactly 10 tokens must surface as ONE
+    span of span_len == 10 with exact 0-based inclusive bounds in both
+    docs — not fragments, not an extended span (maximality both ways)."""
+    spans = dedup.shared_spans(_span_corpus(spark)).collect()
+    assert len(spans) == 1, spans
+    s = spans[0]
+    # d1: run starts after 5 lead tokens; d2: after 6 lead tokens
+    assert (s["d1"], s["d2"]) == (1, 2)
+    assert (s["s1"], s["e1"]) == (5, 14)
+    assert (s["s2"], s["e2"]) == (6, 15)
+    assert s["span_len"] == 10
+
+
+def test_d13_below_threshold_run_is_silent(spark):
+    """A shared run of SPAN_MIN_TOKENS − 1 tokens must produce NO span:
+    the threshold is the winnowing guarantee boundary K+W−1, below
+    which detection is not promised — so the operator reports nothing
+    rather than something unreliable."""
+    shared = " ".join(["s%d" % i for i in range(dedup.SPAN_MIN_TOKENS - 1)])
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee " + shared + " ff gg hh"),
+            (2, "qq rr ss tt " + shared + " uu vv ww"),
+        ],
+        "doc_id bigint, text string",
+    )
+    assert dedup.shared_spans(df).count() == 0
+
+
+def test_d13_exact_threshold_run_is_found(spark):
+    """At exactly SPAN_MIN_TOKENS the winnowing guarantee kicks in: the
+    run MUST be found, with span_len == SPAN_MIN_TOKENS."""
+    shared = " ".join(["s%d" % i for i in range(dedup.SPAN_MIN_TOKENS)])
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee " + shared + " ff gg hh"),
+            (2, "qq rr ss tt " + shared + " uu vv ww"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = dedup.shared_spans(df).collect()
+    assert len(spans) == 1
+    assert spans[0]["span_len"] == dedup.SPAN_MIN_TOKENS
+
+
+def test_d13_strip_spans_keep_first(spark):
+    """strip_spans removes the span tokens from the LATER doc only:
+    d1 keeps its full token stream, d2 loses exactly the planted run,
+    and the untouched doc is returned verbatim."""
+    corpus = _span_corpus(spark)
+    spans = dedup.shared_spans(corpus)
+    out = {r["doc_id"]: r["toks"] for r in dedup.strip_spans(corpus, spans).collect()}
+    assert len(out) == 3
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett".split()
+    d1_full = ("zeta one two three four " + " ".join(shared) + " omega nine eight seven six").split()
+    d2_full = ("kappa red green blue yellow purple " + " ".join(shared)).split()
+    assert out[1] == d1_full, "d1 (first occurrence) must be untouched"
+    assert out[2] == d2_full[:6], "d2 must lose exactly the planted run"
+    assert out[3] == "totally unrelated words about gardening tomatoes and sunshine here".split()
+
+
+def test_d13_strip_spans_no_spans_is_identity(spark):
+    """With an empty span relation every doc keeps its full tokens."""
+    corpus = _span_corpus(spark)
+    empty = dedup.shared_spans(corpus).limit(0)
+    out = {r["doc_id"]: r["toks"] for r in dedup.strip_spans(corpus, empty).collect()}
+    assert out[3] == "totally unrelated words about gardening tomatoes and sunshine here".split()
+    assert len(out[1]) == 20 and len(out[2]) == 16
