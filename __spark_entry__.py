@@ -63,7 +63,7 @@ def _modules():
     ]
 
 
-# The driver hash-checks only the FIRST 50 queries() entries, so with 125
+# The driver hash-checks only the FIRST 50 queries() entries, so with 126
 # registered queries (len(all_queries()) — asserted in
 # tests/test_entry_contract.py) we budget deliberately instead of
 # letting the tail fall off silently:
@@ -238,6 +238,18 @@ _DEMOTED_TWINNED = frozenset(
         # winnowing candidate kernel verbatim and extends it with the
         # exact diagonal-merge confirm stage.
         "q08_rollup_region_nation",  # ↔ q09_cube_status_priority (rollup ⊂ cube, same Expand plan node)
+        # Round-12 newcomer x09 (quality-classifier gate) brings its
+        # twin per the standing rule, the strongest (d01↔d10
+        # "composes the kernel") kind: t04 CALLS t03_term_mentions
+        # verbatim and re-aggregates it, so t03's tokenize→IN-list→
+        # composite-key-count kernel is re-verified inside t04 every
+        # round. t04 is active and driver-checked THIS round; t03's
+        # oracle keeps running every pytest via held_out_oracle_sql().
+        # x09 takes t03's freed ACTIVE slot (same-round-debut
+        # pattern); x09 itself composes x01's hash-split membership
+        # kernel (train/infer separation) and x07's integer micro-nat
+        # weight discipline.
+        "t03_term_mentions",  # ↔ t04_term_mentions_nested (t04 composes t03's kernel verbatim)
     }
 )
 # ROUND-10 ROTATION (executed per the round-9 pre-written plan,
@@ -380,7 +392,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (125 queries; exact count asserted in
+    """The FULL registry (126 queries; exact count asserted in
     tests/test_entry_contract.py) — used by bench.py and pytest so
     coverage/timings stay comparable across rounds regardless of the
     driver-budget rotation."""

@@ -1722,6 +1722,42 @@ def cdc_dedup(
     )
 
 
+def quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    train_col: str | None = None,
+    n_buckets: int | None = None,
+    tag: str | None = None,
+) -> DataFrame:
+    """CCNet/fastText-style quality gate over arbitrary rows (x09
+    semantics): train a hashed unigram+bigram Naive-Bayes linear model
+    on rows where boolean ``train_col`` holds (all rows if None) with
+    boolean ``label_col`` as the positive class, then score EVERY row.
+    Returns (doc_id, n_feats, qc_sum_micro, qc_gate_micro, keep) —
+    scores are exact BIGINT micro-nat sums (x07's integer discipline),
+    the gate is the NB log-posterior-odds sign, and the whole
+    train+apply composition is one lazy plan: two WordCount-shaped
+    aggregations plus a broadcast of the fixed-size weight table."""
+    from big_data_analytics_cse545_spark.operators.sampling import (
+        QC_BUCKETS,
+        QC_TAG,
+        classify_quality,
+    )
+
+    return classify_quality(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        label_col=label_col,
+        train_col=train_col,
+        n_buckets=QC_BUCKETS if n_buckets is None else n_buckets,
+        tag=QC_TAG if tag is None else tag,
+    )
+
+
 def shared_spans(
     df: DataFrame, text_col: str, id_col: str, *, min_span: int | None = None
 ) -> DataFrame:

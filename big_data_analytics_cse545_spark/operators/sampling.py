@@ -865,6 +865,220 @@ ORDER BY lang, ppl_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# x09 — quality-classifier gate (hashed n-gram linear model, CCNet/fastText)
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 2048   # hashed unigram+bigram feature space (fastText -bucket)
+QC_TAG = "qc"       # hash-family tag (the x01 'split|' / x07 'dsir' discipline)
+
+
+def classify_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "_pos",
+    train_col: str | None = None,
+    n_buckets: int = QC_BUCKETS,
+    tag: str = QC_TAG,
+) -> DataFrame:
+    """The CCNet/fastText-style keep/drop quality gate (Wenzek et al.
+    2019, arXiv:1911.00359; Joulin et al. 2016 fastText): a hashed
+    bag-of-n-grams linear classifier, trained as event-level Naive
+    Bayes on rows where ``train_col`` holds (boolean ``label_col`` is
+    the positive class) and applied to EVERY row — inference is pure
+    JVM expressions with x07's integer micro-nat discipline
+    (:func:`hash_bucket`, sampling.py:44), so per-doc scores are exact
+    BIGINT sums, immune to float-summation order.
+
+    The model, exactly:
+
+    - features: unigrams + bigrams of the engine tokenizer's stream,
+      WITH multiplicity, hashed into ``n_buckets`` cells (fastText's
+      ``-bucket``/``wordNgrams 2`` shape);
+    - per-bucket weight (train rows only): add-one-smoothed NB
+      log-odds ``ln((p_b+1)/(P+B)) − ln((q_b+1)/(Q+B))``, rounded
+      ONCE to integer micro-nats; buckets unseen in training get the
+      same formula at count 0 (the smoothing floor), so every
+      inference feature has a defined exact weight;
+    - bias: the class prior ``ln((n_pos+1)/(n_neg+1))`` in micro-nats
+      over train DOCS;
+    - gate: the multinomial-NB decision rule ``bias + Σ_f w_f ≥ 0``
+      (log-posterior odds of the positive class) — a pure BIGINT sum,
+      so the decision boundary itself has no rounding surface.
+      Zero-feature docs are dropped (a quality gate has no evidence
+      to keep them on).
+
+    Output: (doc_id, n_feats, qc_sum_micro, qc_gate_micro, keep) for
+    every input row. Scale shape (the x07 analysis verbatim): two
+    WordCount-shaped aggregations (bucket counts combine map-side on
+    ≤ B keys; doc sums combine on doc_id), one broadcast of the B-row
+    weight table (fixed-size by construction), one broadcast 1-row
+    bias. The text column never shuffles; the widest shuffled row is
+    (doc_id, label, bkt).
+    """
+    from big_data_analytics_cse545_spark.functions.text import bigrams, tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("_pos"),
+        (F.lit(True) if train_col is None else F.col(train_col)).alias("_tr"),
+        tokens(F.col(text_col)).alias("ts"),
+    )
+    feats = base.select(
+        "doc_id",
+        "_pos",
+        "_tr",
+        F.explode(F.concat(F.col("ts"), bigrams(F.col("ts"), "_"))).alias("f"),
+    )
+    b = feats.select(
+        "doc_id", "_pos", "_tr", hash_bucket(F.col("f"), tag, n_buckets).alias("bkt")
+    )
+    cnt = (
+        b.filter("_tr")
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("p_n"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("q_n"),
+        )
+    )
+    tot = cnt.agg(F.sum("p_n").alias("big_p"), F.sum("q_n").alias("big_q"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("p_n") + 1.0) / (F.col("big_p") + n_buckets))
+                - F.log((F.col("q_n") + 1.0) / (F.col("big_q") + n_buckets))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    pr = base.filter("_tr").agg(
+        F.round(
+            F.log(
+                (F.sum(F.when(F.col("_pos"), 1).otherwise(0)) + 1.0)
+                / (F.sum(F.when(F.col("_pos"), 0).otherwise(1)) + 1.0)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("b_micro")
+    )
+    default_w = (
+        F.round(
+            (
+                F.log(1.0 / (F.col("big_p") + n_buckets))
+                - F.log(1.0 / (F.col("big_q") + n_buckets))
+            )
+            * 1e6
+        ).cast("long")
+    )
+    scored = (
+        b.join(F.broadcast(w), "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.coalesce(F.col("w_micro"), default_w).alias("w_eff"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_eff").alias("qc_sum_micro"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(pr))
+        .withColumn("n_feats", F.coalesce(F.col("n_feats"), F.lit(0)).cast("long"))
+        .withColumn(
+            "qc_sum_micro", F.coalesce(F.col("qc_sum_micro"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "qc_gate_micro", (F.col("qc_sum_micro") + F.col("b_micro")).cast("long")
+        )
+        .withColumn("keep", (F.col("n_feats") > 0) & (F.col("qc_gate_micro") >= 0))
+        .select("doc_id", "n_feats", "qc_sum_micro", "qc_gate_micro", "keep")
+    )
+
+
+def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for :func:`classify_quality`: the classifier is
+    trained on the x01 hash-split TRAIN membership (``md5('split|' ||
+    doc_id) mod 100 < 98`` — the train/infer separation a deployed
+    CCNet gate has, and x01's exact kernel) with ``lang = 'en'`` as
+    the positive class (CCNet's curated-language target), then applied
+    to the WHOLE corpus — held-out docs are scored by a model that
+    never saw them. Deterministic end to end: the split is md5
+    membership, the weights are single-rounded micro-nats, the gate is
+    BIGINT — hence the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.withColumn("_pos", F.col("lang") == "en").withColumn(
+        "_tr", hash_bucket(F.col("doc_id"), "split|", 100) < TRAIN_PCT
+    )
+    return classify_quality(labeled, train_col="_tr").orderBy("doc_id")
+
+
+def _x09_sql() -> str:
+    sql_tokens = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {sql_tokens} AS ts,
+         {_sql_hash('doc_id', 'split|')} % 100 < {TRAIN_PCT} AS is_train
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, is_train,
+         unnest(list_concat(ts,
+           list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i + 1]))) AS f
+  FROM base
+),
+b AS (
+  SELECT doc_id, lang, is_train, {_sql_hash('f', QC_TAG)} % {QC_BUCKETS} AS bkt
+  FROM feats
+),
+cnt AS (
+  SELECT bkt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_n,
+         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS q_n
+  FROM b WHERE is_train GROUP BY bkt
+),
+tot AS (SELECT SUM(p_n) AS big_p, SUM(q_n) AS big_q FROM cnt),
+w AS (
+  SELECT bkt,
+         CAST(ROUND((ln((p_n + 1.0) / (big_p + {QC_BUCKETS}))
+                   - ln((q_n + 1.0) / (big_q + {QC_BUCKETS}))) * 1e6) AS BIGINT)
+           AS w_micro
+  FROM cnt, tot
+),
+pr AS (
+  SELECT CAST(ROUND(ln((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+                      / (SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1.0)) * 1e6)
+              AS BIGINT) AS b_micro
+  FROM base WHERE is_train
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(COALESCE(w.w_micro,
+             CAST(ROUND((ln(1.0 / (tot.big_p + {QC_BUCKETS}))
+                       - ln(1.0 / (tot.big_q + {QC_BUCKETS}))) * 1e6) AS BIGINT)))
+           AS BIGINT) AS qc_sum_micro
+  FROM b LEFT JOIN w USING (bkt) CROSS JOIN tot
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_feats, 0) AS n_feats,
+       COALESCE(s.qc_sum_micro, 0) AS qc_sum_micro,
+       CAST(COALESCE(s.qc_sum_micro, 0) + pr.b_micro AS BIGINT) AS qc_gate_micro,
+       COALESCE(s.n_feats, 0) > 0
+         AND COALESCE(s.qc_sum_micro, 0) + pr.b_micro >= 0 AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id) CROSS JOIN pr
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "x01_hash_split": x01_hash_split,
     "x02_temperature_mix": x02_temperature_mix,
@@ -874,6 +1088,7 @@ QUERIES = {
     "x06_leakage_safe_split": x06_leakage_safe_split,
     "x07_dsir_select": x07_dsir_select,
     "x08_prep_pipeline": x08_prep_pipeline,
+    "x09_quality_classifier": x09_quality_classifier,
 }
 
 ORACLE = {
@@ -887,4 +1102,6 @@ ORACLE = {
     "x07_dsir_select": _X07_SQL,
     # callable — pulls thresholds from operators.text lazily
     "x08_prep_pipeline": _x08_sql,
+    # callable — keeps the big SQL body out of import time (x08 pattern)
+    "x09_quality_classifier": _x09_sql,
 }

@@ -32,7 +32,7 @@ def test_registry_size_and_docstrings():
     in docstring position is an expression (``__doc__`` becomes None),
     a bug that shipped twice before this gate existed."""
     full = em.all_queries()
-    assert len(full) == 125, f"registry is {len(full)}, docs say 125"
+    assert len(full) == 126, f"registry is {len(full)}, docs say 126"
     undocumented = [n for n, fn in full.items() if not fn.__doc__]
     assert not undocumented, f"queries with no docstring: {undocumented}"
 

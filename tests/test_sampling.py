@@ -235,3 +235,167 @@ def test_x07_quota_and_partition_invariance(spark, sf_correctness):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def _py_qc_round(x: float) -> int:
+    """Spark F.round / DuckDB ROUND are HALF_UP (away from zero);
+    Python's round() is banker's — replicate HALF_UP exactly."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _py_qc_scores(docs, train_ids, pos_ids, n_buckets=2048, tag="qc"):
+    """Independent pure-Python NB referee for classify_quality: same
+    tokenizer, same md5 bucket hash, same add-one smoothing, same
+    single micro-nat rounding, same BIGINT gate."""
+    import math
+    import re
+
+    split = re.compile(r"[^a-z0-9]+")
+
+    def feats(txt):
+        ts = [t for t in split.split((txt or "").lower()) if t]
+        return ts + [a + "_" + b for a, b in zip(ts, ts[1:])]
+
+    def bkt(f):
+        return int(hashlib.md5((tag + f).encode()).hexdigest()[:8], 16) % n_buckets
+
+    p = {}
+    q = {}
+    n_pos = n_neg = 0
+    for did, txt in docs.items():
+        if did not in train_ids:
+            continue
+        pos = did in pos_ids
+        n_pos, n_neg = n_pos + pos, n_neg + (not pos)
+        for f in feats(txt):
+            b = bkt(f)
+            if pos:
+                p[b] = p.get(b, 0) + 1
+            else:
+                q[b] = q.get(b, 0) + 1
+    P, Q = sum(p.values()), sum(q.values())
+
+    def w(b):
+        return _py_qc_round(
+            (
+                math.log((p.get(b, 0) + 1.0) / (P + n_buckets))
+                - math.log((q.get(b, 0) + 1.0) / (Q + n_buckets))
+            )
+            * 1e6
+        )
+
+    bias = _py_qc_round(math.log((n_pos + 1.0) / (n_neg + 1.0)) * 1e6)
+    out = {}
+    for did, txt in docs.items():
+        fs = feats(txt)
+        s = sum(w(bkt(f)) for f in fs)
+        out[did] = (len(fs), s, s + bias, len(fs) > 0 and s + bias >= 0)
+    return out
+
+
+def test_x09_classifier_matches_pure_python_referee(spark):
+    """classify_quality (train on a subset, score everyone — including
+    a held-out doc whose vocabulary training never saw, exercising the
+    unseen-bucket smoothing floor) must agree NUMBER-FOR-NUMBER with an
+    independent pure-Python NB: hashlib md5 buckets, math.log weights,
+    one HALF_UP micro-nat rounding, exact integer gate."""
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog near the river",
+        2: "el rapido zorro marron salta sobre el perro perezoso del rio",
+        3: "the spark engine joins tables and the planner prunes columns",
+        4: "la tabla grande se une con la tabla pequena cada noche",
+        5: "zyzzyva quokka axolotl wombat never seen in training at all",
+        6: "",
+    }
+    train_ids = {1, 2, 3, 4}
+    pos_ids = {1, 3}
+    df = spark.createDataFrame(
+        [(k, v, k in pos_ids, k in train_ids) for k, v in docs.items()],
+        "doc_id bigint, text string, pos boolean, tr boolean",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_feats"], r["qc_sum_micro"], r["qc_gate_micro"], r["keep"]
+        )
+        for r in sampling.classify_quality(
+            df, label_col="pos", train_col="tr"
+        ).collect()
+    }
+    assert got == _py_qc_scores(docs, train_ids, pos_ids)
+    # zero-feature doc is dropped regardless of the prior's sign
+    assert got[6][0] == 0 and got[6][3] is False
+
+
+def test_x09_train_infer_separation(spark):
+    """Editing a HELD-OUT doc must not move any other doc's score —
+    the weights are a function of the train split only (the deployed-
+    classifier property x09 models)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon", True, True),
+        (2, "uno dos tres cuatro cinco seis", False, True),
+        (3, "alpha gamma epsilon beta delta words", True, False),
+    ]
+    edited = [r if r[0] != 3 else (3, "totally different heldout text", True, False) for r in rows]
+    schema = "doc_id bigint, text string, pos boolean, tr boolean"
+    a = {
+        r["doc_id"]: r["qc_sum_micro"]
+        for r in sampling.classify_quality(
+            spark.createDataFrame(rows, schema), label_col="pos", train_col="tr"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["qc_sum_micro"]
+        for r in sampling.classify_quality(
+            spark.createDataFrame(edited, schema), label_col="pos", train_col="tr"
+        ).collect()
+    }
+    assert a[1] == b[1] and a[2] == b[2]
+    assert a[3] != b[3]
+
+
+def test_x09_separates_languages_on_corpus(spark, sf_correctness):
+    """On the synthetic corpus the en-vs-rest gate must actually
+    discriminate: accuracy ≥ 0.7 against the lang label with non-empty
+    keep AND drop sets (an all-keep or all-drop gate is degenerate)."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    got = sampling.QUERIES["x09_quality_classifier"](spark, sf_correctness)
+    lab = load_table(spark, sf_correctness, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("en")
+    )
+    j = got.join(lab, "doc_id").select(
+        (F.col("keep") == F.col("en")).cast("int").alias("ok"), "keep"
+    )
+    r = j.agg(
+        F.avg("ok").alias("acc"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert r["acc"] >= 0.7, f"classifier accuracy degenerate: {r}"
+    assert 0 < r["n_keep"] < r["n"], f"degenerate gate: {r}"
+
+
+def test_api_quality_classifier_matches_x09(spark, sf_correctness):
+    """api.quality_classifier with x01's train membership and the lang
+    label reproduces the x09 registry rows exactly."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    labeled = d.withColumn("_pos", F.col("lang") == "en").withColumn(
+        "_tr", sampling.hash_bucket(F.col("doc_id"), "split|", 100) < sampling.TRAIN_PCT
+    )
+    via_api = {
+        r["doc_id"]: (r["qc_sum_micro"], r["qc_gate_micro"], r["keep"])
+        for r in api.quality_classifier(
+            labeled, "text", "doc_id", "_pos", train_col="_tr"
+        ).collect()
+    }
+    via_q = {
+        r["doc_id"]: (r["qc_sum_micro"], r["qc_gate_micro"], r["keep"])
+        for r in sampling.QUERIES["x09_quality_classifier"](
+            spark, sf_correctness
+        ).collect()
+    }
+    assert via_api == via_q
