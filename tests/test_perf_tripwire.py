@@ -226,7 +226,26 @@ FLOORS = {
     "s06_ann_multitable_lsh": ("/root/testdata/sf0.1", 3.0, 2.4),
     "t13_repetition_filter": ("/root/testdata/sf0.1", 4.0, 3.0),
     "t24_bpe_train": (_DOCS_X10, 10.5, 2.4),
+    # round-12 newcomer (the standing newcomer-floor rule): floor from
+    # two quiet fresh-JVM calibration probes through the train-once
+    # fixture cache — 1.8 s and 2.1 s at loadavg ~5-6 (probe log
+    # /tmp/spark_graft_tripwire_probes.jsonl) — in the regime every
+    # post-r12 invocation runs in (the
+    # probe warms the fixture untimed below, so the floor guards the
+    # ENCODE kernel, not the one-time train+save materialization).
+    # Mutation analysis (r11's measured 20x regime class): flipping the
+    # registry encode to mode="expr" read 34.5-36.1 s at sf0.1 (r11
+    # finals) vs the ~3 s arrow wall — an 11x ratio against this trip
+    # line, caught outright; removing the per-worker word memo is the
+    # same class (encode cost becomes per-occurrence).
+    "t25_bpe_encode": ("/root/testdata/sf0.1", 3.2, 3.0),
 }
+
+# Queries whose registry path materializes a train-once fixture on
+# first use (t25's digest-keyed merge-table cache): the probe runs
+# them once UNTIMED before the timing loop, the warm-worker precedent
+# — their floors are recorded in (and guard) the warm-cache regime.
+WARM_FIRST = {"t25_bpe_encode"}
 
 _PROBE = """
 import json, time
@@ -242,6 +261,10 @@ spark = get_spark()
 # one-time spawn, so the spawn is paid here, untimed (~5 s).
 spark.range(64, numPartitions=32).mapInPandas(lambda it: it, "id long").collect()
 qs = E.all_queries()
+# untimed fixture warm (WARM_FIRST): train-once caches materialize
+# here so the timed loop measures the steady-state kernel
+for name, sf_dir in %(warm)s:
+    qs[name](spark, sf_dir).collect()
 out = {}
 for name, sf_dir in %(plan)s:
     t0 = time.time()
@@ -252,7 +275,8 @@ print("TRIPWIRE " + json.dumps(out))
 
 
 def _run_probe(plan):
-    probe = _PROBE % {"plan": json.dumps(plan)}
+    warm = [(n, d) for n, d in plan if n in WARM_FIRST]
+    probe = _PROBE % {"plan": json.dumps(plan), "warm": json.dumps(warm)}
     try:
         res = subprocess.run(
             [sys.executable, "-c", probe],
@@ -320,15 +344,20 @@ def _breaches(walls):
     (tools/bench_control.py) is its gate."""
     import statistics
 
+    # judge only the floors PRESENT in this probe: recorded probes
+    # from earlier rounds predate later-added floors (t25 entered
+    # round 12), and faking readings into historical data would make
+    # the regression tests of this rule meaningless
+    present = {n: f for n, f in FLOORS.items() if n in walls}
     storm = max(
         1.0,
         statistics.median(
-            walls[n] / floor for n, (_, floor, _) in FLOORS.items()
+            walls[n] / floor for n, (_, floor, _) in present.items()
         ),
     )
     return {
         name: (round(walls[name], 2), round(storm, 2))
-        for name, (_, floor, factor) in FLOORS.items()
+        for name, (_, floor, factor) in present.items()
         if walls[name] / storm > factor * floor
     }
 

@@ -664,3 +664,82 @@ def test_t25_registry_output_contract(spark, sf_smoke):
         assert r["tokens_md5"] == hashlib.md5(
             "\x1f".join(ts).encode()
         ).hexdigest()
+
+
+def test_bpe_decode_round_trip_both_regimes(spark, sf_smoke):
+    """decode(encode(x, emit='ids')) == encode(x, emit='tokens')
+    token-for-token in BOTH regimes — the id space inverts exactly,
+    including the NULL-text row (empty ids → empty decode) and
+    character conservation through the full round trip."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    d = d.unionByName(
+        spark.createDataFrame([(10**9, None)], "doc_id long, text string")
+    )
+    table = text.train_bpe(d)
+    want = {
+        r["doc_id"]: r["toks"]
+        for r in text.bpe_encode(d, table, mode="expr").collect()
+    }
+    ids = text.bpe_encode(d, table, mode="expr", emit="ids")
+    for mode in ("expr", "arrow"):
+        got = {
+            r["doc_id"]: r["decoded"]
+            for r in text.bpe_decode(ids, table, ids_col="toks", mode=mode).collect()
+        }
+        assert got == want, f"round trip broke in {mode}"
+    assert want[10**9] == []
+
+
+def test_bpe_decode_oov_id_is_loud(spark, sf_smoke):
+    """An id outside the vocabulary must raise in BOTH regimes — a
+    silent NULL token would corrupt a reconstruction."""
+    fake = spark.createDataFrame(
+        [(1, "ab", "c")], "step long, left string, right string"
+    )
+    bad = spark.createDataFrame([(1, [999999])], "doc_id long, toks array<bigint>")
+    for mode in ("expr", "arrow"):
+        with pytest.raises(Exception, match="not in vocabulary"):
+            text.bpe_decode(bad, fake, mode=mode).collect()
+
+
+def test_bpe_encode_out_col_collision_regimes_agree(spark, sf_smoke):
+    """Round-11 ADVICE: when out_col collides with an existing input
+    column, the arrow regime used to APPEND a duplicate field while
+    expr replaced in place. Both regimes must now produce the same
+    schema (replace, withColumn semantics) and the same values."""
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .limit(20)
+        .withColumn("toks", F.lit("placeholder"))
+    )
+    table = text.train_bpe(d)
+    a = text.bpe_encode(d, table, mode="expr")
+    b = text.bpe_encode(d, table, mode="arrow")
+    assert [f.name for f in a.schema.fields] == [f.name for f in b.schema.fields]
+    assert len([f for f in b.schema.fields if f.name == "toks"]) == 1
+    av = {r["doc_id"]: r["toks"] for r in a.collect()}
+    bv = {r["doc_id"]: r["toks"] for r in b.collect()}
+    assert av == bv and all(isinstance(v, list) for v in av.values())
+
+
+def test_api_bpe_decode_matches_operator(spark, sf_smoke):
+    from big_data_analytics_cse545_spark import api as api_mod
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_smoke, "documents").limit(30)
+    table = api_mod.bpe_train(d, "text", n_merges=8)
+    ids = api_mod.bpe_encode(d, table, emit="ids")
+    got = {
+        r["doc_id"]: r["decoded"]
+        for r in api_mod.bpe_decode(ids, table).collect()
+    }
+    want = {
+        r["doc_id"]: r["toks"]
+        for r in api_mod.bpe_encode(d, table).collect()
+    }
+    assert got == want
