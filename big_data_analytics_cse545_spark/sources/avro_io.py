@@ -126,6 +126,10 @@ def _decode_value(buf: memoryview, pos: int, typ):
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if typ == "string":
         n, pos = _zigzag_decode(buf, pos)
+        # a negative length would silently yield an empty slice and
+        # move pos backward (r11 ADVICE) — corrupt data, fail loudly
+        if n < 0:
+            raise ValueError(f"negative Avro string length {n}")
         return bytes(buf[pos : pos + n]).decode("utf-8"), pos + n
     if typ == "boolean":
         return buf[pos] == 1, pos + 1
@@ -151,6 +155,8 @@ def _skip_value(buf: memoryview, pos: int, typ) -> int:
         return pos + 8
     if typ == "string":
         n, pos = _zigzag_decode(buf, pos)
+        if n < 0:
+            raise ValueError(f"negative Avro string length {n}")
         return pos + n
     if typ == "boolean":
         return pos + 1
@@ -278,11 +284,19 @@ def _parse_meta_map(mv: memoryview) -> tuple[dict[str, bytes], int]:
             raise ValueError("negative-count metadata blocks unsupported")
         for _ in range(n):
             kl, pos = _header_varint(mv, pos)
+            # negative lengths pass the upper-bound check (pos + kl <
+            # pos) and would walk POS BACKWARD — a corrupt or hostile
+            # header could cycle the parse loop forever (r11 ADVICE);
+            # mirror the negative-count rejection above
+            if kl < 0:
+                raise ValueError(f"negative metadata key length {kl}")
             if pos + kl > len(mv):
                 raise _TruncatedHeader
             k = bytes(mv[pos : pos + kl]).decode()
             pos += kl
             vl, pos = _header_varint(mv, pos)
+            if vl < 0:
+                raise ValueError(f"negative metadata value length {vl}")
             if pos + vl > len(mv):
                 raise _TruncatedHeader
             meta[k] = bytes(mv[pos : pos + vl])

@@ -86,6 +86,16 @@ class AvroReader(DataSourceReader):
         cols = options.get("columns")
         if cols is not None:
             want = {c.strip() for c in cols.split(",") if c.strip()}
+            if not want:
+                # columns='' (or only commas/whitespace) used to yield a
+                # ZERO-column projection and an empty DDL schema — an
+                # opaque Spark schema-parse failure far from the typo
+                # that caused it (r11 ADVICE); fail at the source
+                raise ValueError(
+                    "columns option parsed to an empty projection "
+                    f"({cols!r}) — omit the option to read every "
+                    "column, or name at least one"
+                )
             names = {n for n, _ in self.fields}
             if not want <= names:
                 raise ValueError(
@@ -161,6 +171,15 @@ class AvroDataSource(DataSource):
             if cols is not None
             else None
         )
+        if cols is not None and not want:
+            # same guard as AvroReader.__init__ — schema() runs first
+            # at plan time, and an empty DDL would surface as an opaque
+            # Spark schema-parse failure far from the typo (r11 ADVICE)
+            raise ValueError(
+                "columns option parsed to an empty projection "
+                f"({cols!r}) — omit the option to read every column, "
+                "or name at least one"
+            )
         return avro_schema_to_ddl(schema_json, columns=want)
 
     def reader(self, schema) -> AvroReader:

@@ -478,3 +478,53 @@ def test_avro_columns_option_projects_without_decoding(spark, tmp_path):
         spark.read.format("pyavro").option("path", d).option(
             "columns", "k,nope"
         ).load()
+
+
+def test_avro_negative_lengths_are_loud(tmp_path):
+    """r11 ADVICE: negative varint lengths pass a pos+len upper-bound
+    check (pos+len < pos) and walk the parse position BACKWARD — a
+    corrupt or hostile header/value could cycle the parser instead of
+    raising. All three decode sites must fail loudly."""
+    from big_data_analytics_cse545_spark.sources.avro_io import (
+        _decode_value,
+        _parse_meta_map,
+        _skip_value,
+        _zigzag_encode,
+    )
+
+    # meta map: count=1, key length = -1
+    hostile = _zigzag_encode(1) + _zigzag_encode(-1)
+    with pytest.raises(ValueError, match="negative metadata key length"):
+        _parse_meta_map(memoryview(hostile))
+    # meta map: count=1, key 'a', value length = -3
+    hostile = _zigzag_encode(1) + _zigzag_encode(1) + b"a" + _zigzag_encode(-3)
+    with pytest.raises(ValueError, match="negative metadata value length"):
+        _parse_meta_map(memoryview(hostile))
+    # record values: negative string length in decode and skip
+    neg = _zigzag_encode(-5)
+    with pytest.raises(ValueError, match="negative Avro string length"):
+        _decode_value(memoryview(neg), 0, "string")
+    with pytest.raises(ValueError, match="negative Avro string length"):
+        _skip_value(memoryview(neg), 0, "string")
+
+
+def test_avro_empty_projection_is_loud(spark, tmp_path):
+    """r11 ADVICE: columns='' (or only commas/whitespace) used to keep
+    ZERO columns and emit an empty DDL schema — an opaque Spark
+    schema-parse failure. It must be a pointed error at the source."""
+    from big_data_analytics_cse545_spark.sources import avro_source
+    from big_data_analytics_cse545_spark.sources.avro_io import write_avro
+
+    rows = _adversarial_rows()[:10]
+    d = str(tmp_path)
+    write_avro(rows, _AVRO_SCHEMA, f"{d}/a.avro", codec="null")
+    avro_source.register(spark)
+    for bad in ("", " , ,", "   "):
+        with pytest.raises(Exception, match="empty projection"):
+            (
+                spark.read.format("pyavro")
+                .option("path", d)
+                .option("columns", bad)
+                .load()
+                .collect()
+            )
