@@ -942,7 +942,15 @@ def classify_quality(
             F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("q_n"),
         )
     )
-    tot = cnt.agg(F.sum("p_n").alias("big_p"), F.sum("q_n").alias("big_q"))
+    # coalesce: an EMPTY train split (train_col matches no rows) makes
+    # every aggregate NULL, which would propagate a three-valued-logic
+    # NULL into the boolean gate; at zero counts the add-one smoothing
+    # is perfectly defined (all weights = the smoothing floor = 0 here,
+    # prior = ln(1/1) = 0), so zero totals are the honest value
+    tot = cnt.agg(
+        F.coalesce(F.sum("p_n"), F.lit(0)).alias("big_p"),
+        F.coalesce(F.sum("q_n"), F.lit(0)).alias("big_q"),
+    )
     w = cnt.crossJoin(F.broadcast(tot)).select(
         "bkt",
         F.round(
@@ -958,8 +966,8 @@ def classify_quality(
     pr = base.filter("_tr").agg(
         F.round(
             F.log(
-                (F.sum(F.when(F.col("_pos"), 1).otherwise(0)) + 1.0)
-                / (F.sum(F.when(F.col("_pos"), 0).otherwise(1)) + 1.0)
+                (F.coalesce(F.sum(F.when(F.col("_pos"), 1).otherwise(0)), F.lit(0)) + 1.0)
+                / (F.coalesce(F.sum(F.when(F.col("_pos"), 0).otherwise(1)), F.lit(0)) + 1.0)
             )
             * 1e6
         )
@@ -1019,12 +1027,11 @@ def x09_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x09_sql() -> str:
-    sql_tokens = (
-        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
-    )
+    from big_data_analytics_cse545_spark.operators.text import _SQL_TOKENS
+
     return f"""
 WITH base AS (
-  SELECT doc_id, lang, {sql_tokens} AS ts,
+  SELECT doc_id, lang, {_SQL_TOKENS} AS ts,
          {_sql_hash('doc_id', 'split|')} % 100 < {TRAIN_PCT} AS is_train
   FROM documents
 ),
@@ -1044,7 +1051,8 @@ cnt AS (
          SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS q_n
   FROM b WHERE is_train GROUP BY bkt
 ),
-tot AS (SELECT SUM(p_n) AS big_p, SUM(q_n) AS big_q FROM cnt),
+tot AS (SELECT COALESCE(SUM(p_n), 0) AS big_p,
+              COALESCE(SUM(q_n), 0) AS big_q FROM cnt),
 w AS (
   SELECT bkt,
          CAST(ROUND((ln((p_n + 1.0) / (big_p + {QC_BUCKETS}))
@@ -1053,8 +1061,8 @@ w AS (
   FROM cnt, tot
 ),
 pr AS (
-  SELECT CAST(ROUND(ln((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
-                      / (SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1.0)) * 1e6)
+  SELECT CAST(ROUND(ln((COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) + 1.0)
+                      / (COALESCE(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END), 0) + 1.0)) * 1e6)
               AS BIGINT) AS b_micro
   FROM base WHERE is_train
 ),

@@ -1777,6 +1777,13 @@ ORDER BY host
 
 BPE_TRAIN_MERGES = 12
 
+# bump when train_bpe's merge-selection or apply semantics change: the
+# t25 train-once fixture cache keys on it (plus BPE_TRAIN_MERGES and
+# the corpus digest), so a semantic change re-trains instead of serving
+# a stale artifact whose params row would still validate (round-12
+# review)
+BPE_APPLY_VERSION = 1
+
 
 def _apply_merges(
     syms: F.Column, batch: list[tuple[str, str, str]]
@@ -2286,8 +2293,15 @@ def _t25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write(tmp: str) -> None:
         api.save_bpe(train_bpe(load_table(spark, sf_dir, "documents")), tmp)
 
+    # the cache key must cover the TRAINER's identity too, not just the
+    # corpus bytes: bumping BPE_TRAIN_MERGES (or the apply semantics)
+    # with an unchanged corpus must re-train, not serve the previous
+    # hyperparameters' table (round-12 review)
     path = ensure_fixture_dir(
-        writer=write, **_fixture_key(sf_dir, "graft-bpe", "documents")
+        writer=write,
+        **_fixture_key(
+            sf_dir, f"graft-bpe-m{BPE_TRAIN_MERGES}-apply{BPE_APPLY_VERSION}", "documents"
+        ),
     )
     return api.load_bpe(spark, path)
 

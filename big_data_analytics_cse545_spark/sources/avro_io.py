@@ -116,6 +116,14 @@ def _encode_value(v, typ) -> bytes:
 def _decode_value(buf: memoryview, pos: int, typ):
     if isinstance(typ, list):
         branch, pos = _zigzag_decode(buf, pos)
+        # Python's negative indexing would silently decode the WRONG
+        # branch on a corrupt index; out-of-range crashes with a bare
+        # IndexError — both become the pointed error
+        if not 0 <= branch < len(typ):
+            raise ValueError(
+                f"Avro union branch {branch} out of range "
+                f"(union has {len(typ)} branches)"
+            )
         t = typ[branch]
         if t == "null":
             return None, pos
@@ -145,6 +153,11 @@ def _skip_value(buf: memoryview, pos: int, typ) -> int:
     ``columns`` option on the pyavro source."""
     if isinstance(typ, list):
         branch, pos = _zigzag_decode(buf, pos)
+        if not 0 <= branch < len(typ):
+            raise ValueError(
+                f"Avro union branch {branch} out of range "
+                f"(union has {len(typ)} branches)"
+            )
         t = typ[branch]
         return pos if t == "null" else _skip_value(buf, pos, t)
     if typ in ("long", "int"):
@@ -371,6 +384,15 @@ def block_index(path: str) -> tuple[dict, str, bytes, list[tuple[int, int, int]]
             mv = memoryview(head)
             n, p = _zigzag_decode(mv, 0)
             size, p = _zigzag_decode(mv, p)
+            # a negative size makes `pos + p + size + 16` a no-op (or
+            # backward walk) — the block walk would loop forever on a
+            # corrupt container; negative counts are the same class
+            # (the _parse_meta_map negative-length rule)
+            if n < 0 or size < 0:
+                raise ValueError(
+                    f"negative Avro block header at offset {pos} "
+                    f"(count={n}, size={size})"
+                )
             blocks.append((pos, n, size))
             pos = pos + p + size + 16  # payload + sync marker
             fh.seek(pos)
@@ -396,6 +418,14 @@ def read_block(
         head = memoryview(fh.read(20))
         n, p = _zigzag_decode(head, 0)
         size, p = _zigzag_decode(head, p)
+        # range(n) over a corrupt negative count would yield ZERO rows
+        # silently — data loss with no error (block_index has the same
+        # guard for its seek arithmetic)
+        if n < 0 or size < 0:
+            raise ValueError(
+                f"negative Avro block header at offset {offset} "
+                f"(count={n}, size={size})"
+            )
         fh.seek(offset + p)
         body = fh.read(size)
         marker = fh.read(16)

@@ -48,6 +48,24 @@ from big_data_analytics_cse545_spark.sources.avro_io import (
 )
 
 
+def _parse_columns(cols: str | None) -> set[str] | None:
+    """Parse the ``columns`` option once for both plan-time call sites
+    (schema() and the reader): None → no projection; a list that parses
+    to EMPTY (``''``, only commas/whitespace) is a pointed error —
+    a zero-column projection used to surface as an opaque Spark
+    schema-parse failure far from the typo (r11 ADVICE)."""
+    if cols is None:
+        return None
+    want = {c.strip() for c in cols.split(",") if c.strip()}
+    if not want:
+        raise ValueError(
+            "columns option parsed to an empty projection "
+            f"({cols!r}) — omit the option to read every column, "
+            "or name at least one"
+        )
+    return want
+
+
 class _BlockRun(InputPartition):
     def __init__(self, path: str, offsets: list[int], codec: str, sync: bytes):
         super().__init__((path, tuple(offsets)))
@@ -83,19 +101,8 @@ class AvroReader(DataSourceReader):
         self.schema_json, _, _, _ = header_of(self.shards[0])
         self.fields = _field_types(self.schema_json)
         self.keep: list[bool] | None = None
-        cols = options.get("columns")
-        if cols is not None:
-            want = {c.strip() for c in cols.split(",") if c.strip()}
-            if not want:
-                # columns='' (or only commas/whitespace) used to yield a
-                # ZERO-column projection and an empty DDL schema — an
-                # opaque Spark schema-parse failure far from the typo
-                # that caused it (r11 ADVICE); fail at the source
-                raise ValueError(
-                    "columns option parsed to an empty projection "
-                    f"({cols!r}) — omit the option to read every "
-                    "column, or name at least one"
-                )
+        want = _parse_columns(options.get("columns"))
+        if want is not None:
             names = {n for n, _ in self.fields}
             if not want <= names:
                 raise ValueError(
@@ -165,22 +172,10 @@ class AvroDataSource(DataSource):
         schema_json, _, _, _ = header_of(
             _list_shards(self.options["path"])[0]
         )
-        cols = self.options.get("columns")
-        want = (
-            [c.strip() for c in cols.split(",") if c.strip()]
-            if cols is not None
-            else None
+        want = _parse_columns(self.options.get("columns"))
+        return avro_schema_to_ddl(
+            schema_json, columns=None if want is None else sorted(want)
         )
-        if cols is not None and not want:
-            # same guard as AvroReader.__init__ — schema() runs first
-            # at plan time, and an empty DDL would surface as an opaque
-            # Spark schema-parse failure far from the typo (r11 ADVICE)
-            raise ValueError(
-                "columns option parsed to an empty projection "
-                f"({cols!r}) — omit the option to read every column, "
-                "or name at least one"
-            )
-        return avro_schema_to_ddl(schema_json, columns=want)
 
     def reader(self, schema) -> AvroReader:
         return AvroReader(self.options)

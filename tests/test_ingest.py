@@ -528,3 +528,40 @@ def test_avro_empty_projection_is_loud(spark, tmp_path):
                 .load()
                 .collect()
             )
+
+
+def test_avro_negative_block_headers_and_bad_union_branch_are_loud(tmp_path):
+    """Round-12 review: the negative-length hardening must also cover
+    the block walk (a negative size makes the seek arithmetic a no-op
+    — an infinite planning loop) and the union branch index (Python
+    negative indexing would silently decode the WRONG branch)."""
+    from big_data_analytics_cse545_spark.sources.avro_io import (
+        _decode_value,
+        _skip_value,
+        _zigzag_encode,
+        block_index,
+        header_of,
+        read_block,
+        write_avro,
+    )
+
+    rows = _adversarial_rows()[:20]
+    p = str(tmp_path / "ok.avro")
+    write_avro(rows, _AVRO_SCHEMA, p, codec="null", block_records=8)
+    _, _, _, start = header_of(p)
+    # corrupt the first block header: count=2, size=-18
+    with open(p, "r+b") as fh:
+        fh.seek(start)
+        fh.write(_zigzag_encode(2) + _zigzag_encode(-18))
+    with pytest.raises(ValueError, match="negative Avro block header"):
+        block_index(p)
+    with pytest.raises(ValueError, match="negative Avro block header"):
+        list(read_block(p, start, [("k", "long")], "null", b"\x00" * 16))
+    # union branch out of range: branch=-1 and branch=2 on a 2-branch union
+    u = ["null", "long"]
+    for bad in (-1, 2):
+        buf = memoryview(_zigzag_encode(bad))
+        with pytest.raises(ValueError, match="union branch"):
+            _decode_value(buf, 0, u)
+        with pytest.raises(ValueError, match="union branch"):
+            _skip_value(buf, 0, u)

@@ -399,3 +399,26 @@ def test_api_quality_classifier_matches_x09(spark, sf_correctness):
         ).collect()
     }
     assert via_api == via_q
+
+
+def test_x09_empty_train_split_is_defined_not_null(spark):
+    """Round-12 review: an all-false train_col used to propagate NULL
+    aggregates into a three-valued-logic NULL keep column. At zero
+    counts the add-one smoothing is perfectly defined (every weight =
+    the smoothing floor = 0, prior = ln(1/1) = 0), so the gate must be
+    exactly that — and agree with the pure-Python referee."""
+    docs = {1: "alpha beta gamma", 2: "uno dos tres", 3: ""}
+    df = spark.createDataFrame(
+        [(k, v, k == 1, False) for k, v in docs.items()],
+        "doc_id bigint, text string, pos boolean, tr boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["qc_sum_micro"], r["qc_gate_micro"], r["keep"])
+        for r in sampling.classify_quality(
+            df, label_col="pos", train_col="tr"
+        ).collect()
+    }
+    assert got == _py_qc_scores(docs, set(), {1})
+    assert all(v[3] is not None for v in got.values())
+    # zero-count model: all weights 0, gate 0 -> keep iff any features
+    assert got[1] == (5, 0, 0, True) and got[3] == (0, 0, 0, False)

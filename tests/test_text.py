@@ -743,3 +743,30 @@ def test_api_bpe_decode_matches_operator(spark, sf_smoke):
         for r in api_mod.bpe_encode(d, table).collect()
     }
     assert got == want
+
+
+def test_t25_cache_rekeys_on_trainer_identity(spark, sf_smoke, monkeypatch):
+    """Round-12 review: the train-once fixture cache must key on the
+    TRAINER's identity, not just the corpus digest — bumping the apply
+    version (the semantics-change discipline) must mint a NEW cache
+    dir rather than serve the previous hyperparameters' table."""
+    import glob
+    import tempfile
+
+    text._t25_table(spark, sf_smoke)
+    tmp = tempfile.gettempdir()
+    v = text.BPE_APPLY_VERSION
+    assert any(
+        f"-apply{v}-" in d
+        for d in glob.glob(f"{tmp}/graft-bpe-m{text.BPE_TRAIN_MERGES}-apply*")
+    )
+    monkeypatch.setattr(text, "BPE_APPLY_VERSION", v + 1000)
+    text._t25_table(spark, sf_smoke)
+    # distinct trainer identity → distinct cache dir (both coexist:
+    # the prune prefix includes the version, so neither evicts the
+    # other; cache dirs persist across test runs, so assert presence,
+    # not set difference)
+    assert any(
+        f"-apply{v + 1000}-" in d
+        for d in glob.glob(f"{tmp}/graft-bpe-m{text.BPE_TRAIN_MERGES}-apply*")
+    )
