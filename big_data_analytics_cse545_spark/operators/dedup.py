@@ -1535,6 +1535,16 @@ ORDER BY chunk_hash
 # miss a reportable span — modulo the documented MAX_DF boilerplate cap.
 SPAN_MIN_TOKENS = 8  # = WINNOW_K + WINNOW_W - 1; asserted at import below
 
+# Confirm-join anchor cap: a gram occurring more than this many times
+# WITHIN one document is excluded from span anchoring (both engines
+# identically). Without it the exact join's fan-out per (pair, gram)
+# is occ(d1)·occ(d2) — two hyper-repetitive documents (period < K
+# repetition, the t13 repetition-filter domain) would pair into
+# O(T²) join rows, the quadratic surface the funnel otherwise avoids.
+# With it the fan-out is ≤ GRAM_MAX_OCC² per gram; text that
+# repetitive has no meaningful "maximal span" to report anyway.
+GRAM_MAX_OCC = 16
+
 
 def shared_spans(
     d: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -1562,6 +1572,11 @@ def shared_spans(
        a maximal shared run of length L is exactly L−K+1 consecutive
        matches on one diagonal → one island → one span of length L.
        Pure integer arithmetic end to end, hence the DuckDB oracle.
+       Anchors are capped at GRAM_MAX_OCC occurrences per document
+       (identically in the oracle): degenerate intra-document
+       repetition would otherwise make one candidate pair's join
+       quadratic, and text that repetitive is the t13 repetition
+       filter's domain, not span dedup's.
 
     Output: (d1, d2, s1, e1, s2, e2, span_len) — inclusive 0-based
     token-position bounds of each maximal span in both docs; internally
@@ -1581,17 +1596,29 @@ def shared_spans(
         winnow_gram_relation,
     )
 
+    from pyspark.sql.window import Window as W
+
     grams = swap_cached(
         "d13_grams", winnow_gram_relation(d, text_col=text_col, id_col=id_col)
     )
     cand = winnow_bucket_pairs(winnow_fingerprints(grams)).distinct()
-    g1 = grams.select(
+    # GRAM_MAX_OCC: see the constant's comment — cap the confirm join's
+    # per-document anchor multiplicity so degenerate repetition cannot
+    # make one candidate pair quadratic (candidate generation is
+    # unaffected: fingerprints are per-doc DISTINCT)
+    capped = (
+        grams.withColumn(
+            "_occ", F.count(F.lit(1)).over(W.partitionBy("doc_id", "gh"))
+        )
+        .filter(F.col("_occ") <= GRAM_MAX_OCC)
+        .drop("_occ")
+    )
+    g1 = capped.select(
         F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "gh"
     )
-    g2 = grams.select(
+    g2 = capped.select(
         F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), "gh"
     )
-    from pyspark.sql.window import Window as W
 
     w = W.partitionBy("d1", "d2", "diag").orderBy("p1")
     return (
@@ -1714,11 +1741,18 @@ cand AS (
   JOIN (SELECT * FROM sel JOIN rare USING (fp)) b
     ON a.fp = b.fp AND a.doc_id < b.doc_id
 ),
+gc AS (
+  SELECT doc_id, pos, gh FROM (
+    SELECT doc_id, pos, gh,
+           COUNT(*) OVER (PARTITION BY doc_id, gh) AS _occ
+    FROM gr
+  ) WHERE _occ <= {GRAM_MAX_OCC}
+),
 m AS (
   SELECT c.d1, c.d2, g1.pos AS p1, g2.pos AS p2
   FROM cand c
-  JOIN gr g1 ON g1.doc_id = c.d1
-  JOIN gr g2 ON g2.doc_id = c.d2 AND g2.gh = g1.gh
+  JOIN gc g1 ON g1.doc_id = c.d1
+  JOIN gc g2 ON g2.doc_id = c.d2 AND g2.gh = g1.gh
 ),
 isl AS (
   SELECT d1, d2, p1, p2,

@@ -529,3 +529,34 @@ def test_d13_strip_spans_no_spans_is_identity(spark):
     out = {r["doc_id"]: r["toks"] for r in dedup.strip_spans(corpus, empty).collect()}
     assert out[3] == "totally unrelated words about gardening tomatoes and sunshine here".split()
     assert len(out[1]) == 20 and len(out[2]) == 16
+
+
+def test_d13_repetitive_docs_are_capped_not_quadratic(spark):
+    """Round-12 chaos finding: two hyper-repetitive documents sharing
+    their repeated gram would fan the confirm join out to occ(d1)·
+    occ(d2) rows per gram — O(T²) for one pair. The GRAM_MAX_OCC
+    anchor cap must keep the plan bounded (fast) and the output
+    deterministic: the pathological pair reports NO spans (its only
+    anchors are over-cap), while a normal planted pair in the same
+    corpus is still found exactly."""
+    rep = " ".join(["loop"] * 2000)
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    df = spark.createDataFrame(
+        [
+            (1, rep),
+            (2, rep + " tail marker"),
+            (3, "zeta one two three four " + shared + " omega nine"),
+            (4, "kappa red green blue yellow purple " + shared),
+        ],
+        "doc_id bigint, text string",
+    )
+    import time
+
+    t0 = time.time()
+    spans = dedup.shared_spans(df).collect()
+    wall = time.time() - t0
+    assert wall < 60, f"repetition cap failed to bound the join ({wall:.0f}s)"
+    pairs = {(s["d1"], s["d2"]) for s in spans}
+    assert (3, 4) in pairs
+    # the repetitive pair's anchors are all over-cap -> no span reported
+    assert (1, 2) not in pairs
