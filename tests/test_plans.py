@@ -357,3 +357,43 @@ def test_runtime_shuffle_exchanges_counts_cached_builds_once(spark, sf_correctne
     outer_q, cached_q, n_q = runtime_shuffle_exchanges(q)
     assert (cached_q, n_q) == (0, 0)
     assert outer_q == len(shuffle_exchanges(q))
+
+
+def test_d13_text_never_shuffles_and_candidates_broadcast(spark, sf_correctness):
+    """d13's 100 TB contract: every exchange carries (doc_id, pos,
+    32-hex hash) rows — the text column must never reach a shuffle —
+    and the winnow-selected candidate relation broadcasts into the
+    confirm join instead of forcing a corpus-sized sort-merge. (A wall
+    floor cannot guard this query: its funnel pays OFF at scale but is
+    not faster at sf0.1, so the guarded class is plan shape + the
+    pathological-corpus wall test in tests/test_dedup.py.)"""
+    from big_data_analytics_cse545_spark.operators import dedup
+    from big_data_analytics_cse545_spark.plans import (
+        has_broadcast_join,
+        shuffle_exchanges,
+    )
+
+    df = dedup.d13_exact_substring_spans(spark, sf_correctness)
+    assert has_broadcast_join(df)
+    assert all("text" not in e for e in shuffle_exchanges(df))
+
+
+def test_x09_weight_table_broadcasts_and_text_never_shuffles(spark, sf_correctness):
+    """x09's 100 TB contract (the x07 shape): the B-row weight table
+    and the 1-row prior ride broadcasts, the text column never reaches
+    an exchange, and the corpus scan reads only the columns the model
+    needs (doc_id, lang, text — never source/n_chars)."""
+    from big_data_analytics_cse545_spark.operators import sampling
+    from big_data_analytics_cse545_spark.plans import (
+        has_broadcast_join,
+        scan_read_schema,
+        shuffle_exchanges,
+    )
+
+    df = sampling.x09_quality_classifier(spark, sf_correctness)
+    assert has_broadcast_join(df)
+    assert all("text" not in e for e in shuffle_exchanges(df))
+    schemas = scan_read_schema(df)
+    assert schemas and all(
+        "source" not in s and "n_chars" not in s for s in schemas
+    ), schemas
