@@ -287,3 +287,66 @@ def test_disjoint_batch_single_pass_equals_sequential_passes(words, m):
         for left, right in batch:
             multi = _py_apply_one(multi, left, right)
         assert one_pass == multi, (w, batch)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    run_len=st.integers(min_value=8, max_value=24),   # ≥ SPAN_MIN_TOKENS
+    lead1=st.integers(min_value=0, max_value=12),
+    lead2=st.integers(min_value=0, max_value=12),
+    tail1=st.integers(min_value=0, max_value=12),
+    tail2=st.integers(min_value=0, max_value=12),
+)
+def test_d13_planted_run_found_exactly(spark, run_len, lead1, lead2, tail1, tail2):
+    """d13 boundary property: for ANY planted shared run of length
+    L ≥ SPAN_MIN_TOKENS at ANY offsets — including runs starting at
+    position 0 or ending at the document's last token — exactly one
+    span is reported, with exact inclusive bounds and span_len == L.
+    Filler vocabularies are disjoint per side (and from the run), so
+    no accidental k-gram can collide."""
+    from big_data_analytics_cse545_spark.operators import dedup
+
+    run = " ".join(f"run{i}" for i in range(run_len))
+    d1 = " ".join(
+        [f"aa{i}" for i in range(lead1)] + [run] + [f"bb{i}" for i in range(tail1)]
+    )
+    d2 = " ".join(
+        [f"cc{i}" for i in range(lead2)] + [run] + [f"dd{i}" for i in range(tail2)]
+    )
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id bigint, text string")
+    spans = dedup.shared_spans(df).collect()
+    assert len(spans) == 1, spans
+    s = spans[0]
+    assert (s["s1"], s["e1"]) == (lead1, lead1 + run_len - 1)
+    assert (s["s2"], s["e2"]) == (lead2, lead2 + run_len - 1)
+    assert s["span_len"] == run_len
+
+
+def test_x09_scores_are_partition_invariant(spark, sf_correctness):
+    """x09's exact-BIGINT claim, tested the x07 way: scores and keep
+    verdicts must be identical under a hostile repartitioning of the
+    input (float-sum operators drift here; integer micro-nat sums
+    cannot)."""
+    from big_data_analytics_cse545_spark.operators import sampling
+    from big_data_analytics_cse545_spark.sources import load_table
+
+    d = load_table(spark, sf_correctness, "documents")
+    labeled = d.withColumn("_pos", F.col("lang") == "en").withColumn(
+        "_tr",
+        sampling.hash_bucket(F.col("doc_id"), "split|", 100) < sampling.TRAIN_PCT,
+    )
+    a = {
+        r["doc_id"]: (r["qc_sum_micro"], r["qc_gate_micro"], r["keep"])
+        for r in sampling.classify_quality(labeled, train_col="_tr").collect()
+    }
+    b = {
+        r["doc_id"]: (r["qc_sum_micro"], r["qc_gate_micro"], r["keep"])
+        for r in sampling.classify_quality(
+            labeled.repartition(37, "lang"), train_col="_tr"
+        ).collect()
+    }
+    assert a == b
