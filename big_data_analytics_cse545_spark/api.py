@@ -564,7 +564,12 @@ def ann_join(
     """
     import hashlib
 
-    from big_data_analytics_cse545_spark.functions.vectors import cosine, dot
+    from big_data_analytics_cse545_spark.functions.vectors import (
+        cosine,
+        cosine_pre,
+        dot,
+        norm,
+    )
 
     # engine-wide policy: null vectors are excluded from similarity math
     # (a null cosine would otherwise fill sparse top-k tails with null
@@ -575,6 +580,14 @@ def ann_join(
     c = corpus.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("_c_emb")
     )
+    if dim is not None:
+        # hoist each side's norm out of the pair loop: folded once per
+        # ROW here (before any candidate join), not once per pair —
+        # bit-identical scoring either way (tests/test_functions.py);
+        # the candidate stage prunes these columns, so the ×n_tables
+        # explode still ships ids+buckets only
+        q = q.withColumn("_q_nrm", norm(F.col("_q_emb")))
+        c = c.withColumn("_c_nrm", norm(F.col("_c_emb")))
     not_self = (
         (F.col("q_id") != F.col("neighbor_id")) if exclude_self else F.lit(True)
     )
@@ -623,7 +636,19 @@ def ann_join(
         joined = cand.join(q, "q_id").join(c, "neighbor_id")
     else:
         joined = q.join(c, not_self)
-    cos = F.round(cosine(F.col("_q_emb"), F.col("_c_emb")), 6)
+    if dim is not None:
+        # hoisted per-row norms (bit-identical to cosine(q, c);
+        # tests/test_functions.py) — the norm fold leaves the pair loop
+        cos = F.round(
+            cosine_pre(
+                dot(F.col("_q_emb"), F.col("_c_emb")),
+                F.col("_q_nrm"),
+                F.col("_c_nrm"),
+            ),
+            6,
+        )
+    else:
+        cos = F.round(cosine(F.col("_q_emb"), F.col("_c_emb")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         joined.select("q_id", "neighbor_id", cos.alias("cos_sim"))

@@ -1,10 +1,36 @@
 """Vector column expressions — dot products, norms, cosine — as JVM
-higher-order functions (zip_with/aggregate), no Python UDFs.
+expressions, no Python UDFs.
 
 The reference does all vector math in per-row numpy inside RDD lambdas
 (``Assignment 2/a2_ahuja.py:48-49, 257, 299``); these expressions keep the
-same semantics inside whole-stage codegen. Elements are cast to double
-before multiplying so an oracle engine reproduces the arithmetic exactly.
+same semantics inside the JVM. Elements are cast to double before
+multiplying so an oracle engine reproduces the arithmetic exactly.
+
+Two execution forms, SAME arithmetic (round-12 optimization, guide §4.1):
+
+* ``dot``/``norm``/``cosine``/``euclidean`` (Column API):
+  ``zip_with``/``aggregate`` higher-order functions — length-generic
+  and one compact expression node, but Spark evaluates HOF lambdas
+  INTERPRETED (CodegenFallback): ~3 array allocations and ~2·dim boxed
+  lambda calls per cosine, which made the pair-filter queries (d11,
+  s01…s06) spend most of their execution in ``ArrayAggregate``.
+* ``dot_sql``/``norm_sql``/``dot_literal_sql`` (SQL-string builders,
+  for callers that KNOW the vector width, e.g. the embeddings table's
+  64): an unrolled ``0.0D + x[0]·y[0] + x[1]·y[1] + …`` string for
+  ``F.expr`` that whole-stage codegen compiles — measured 3.5-4×
+  faster per element than the HOF form at 2M rows (noop sink). The
+  fold order is the SAME left-associated ``((0.0 + t0) + t1) + …`` as
+  ``aggregate``'s, every element goes through the same cast-to-double,
+  and ``x[i]`` is null-on-out-of-bounds (matching zip_with's null
+  padding on a shorter array), so the two forms return bit-identical
+  doubles on equal-length rows — pinned by tests/test_functions.py.
+
+  Why strings and not unrolled Column objects: every Python-side
+  Column operator is a py4j round-trip, and 64-term sums built that
+  way cost 5-8 SECONDS of driver time per query just to CONSTRUCT
+  (measured on p02/s06) — the string parses in one call. Only pass a
+  ``dim`` equal to the data's width: on longer arrays the unrolled
+  form silently ignores the tail where the HOF form consumes it.
 """
 
 from __future__ import annotations
@@ -29,6 +55,17 @@ def cosine(x: Column, y: Column) -> Column:
     return dot(x, y) / (norm(x) * norm(y))
 
 
+def cosine_pre(dot_xy: Column, norm_x: Column, norm_y: Column) -> Column:
+    """Cosine from a per-pair dot and PER-ROW hoisted norms.
+
+    ``cosine(x, y)`` recomputes both operands' norms for every pair a
+    join produces; when each row participates in many pairs the norm is
+    the same value folded again and again. Computing ``norm(x)`` once
+    per row (same expression, same bits) and dividing here is identical
+    double arithmetic — ``dot/(nx*ny)`` either way."""
+    return dot_xy / (norm_x * norm_y)
+
+
 def euclidean(x: Column, y: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -39,3 +76,39 @@ def euclidean(x: Column, y: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# codegen-unrolled SQL-string builders (round-12 optimization, guide §4.1)
+# ---------------------------------------------------------------------------
+
+
+def dot_sql(x: str, y: str, dim: int) -> str:
+    """Unrolled dot product of two array COLUMN NAMES as a SQL string
+    for ``F.expr`` — bit-identical to ``dot(col(x), col(y))`` on
+    ``dim``-wide rows (module docstring has the equivalence argument;
+    tests/test_functions.py pins it)."""
+    terms = "".join(
+        f" + CAST(`{x}`[{i}] AS DOUBLE) * CAST(`{y}`[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return "0.0D" + terms
+
+
+def norm_sql(x: str, dim: int) -> str:
+    """Unrolled ``sqrt(Σ x[i]²)`` — bit-identical to ``norm(col(x))``
+    on ``dim``-wide rows."""
+    return f"SQRT({dot_sql(x, x, dim)})"
+
+
+def dot_literal_sql(weights: list[float], y: str) -> str:
+    """Unrolled ``Σ wᵢ·y[i]`` for a PYTHON-side constant weight vector
+    — bit-identical to ``dot(F.array(*map(F.lit, weights)), col(y))``:
+    same left-associated fold, same cast-to-double per element (the
+    weights are embedded as exact round-trip double literals, and
+    IEEE multiplication is commutative bit-for-bit)."""
+    terms = "".join(
+        f" + {w!r}D * CAST(`{y}`[{i}] AS DOUBLE)"
+        for i, w in enumerate(map(float, weights))
+    )
+    return "0.0D" + terms

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data_analytics_cse545_spark.cache import swap_cached
 from big_data_analytics_cse545_spark.functions.text import TOKEN_SPLIT_RE, tokens
 from big_data_analytics_cse545_spark.sources import load_table
 
@@ -274,6 +275,11 @@ def d03_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``a2_ahuja.py:164-170``), exact Jaccard only on candidates. Cost at
     scale: shuffles on 16-byte band keys; the all-pairs join never runs.
     """
+    # NOT cached (round-12 A/B): persisting sh for its 4 references
+    # measured a wash for d03 (3.89→3.47s min, median worse) and a
+    # regression for d10 (2.45→2.95s) — the eager materialization
+    # barrier costs more than the re-tokenizes it saves, here and at
+    # scale the pipelined recompute also avoids a corpus-sized cache.
     sh = _shingles_df(spark, sf_dir)
     bands = _band_keys_df(sh)
     a = bands.alias("a")
@@ -768,10 +774,16 @@ def d06_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = _shingles_df(spark, sf_dir)
     docs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
+    # one live cache entry (the g01-edges discipline): the shingle
+    # aggregation otherwise re-runs for the CountVectorizer fit pass AND
+    # each side of approxSimilarityJoin (round-12 optimization, guide
+    # §5 — reuse > recompute when the lineage is a corpus tokenize)
+    docs = swap_cached("d06_docs", docs)
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", binary=True
     ).fit(docs)
     v = cv.transform(docs).select("doc_id", "features")
+    v = swap_cached("d06_vecs", v)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(v)
@@ -880,15 +892,42 @@ def connected_components(
 
     Per iteration: one checkpoint truncates the otherwise-quadratic
     iterative lineage (the same reason p05 collects centroids — but
-    labels are data-sized, so they must stay distributed), and the
-    convergence check is a driver-side count of changed labels (O(1)
-    driver data). ``reliable_checkpoint=False`` (default) uses
-    ``localCheckpoint`` — executor-memory blocks, right for local mode
-    and short jobs; ``reliable_checkpoint=True`` writes label blocks to
-    the context's checkpoint directory (``setCheckpointDir``; a scratch
-    dir is assigned if none is set) so an executor loss recomputes from
-    the last iteration's files instead of replaying the full lineage —
-    the cluster-grade setting for long CC runs.
+    labels are data-sized, so they must stay distributed).
+    ``reliable_checkpoint=False`` (default) uses ``localCheckpoint`` —
+    executor-memory blocks, right for local mode and short jobs;
+    ``reliable_checkpoint=True`` writes label blocks to the context's
+    checkpoint directory (``setCheckpointDir``; a scratch dir is
+    assigned if none is set) so an executor loss recomputes from the
+    last iteration's files instead of replaying the full lineage — the
+    cluster-grade setting for long CC runs.
+
+    Round-12 optimization (guide §2.4 — remove shuffles outright), same
+    labels bit-for-bit:
+
+    * **Self-loop propagation.** The adjacency is augmented with (v, v)
+      rows once, so ``min over N(v) ∪ {v}`` — which IS the update rule,
+      labels being monotone non-increasing — comes out of ONE join +
+      map-side-combined min per iteration. The old form computed
+      ``min over N(v)`` and then joined the result BACK to the previous
+      labels for the ``least(...)``: a second corpus-sized shuffle per
+      iteration that the self-loops make redundant.
+    * **Sum-based convergence.** Labels only ever decrease, so
+      ``Σ label`` (exact DECIMAL(38,0); overflow → NULL is detected and
+      raised, never mistaken for convergence) is strictly decreasing
+      until the fixpoint — comparing consecutive sums replaces the old
+      changed-count join (a third shuffle per iteration) with an O(1)
+      aggregate over the just-checkpointed labels.
+    * **Adjacency partitioned once.** The (now self-looped) adjacency
+      is hash-repartitioned on ``u`` before its checkpoint; the
+      checkpoint preserves that partitioning, so the per-iteration join
+      never re-shuffles the edge relation — labels (the small side)
+      move instead, or broadcast when AQE measures them small. At 100 TB
+      edges ≫ labels, so this is the dominant byte saving.
+
+    Net: 3 shuffles of edge/label-sized relations per iteration → 1
+    label-sized shuffle (the groupBy-min), plus one O(1)-result
+    aggregate. plans gate: tests/test_dedup.py pins the label output on
+    a diameter-6 path either way.
     """
     sc = edges.sparkSession.sparkContext
     if reliable_checkpoint and sc._jsc.sc().getCheckpointDir().isEmpty():
@@ -902,39 +941,45 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize sym FIRST so the (possibly expensive) upstream pair
+    # funnel runs exactly once — adj and labels both derive from it
     sym = _truncate(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()  # reused every iteration
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
-    labels = _truncate(
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+    # u-universe == v-universe because sym is symmetric
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    # self-loops fold each node's own label into the neighborhood min,
+    # so the update is one join+min; partition on the join key ONCE —
+    # the checkpoint preserves the partitioning across iterations
+    adj = _truncate(
+        sym.union(nodes.select(F.col("id").alias("u"), F.col("id").alias("v")))
+        .repartition("u")
     )
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["u"] == labels["id"])
-            .groupBy("v")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = _truncate(
-            labels.join(nbr_min, labels["id"] == nbr_min["v"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+    labels = _truncate(nodes.select("id", F.col("id").alias("label")))
+
+    def _label_sum(lbl: DataFrame):
+        s, n = lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")), F.count(F.lit(1))
+        ).first()
+        if s is None and n:
+            raise RuntimeError(
+                "connected_components: label sum overflowed DECIMAL(38,0) "
+                f"across {n} nodes — unreachable below ~10^19 rows"
             )
+        return s
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iters):
+        labels = _truncate(
+            adj.join(labels, adj["u"] == labels["id"])
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("v").alias("id"), "label")
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # exhausting the budget with labels still moving means the
         # returned components are WRONG (fragments of real clusters) —
@@ -945,8 +990,8 @@ def connected_components(
         # large-star/small-star variant.
         raise RuntimeError(
             f"connected_components: labels still changing after "
-            f"{max_iters} iterations ({changed} moved last pass) — "
-            "raise max_iters for long-chain graphs"
+            f"{max_iters} iterations (label sum {prev_sum} → {cur_sum} "
+            "on the last pass) — raise max_iters for long-chain graphs"
         )
     return labels
 
@@ -1125,7 +1170,8 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus_hashes, "h", "left_semi")
         .select("doc_id")
     )
-    # near path: band-bucket candidates restricted to batch×corpus
+    # near path: band-bucket candidates restricted to batch×corpus.
+    # sh NOT cached — measured regression (2.45→2.95s min; see d03).
     sh = _shingles_df(spark, sf_dir)
     bands = _band_keys_df(sh)
     band_is_batch = F.col("doc_id") % D10_BATCH_MOD == D10_BATCH_REM
@@ -1296,32 +1342,50 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~16 min figure comes from the k² fit. SCALE.md /
     bench_runs/r4_scale_d11.jsonl).
     """
-    from big_data_analytics_cse545_spark.functions.vectors import cosine
+    from big_data_analytics_cse545_spark.functions.vectors import (
+        cosine_pre,
+        dot,
+        norm,
+    )
     from big_data_analytics_cse545_spark.operators.similarity import (
         hyperplane_bucket_expr,
     )
 
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "cell", hyperplane_bucket_expr(n_planes=SEMDEDUP_PLANES)
+    # norm(embedding) is folded ONCE per row here, not once per
+    # intra-cell pair — two of the three per-pair interpreted
+    # ArrayAggregate folds disappear from the pair filter, and the
+    # arithmetic is bit-identical (same expression on the same row;
+    # tests/test_functions.py), so the oracle hash is unchanged
+    # (round-12 optimization, guide §4.1).
+    e = load_table(spark, sf_dir, "embeddings").withColumns(
+        {
+            "cell": hyperplane_bucket_expr(n_planes=SEMDEDUP_PLANES),
+            "nrm": norm(F.col("embedding")),
+        }
     )
     left = e.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("emb1"),
         F.col("cell").alias("cell1"),
+        F.col("nrm").alias("nrm1"),
     )
     right = e.select(
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("emb2"),
         F.col("cell").alias("cell2"),
+        F.col("nrm").alias("nrm2"),
+    )
+    pair_cos = cosine_pre(
+        dot(F.col("emb1"), F.col("emb2")),
+        F.col("nrm1"),
+        F.col("nrm2"),
     )
     dup_of = (
         left.join(
             right,
             (F.col("cell1") == F.col("cell2")) & (F.col("v1") < F.col("v2")),
         )
-        .filter(
-            F.round(cosine(F.col("emb1"), F.col("emb2")), 6) >= SEMDEDUP_TAU
-        )
+        .filter(F.round(pair_cos, 6) >= SEMDEDUP_TAU)
         .groupBy("v2")
         .agg(F.min("v1").alias("dup_of"))
     )

@@ -228,6 +228,26 @@ def trustrank_micro(
     for much larger ``iters`` a deployment would localCheckpoint every
     few rounds (the train_bpe lesson), but at the contract K the single
     plan is the cheaper trade (no materialization barrier).
+
+    Round-12 optimization (guide §2.4 / §3.1), same ranks bit-for-bit:
+
+    * **Broadcast the rank side of the edge join.** Every relation in
+      the loop is host-sized BY DESIGN (millions of rows ≈ tens of MB
+      at 100 TB — the module docstring's scale analysis), so the
+      edges⋈ranks join broadcasts the ranks explicitly instead of
+      letting the planner sort-merge two exchanges per iteration; the
+      (possibly corpus-derived but host-collapsed) edge relation is
+      never shuffled by the loop at all.
+    * **Base injection by union, not a second join.** The old tail
+      ``nodes ⟕ contribs`` + ``base + coalesce(in_mass, 0)`` is the
+      same arithmetic as summing ``contribs ∪ (host, base)-rows`` in
+      ONE groupBy: every node contributes exactly its base row (0 for
+      non-seeds — so isolated hosts still surface with r = 0), and
+      BIGINT addition is order-free, so the per-host sum is identical
+      to the last bit.
+
+    Net per iteration: 2 join exchanges + 1 aggregate exchange → 1
+    aggregate exchange + 1 host-sized broadcast.
     """
     if weighted:
         _enforce_weight_bound(nodes, edges)
@@ -239,24 +259,23 @@ def trustrank_micro(
         .alias("r"),
     )
     base = F.when(seeds, F.lit(G01_BASE)).otherwise(F.lit(0)).cast("long")
+    base_rows = nodes.select("host", base.alias("c"))
     contrib = (
         f"(r * w * {G01_DAMP_NUM}) div (outw * {G01_DAMP_DEN})"
         if weighted
         else f"(r * {G01_DAMP_NUM}) div (outdeg * {G01_DAMP_DEN})"
     )
     for _ in range(iters):
-        contribs = (
-            edges.join(ranks, edges["src_host"] == ranks["host"])
-            .select(
-                F.col("dst_host").alias("host"),
-                F.expr(contrib).alias("c"),
-            )
-            .groupBy("host")
-            .agg(F.sum("c").alias("in_mass"))
+        contribs = edges.join(
+            F.broadcast(ranks), edges["src_host"] == ranks["host"]
+        ).select(
+            F.col("dst_host").alias("host"),
+            F.expr(contrib).alias("c"),
         )
-        ranks = nodes.join(contribs, "host", "left").select(
-            "host",
-            (base + F.coalesce(F.col("in_mass"), F.lit(0))).alias("r"),
+        ranks = (
+            contribs.union(base_rows)
+            .groupBy("host")
+            .agg(F.sum("c").alias("r"))
         )
     return ranks
 

@@ -205,14 +205,25 @@ def p03_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     u, _s, _vt = np.linalg.svd(gram)
     comps = u[:, :PCA_K]  # 64×3
 
+    # Round-12 optimization (guide §4.1 / §7.3 driver-side work): the
+    # old spelling built each 64-term standardize-and-project sum with
+    # per-term Python Column operators — ~770 py4j round-trips, 2-3
+    # SECONDS of driver time per invocation (measured; the expression
+    # TREE is unchanged either way, so analysis/codegen cost the same).
+    # One F.expr string per component parses in a single call and is
+    # bit-identical: same left-associated fold Python sum() produced
+    # (0 + t0 + t1 + …), same cast-to-double per element, literals
+    # embedded as exact repr round-trips.
+    def _term(d: int, p: int) -> str:
+        m, s, c = float(mean[d]), float(std[d]), float(comps[d, p])
+        return (
+            f"(CAST(element_at(`embedding`, {d + 1}) AS DOUBLE)"
+            f" - {m!r}D) / {s!r}D * {c!r}D"
+        )
+
     proj_cols = [
         F.round(
-            sum(
-                (F.element_at("embedding", d + 1).cast("double") - float(mean[d]))
-                / float(std[d])
-                * float(comps[d, p])
-                for d in range(DIM)
-            ),
+            F.expr("0 + " + " + ".join(_term(d, p) for d in range(DIM))),
             6,
         ).alias(f"pc{p}")
         for p in range(PCA_K)

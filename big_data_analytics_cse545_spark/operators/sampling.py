@@ -590,9 +590,18 @@ def x07_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_bucket(F.col("bg"), "dsir", DSIR_BUCKETS).alias("bkt"),
         )
     )
-    cnt = bg.groupBy("bkt").agg(
-        F.count(F.lit(1)).alias("r_n"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_n"),
+    # Round-12 optimization (guide §2.3 aggregate-before-shuffle +
+    # §2.4 shared exchange): the raw instance stream used to feed BOTH
+    # the bucket-count estimator and the per-doc scorer, and the two
+    # branches shared no exchange — the tokenize+explode ran twice per
+    # query. Collapsing instances to per-(doc, bucket) multiplicities
+    # FIRST gives both branches the identical partial-agg→Exchange
+    # subtree, which ReuseExchange evaluates once; the arithmetic stays
+    # exact BIGINT (Σ over instances ≡ Σ m·w over multiplicities).
+    db = bg.groupBy("doc_id", "lang", "bkt").agg(F.count(F.lit(1)).alias("m"))
+    cnt = db.groupBy("bkt").agg(
+        F.sum("m").alias("r_n"),
+        F.sum(F.when(F.col("lang") == "en", F.col("m")).otherwise(0)).alias("t_n"),
     )
     tot = cnt.agg(F.sum("r_n").alias("big_r"), F.sum("t_n").alias("big_t"))
     w = cnt.crossJoin(F.broadcast(tot)).select(
@@ -608,9 +617,9 @@ def x07_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_micro"),
     )
     scored = (
-        bg.join(F.broadcast(w), "bkt")
+        db.join(F.broadcast(w), "bkt")
         .groupBy("doc_id")
-        .agg(F.sum("w_micro").alias("dsir_score"))
+        .agg(F.sum(F.col("m") * F.col("w_micro")).alias("dsir_score"))
     )
     mn = scored.agg(F.min("dsir_score").alias("mn"))
     s = scored.crossJoin(F.broadcast(mn)).select(
@@ -934,13 +943,33 @@ def classify_quality(
     b = feats.select(
         "doc_id", "_pos", "_tr", hash_bucket(F.col("f"), tag, n_buckets).alias("bkt")
     )
-    cnt = (
-        b.filter("_tr")
-        .groupBy("bkt")
-        .agg(
-            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("p_n"),
-            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("q_n"),
-        )
+    # per-(doc, bucket) multiplicities first — the x07 round-12
+    # restructure: one tokenize+explode pass feeds train counting AND
+    # inference through a single reused exchange (exact-integer
+    # equivalence: Σ over instances ≡ Σ m·w over multiplicities)
+    db = b.groupBy("doc_id", "_pos", "_tr", "bkt").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # the train restriction is folded INTO the aggregate (not a filter
+    # above db): a filter would be pushed below db's exchange, making
+    # the two subtrees differ and defeating ReuseExchange. Buckets with
+    # zero train rows now surface as (p_n=0, q_n=0), whose weight
+    # formula ln(1/(P+B)) − ln(1/(Q+B)) is bit-identical to default_w
+    # (0 + 1.0 == 1.0 exactly), and they add zero to tot — so the
+    # scores are unchanged to the last bit.
+    # (nested when, not `_tr & ~_pos`: a NULL _pos must land in q_n
+    # exactly as the old filter-then-otherwise spelling put it there)
+    cnt = db.groupBy("bkt").agg(
+        F.sum(
+            F.when(
+                F.col("_tr"), F.when(F.col("_pos"), F.col("m")).otherwise(0)
+            ).otherwise(0)
+        ).alias("p_n"),
+        F.sum(
+            F.when(
+                F.col("_tr"), F.when(F.col("_pos"), 0).otherwise(F.col("m"))
+            ).otherwise(0)
+        ).alias("q_n"),
     )
     # coalesce: an EMPTY train split (train_col matches no rows) makes
     # every aggregate NULL, which would propagate a three-valued-logic
@@ -984,13 +1013,17 @@ def classify_quality(
         ).cast("long")
     )
     scored = (
-        b.join(F.broadcast(w), "bkt", "left")
+        db.join(F.broadcast(w), "bkt", "left")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", F.coalesce(F.col("w_micro"), default_w).alias("w_eff"))
+        .select(
+            "doc_id",
+            "m",
+            F.coalesce(F.col("w_micro"), default_w).alias("w_eff"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("w_eff").alias("qc_sum_micro"),
+            F.sum("m").alias("n_feats"),
+            F.sum(F.col("m") * F.col("w_eff")).alias("qc_sum_micro"),
         )
     )
     return (

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_analytics_cse545_spark.functions.vectors import cosine, dot
+from big_data_analytics_cse545_spark.functions.vectors import (
+    cosine_pre,
+    dot,
+    norm,
+)
 from big_data_analytics_cse545_spark.sources import load_table
 
 DIM = 64          # embedding dimensionality (TESTDATA.md)
@@ -36,6 +40,33 @@ def _queries_df(e: DataFrame) -> DataFrame:
     )
 
 
+def _pair_cosine(round_to: int = 6):
+    """The one shared pair-scoring expression: ``round(cosine, 6)`` from
+    a per-pair dot and PER-ROW hoisted norms (``nrm``/``q_nrm`` columns
+    the caller computed before its candidate join). Bit-identical to
+    ``round(cosine(q_emb, embedding), 6)`` — the norm is the same
+    expression on the same row, the division the same doubles
+    (tests/test_functions.py) — but each norm's interpreted
+    ArrayAggregate fold runs once per ROW instead of once per candidate
+    PAIR: two of the three per-pair HOF evaluations disappear from the
+    scoring stage (round-12 optimization, guide §4.1 — the fully
+    UNROLLED spelling was tried and rejected: its expression trees cost
+    more in analysis/codegen per query than the interpreted fold costs
+    at bench scale, OPTIMIZATION_r12.md has the A/B)."""
+    return F.round(
+        cosine_pre(
+            dot(F.col("q_emb"), F.col("embedding")),
+            F.col("q_nrm"),
+            F.col("nrm"),
+        ),
+        round_to,
+    )
+
+
+def _with_norm(e: DataFrame) -> DataFrame:
+    return e.withColumn("nrm", norm(F.col("embedding")))
+
+
 # ---------------------------------------------------------------------------
 # s01 — brute-force cosine top-k (correctness baseline)
 # ---------------------------------------------------------------------------
@@ -48,9 +79,13 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``a2_ahuja.py:296-319``). Ranking key is the *rounded* cosine with
     vec_id tiebreak, so the ordering is engine-independent.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    q = _queries_df(e)
-    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _pair_cosine()
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         q.join(e, F.col("vec_id") != F.col("q_id"))
@@ -113,7 +148,14 @@ def hyperplane_bucket_expr(
 
     Public: also the coarse-partition step of d11 semantic dedup
     (operators/dedup.py), which needs the identical md5-parity planes so
-    its DuckDB oracle can regenerate the cells."""
+    its DuckDB oracle can regenerate the cells.
+
+    Round-12 note: an unrolled (64 explicit multiply-add terms per
+    plane) spelling was measured and REJECTED — the deep Add chains
+    cost more in analysis/codegen per query than the interpreted HOF
+    fold costs at bench scale (s06 carries 18 planes × 2 join sides;
+    OPTIMIZATION_r12.md has the A/B). The HOF form stays: one compact
+    node per plane."""
     bucket = F.lit(0)
     for p in range(n_planes):
         signs = F.array(
@@ -136,13 +178,16 @@ def s02_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 signature bits (one 64-bucket partition), so the exact scoring
     touches ~1/64 of the corpus per query.
     """
-    e = load_table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    e = _with_norm(
+        load_table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    )
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
-    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    cos = _pair_cosine()
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         q.join(
@@ -241,12 +286,17 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("label"))
     probed = cell.withColumn("crk", F.row_number().over(wc)).filter(F.col("crk") <= 2)
-    qe = _queries_df(e)
-    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    en = _with_norm(e)
+    qe = en.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _pair_cosine()
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         probed.select("q_id", "label")
-        .join(e, "label")
+        .join(en, "label")
         .join(qe, "q_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cos_sim"))
@@ -366,14 +416,17 @@ def s05_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the exact-scoring workload by the filter's selectivity for
     free, because it rides the same join.
     """
-    e = load_table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    e = _with_norm(
+        load_table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    )
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
         F.col("label").alias("q_label"),
+        F.col("nrm").alias("q_nrm"),
     )
-    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    cos = _pair_cosine()
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         q.join(
@@ -479,12 +532,17 @@ def s06_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    q = _queries_df(e)
-    cos = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    en = _with_norm(e)
+    q = en.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _pair_cosine()
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         cand.join(q, "q_id")
-        .join(e, "vec_id")
+        .join(en, "vec_id")
         .select("q_id", "vec_id", cos.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
