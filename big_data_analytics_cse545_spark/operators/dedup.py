@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_cse545_spark.cache import swap_cached
 from big_data_analytics_cse545_spark.functions.text import TOKEN_SPLIT_RE, tokens
-from big_data_analytics_cse545_spark.sources import load_table
+from big_data_analytics_cse545_spark.sources import load_table, spread_scan
 
 _SQL_TOKENS = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -49,8 +49,13 @@ def _tokens_col():
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-gram word shingles per document."""
-    d = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) — distinct 3-gram word shingles per document.
+
+    The scan is spread (sources.spread_scan) before the tokenize+shingle
+    fan-out: over a single-row-group fixture the whole shingle pipeline
+    otherwise runs as ONE scan-stage task; at scale the spread is a
+    no-op (round-12 optimization, guide §2.5/§6)."""
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     shingles = F.expr(
         "CASE WHEN size(ts) >= 3 THEN array_distinct(transform("
         "sequence(1, size(ts) - 2), "
@@ -131,8 +136,24 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Round-12 optimization (guide §2.3 — shuffle fewer bytes into the
+    # quadratic stage): a shingle held by exactly ONE document cannot
+    # produce a join pair, so the inverted-index self-join only needs
+    # posting lists of length ≥ 2. The document-frequency filter is a
+    # window over the SAME key the join shuffles on, so it adds no
+    # exchange — and on web-scale corpora (and the bench fixtures) the
+    # unique-shingle tail is most of the relation. cnt stays over the
+    # FULL relation (per-doc sizes count unique shingles too); the pair
+    # set, intersections, and Jaccard values are unchanged exactly.
+    from pyspark.sql.window import Window as _W
+
+    shared = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("shingle")))
+        .filter(F.col("_df") > 1)
+        .drop("_df")
+    )
+    a = shared.alias("a")
+    b = shared.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -446,7 +467,12 @@ def simhash_near_dup_pairs(
       demonstration; the two schemes returning identical pairs is
       test-pinned.
     """
-    toks = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    # spread before the token fan-out: the 64-vote partial aggregation
+    # pipelines into the scan stage, which is one task over a
+    # single-row-group file (no-op at scale — sources.spread_scan)
+    toks = spread_scan(d, "doc_id").select(
+        "doc_id", F.explode(_tokens_col()).alias("tok")
+    )
     # ONE md5 per token, parsed into four 16-bit integer quarters with
     # conv(); each of the 64 vote sums is then an integer shift+mask on
     # a quarter column. Round 2 derived every bit with its own
@@ -1468,7 +1494,10 @@ def cdc_chunks(df: DataFrame, hash: str = "md5") -> DataFrame:
         )
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"unknown cdc hash {hash!r}")
-    cuts = df.filter(F.length("text") > 0).select(
+    # spread before the per-position window-hash storm (length(text)
+    # hash evaluations per doc) — single scan-stage task otherwise on
+    # a one-row-group input; no-op at scale (sources.spread_scan)
+    cuts = spread_scan(df, "doc_id").filter(F.length("text") > 0).select(
         "doc_id",
         "text",
         F.expr(

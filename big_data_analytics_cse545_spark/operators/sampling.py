@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_analytics_cse545_spark.sources import load_table
+from big_data_analytics_cse545_spark.sources import load_table, spread_scan
 
 # 2^32 — the hash domain: first 8 md5 hex chars parsed as an integer.
 HASH_DOMAIN = 4294967296.0
@@ -576,7 +576,10 @@ def x07_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from big_data_analytics_cse545_spark.functions.text import bigrams, tokens
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread: tokenize+bigram+hash and the multiplicity partial agg
+    # pipeline into a one-task scan stage on single-row-group inputs;
+    # no-op at scale (sources.spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     bg = (
         d.select("doc_id", "lang", tokens(F.col("text")).alias("ts"))
         .select(
@@ -928,7 +931,10 @@ def classify_quality(
     """
     from big_data_analytics_cse545_spark.functions.text import bigrams, tokens
 
-    base = df.select(
+    # spread: tokenize+bigram+hash and the multiplicity partial agg
+    # pipeline into a one-task scan stage on single-row-group inputs;
+    # no-op at scale (sources.spread_scan)
+    base = spread_scan(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).alias("_pos"),
         (F.lit(True) if train_col is None else F.col(train_col)).alias("_tr"),

@@ -30,7 +30,7 @@ from big_data_analytics_cse545_spark.functions.text import (
     token_count,
     tokens,
 )
-from big_data_analytics_cse545_spark.sources import load_table
+from big_data_analytics_cse545_spark.sources import load_table, spread_scan
 
 # DuckDB twin of functions.text.tokens()
 _SQL_TOKENS = (
@@ -909,7 +909,7 @@ def winnow_gram_relation(d: DataFrame, text_col: str = "text", id_col: str = "do
     SAME gram relation twice: winnow-selected for candidates, full for
     the diagonal merge."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    toks = d.select(
+    toks = spread_scan(d, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
@@ -1593,7 +1593,7 @@ def t22_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, BIGINT). Text never shuffles; the LM itself is the
     vocab-sized relation, which Catalyst broadcasts when stats allow.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
     doc_tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     vocab = doc_tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
@@ -2415,7 +2415,9 @@ def t25_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which is also what licenses this regime swap — both paths are
     token-for-token equal on every fixture).
     """
-    d = load_table(spark, sf_dir, "documents")
+    # spread: the Arrow encode kernel runs partition-parallel only if
+    # the scan does — one task otherwise on a single-row-group input
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     table = _t25_table(spark, sf_dir)
     enc = bpe_encode(d, table, mode="arrow")
     return enc.select(

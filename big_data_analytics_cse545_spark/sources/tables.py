@@ -63,6 +63,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Fan a row-group-bound scan out across the cluster before
+    expensive per-row work (tokenize / shingle / per-position-hash
+    pipelines) — round-12 optimization, guide §2.5 / §6.
+
+    Spark pipelines everything up to the first exchange INTO the scan
+    stage, and a parquet scan cannot be split below one row group — so
+    over a single-row-group file (the local test fixtures' layout) the
+    whole per-row pipeline serializes on ONE core no matter how many
+    the session has. This helper inserts a deterministic keyed
+    repartition to ``defaultParallelism`` ONLY when the scan has fewer
+    partitions than that; at production scale inputs arrive in many
+    row groups (scan partitions ≥ cluster parallelism), the condition
+    is false and the helper is a structural no-op — the exchange never
+    exists in the plan. Keyed (hash) repartition, not round-robin:
+    deterministic under task retries (guide §2.5, SPARK-38388 class),
+    and partition count cannot change any declared query's values (the
+    engine's exact-arithmetic float policy; pinned by the chaos
+    partition sweeps).
+    """
+    if not key_cols:
+        raise ValueError("spread_scan needs at least one hash key column")
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
