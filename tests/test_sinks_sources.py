@@ -163,3 +163,53 @@ def test_python_custom_writer_overwrite_clears_stale_parts(spark, sf_smoke, tmp_
     )
     back = spark.read.schema("doc_id long, n_chars long").json(out)
     assert back.count() == 4  # 3 sink rows + the untouched user file
+
+
+# ---------------------------------------------------------------------------
+# spread_scan — the round-12 scale-adaptive scan fan-out
+# ---------------------------------------------------------------------------
+
+
+def test_spread_scan_fans_out_single_row_group_scan(spark, sf_smoke):
+    """A single-row-group parquet scan plans fewer partitions than
+    defaultParallelism, so spread_scan must insert the keyed
+    repartition — and the row SET must be exactly unchanged."""
+    from big_data_analytics_cse545_spark.sources import load_table, spread_scan
+
+    d = load_table(spark, sf_smoke, "documents")
+    assert d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    s = spread_scan(d, "doc_id")
+    assert s.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.doc_id for r in s.select("doc_id").collect()) == sorted(
+        r.doc_id for r in d.select("doc_id").collect()
+    )
+
+
+def test_spread_scan_noop_when_scan_already_parallel(spark, tmp_path):
+    """The condition is derived from the actual scan partitioning: an
+    input with >= defaultParallelism splits (the production layout)
+    must come back IDENTICAL — no exchange inserted."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_cse545_spark.sources import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "many_parts.parquet")
+    spark.range(1000).withColumn("doc_id", F.col("id")).repartition(
+        target * 2
+    ).write.parquet(path)
+    d = spark.read.parquet(path)
+    assert d.rdd.getNumPartitions() >= target
+    s = spread_scan(d, "doc_id")
+    assert s is d  # structural no-op: the exchange never exists
+
+
+def test_spread_scan_requires_a_key(spark, sf_smoke):
+    """Round-robin would be nondeterministic under task retries
+    (SPARK-38388 class) — the helper refuses to run without a hash key."""
+    import pytest as _pytest
+
+    from big_data_analytics_cse545_spark.sources import load_table, spread_scan
+
+    with _pytest.raises(ValueError, match="hash key"):
+        spread_scan(load_table(spark, sf_smoke, "documents"))
