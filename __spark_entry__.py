@@ -305,68 +305,80 @@ _DEMOTED_TWINNED = frozenset(
 # 126 registered − 7 test-gated − 2 demoted baselines − 17
 # twin-demoted = 100 = 2×50.
 #
-# ROUND-13 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names
-# in CORRECTNESS_r12 (this round's active set, incl. the debuts d13
-# and x09); active set := the 50 names below (the CORRECTNESS_r11
-# half, unchanged). Any round-13-born query must bring its own twin
-# demotion (or test-gating rationale).
+# ROUND-13 ROTATION (executed per the round-12 pre-written plan,
+# VERDICT r12 "Next round" #8): new _HELD_OUT below = the 50 names in
+# CORRECTNESS_r12 (the round-12 active set — 45 hash-green + the 5
+# rows-only-by-design queries m01/m02/p03/p05/p07 — including the
+# round-12 debuts d13 and x09, both hash-green). Active set = the
+# CORRECTNESS_r11 half, unchanged (no demotion touched it). That half
+# is ALL-oracle, so the expected CORRECTNESS_r13 is 50/50 full
+# rows+schema+hash matches. r12 ∩ r13 = ∅, r12 ∪ r13 = all 100
+# eligible. This is an optimization round: no new queries, so the pool
+# arithmetic is unchanged — 126 registered − 7 test-gated − 2 demoted
+# baselines − 17 twin-demoted = 100 = 2×50.
+#
+# ROUND-14 ROTATION PLAN (mechanical): new _HELD_OUT := the 50 names
+# in CORRECTNESS_r13 (this round's active set); active set := the 50
+# names below (the CORRECTNESS_r12 half, unchanged). Any
+# round-14-born query must bring its own twin demotion (or
+# test-gating rationale).
 _NEW_AWAITING_ROTATION: frozenset[str] = frozenset()
 _HELD_OUT = frozenset(
     {
-        # = the 50 queries checked in CORRECTNESS_r11 (all hash-green).
-        # Their DuckDB oracles keep running every pytest run via
-        # held_out_oracle_sql(); they rotate back into the driver
-        # budget in round 13.
-        "q06_topk_orders_per_customer",
-        "q07_order_running_analytics",
-        "q18_asof_join",
-        "q19_range_join",
-        "q21_null_semantics",
-        "q22_retention_cohorts",
-        "q23_event_funnel",
-        "q25_range_frame",
-        "q26_pivot",
-        "q27_gap_fill",
-        "q28_sessionize",
-        "q29_skew_safe_distinct",
-        "q31_variant_json",
-        "q32_approx_percentiles",
-        "q33_sql_subqueries",
-        "q35_recursive_cte",
-        "t06_quality_score",
-        "t10_wholetext_extract",
-        "t12_pack_sequences",
-        "t13_repetition_filter",
-        "t14_corpus_freq_score",
-        "t15_winnowing_pairs",
-        "t16_html_strip",
-        "t17_chunk_overlap",
-        "t20_bpe_pair_stats",
-        "t21_bm25_score",
-        "t22_unigram_nll",
-        "t23_host_reputation",
-        "x02_temperature_mix",
-        "x05_stratified_sample",
-        "x07_dsir_select",
-        "x08_prep_pipeline",
-        "f02_csv_scan",
-        "f06_python_datasource_scan",
-        "f07_xml_scan",
-        "d04_simhash_clusters",
-        "d07_decontaminate",
-        "d11_semantic_dedup",
-        "d12_cdc_chunk_dedup",
-        "s02_ann_hyperplane_lsh",
-        "s05_filtered_ann",
-        "p02_random_projection",
-        "p06_scalar_quantize",
-        "p08_kmeans_trace",
-        "m06_frame_index_relational",
-        "st02_sliding_window",
-        "st07_stream_static_join",
-        "st08_stream_outer_join",
-        "st11_transform_with_state",
-        "st12_python_stream_source",
+        # = the 50 queries checked in CORRECTNESS_r12 (45 hash-green +
+        # 5 rows-only-by-design). Their DuckDB oracles keep running
+        # every pytest run via held_out_oracle_sql(); they rotate back
+        # into the driver budget in round 14.
+        "d03_minhash_lsh_dedup",
+        "d05_embedding_near_dup",
+        "d10_incremental_dedup",
+        "d13_exact_substring_spans",
+        "f03_jsonl_corrupt_tolerant",
+        "f04_partitioned_scan",
+        "f08_avro_scan",
+        "g02_host_trustrank",
+        "g03_host_pagerank_weighted",
+        "m01_image_similarity_funnel",
+        "m02_video_frame_sample",
+        "m05_signature_band_relational",
+        "p01_dim_stats",
+        "p03_pca_topk",
+        "p05_kmeans_iterative",
+        "p07_pq_ann",
+        "q01_pricing_summary",
+        "q02_revenue_by_nation",
+        "q03_top_orders",
+        "q04_customers_with_orders",
+        "q05_customers_without_orders",
+        "q09_cube_status_priority",
+        "q10_set_ops",
+        "q11_distinct_and_conditional_agg",
+        "q12_inlist_filter",
+        "q13_string_funcs",
+        "q14_events_by_month_type",
+        "q16_above_avg_lineitems",
+        "q20_approx_distinct",
+        "q36_merge_upsert_general",
+        "s03_ann_ivf",
+        "s06_ann_multitable_lsh",
+        "st03_session_window",
+        "st04_streaming_dedup",
+        "st05_stateful_user_counts",
+        "st06_stream_stream_join",
+        "st09_stream_incremental_dedup",
+        "st10_sliding_distinct_users",
+        "t01_wordcount",
+        "t02_word_set_difference",
+        "t04_term_mentions_nested",
+        "t05_lang_guess",
+        "t08_fingerprint",
+        "t09_pseudo_xml_extract",
+        "t11_pii_scrub",
+        "t18_url_canonicalize",
+        "t19_unicode_normalize",
+        "x04_token_budget_select",
+        "x06_leakage_safe_split",
+        "x09_quality_classifier",
     }
 )
 

@@ -1,7 +1,7 @@
-"""Per-query optimization probe (round-12 optimization pass, guide §1).
+"""Per-query optimization probe (round-13 optimization pass, guide §1).
 
 For each named query: build the DataFrame, dump `.explain("formatted")`
-to plans/r12/<query>_<tag>.txt, then time R repeated `.collect()` runs
+to plans/r13/<query>_<tag>.txt, then time R repeated `.collect()` runs
 (the bench's timed action) and print min/median — the min is the
 scheduling-noise-free estimate (the r3 "sum of minima" insight).
 
@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
 )
 
 
