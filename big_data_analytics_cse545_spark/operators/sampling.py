@@ -576,10 +576,16 @@ def x07_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from big_data_analytics_cse545_spark.functions.text import bigrams, tokens
 
-    # spread: tokenize+bigram+hash and the multiplicity partial agg
-    # pipeline into a one-task scan stage on single-row-group inputs;
-    # no-op at scale (sources.spread_scan)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NO spread here (round-13, r12 verdict item 2): the r12 spread was
+    # measured slower under bench conditions — cold min-of-3 at 32c
+    # reads 6.8–8.1 s WITH the spread vs 5.7–5.9 s without; warm
+    # min-of-4 3.27 vs 2.42 s — because both ReuseExchange consumers
+    # re-read the spread's exchange output, doubling its fetch cost,
+    # while the shared multiplicity aggregate below (kept: warm-neutral
+    # locally, corpus-collapsing at scale) already parallelizes
+    # everything past the scan. At production row-group counts the
+    # spread was a structural no-op anyway, so nothing is lost at scale.
+    d = load_table(spark, sf_dir, "documents")
     bg = (
         d.select("doc_id", "lang", tokens(F.col("text")).alias("ts"))
         .select(
