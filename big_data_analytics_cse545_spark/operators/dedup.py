@@ -541,6 +541,26 @@ def simhash_near_dup_pairs(
             ).alias("bands"),
         )
     bands = fps.select("doc_id", "simhash", F.posexplode("bands").alias("band", "bval"))
+    # Round-13 optimization (guide §2.3 — the d02 posting-list prune on
+    # (band, bval), r12 verdict item 5): a band bucket holding exactly
+    # ONE document cannot produce a candidate pair, so the self-join
+    # only needs buckets of size ≥ 2. Each document emits at most one
+    # row per band index, so the row count per (band, bval) IS the
+    # bucket's document count — the filter is exact, and it runs as a
+    # window over the SAME key the join shuffles on (no extra
+    # exchange). With ~32-bit wide keys the singleton tail is almost
+    # the whole relation past birthday scale (sf0.1: 100k band rows →
+    # 11.7k in shared buckets, an 8.6× cut); at ≫10⁷ docs this is what
+    # keeps the join input candidate-sized instead of corpus×20-sized.
+    from pyspark.sql.window import Window as _W
+
+    bands = (
+        bands.withColumn(
+            "_n", F.count(F.lit(1)).over(_W.partitionBy("band", "bval"))
+        )
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1695,16 +1715,32 @@ def shared_spans(
         "d13_grams", winnow_gram_relation(d, text_col=text_col, id_col=id_col)
     )
     cand = winnow_bucket_pairs(winnow_fingerprints(grams)).distinct()
+    # Round-13 optimization (guide §2.3 — the d02 posting-list prune on
+    # the confirm join, r12 verdict item 4): a gram hash occurring
+    # exactly ONCE in the whole corpus cannot appear in both sides of
+    # any candidate pair (pairs are strictly d1 < d2), so it can never
+    # produce a matched anchor — pruning those rows changes neither the
+    # join output nor the diagonal islands. The unique-gram tail is
+    # most of the relation (sf0.1: 245.7k gram rows → 24.5k with
+    # occurrence > 1, a 10× cut into the join and its broadcast/shuffle
+    # bytes; web corpora share that shape). The count runs over gh
+    # FIRST, so its one hash exchange on gh also satisfies the cap
+    # window's (doc_id, gh) clustering — no extra exchange vs the old
+    # plan, one extra sort. The cap's per-(doc_id, gh) counts are
+    # unchanged: the prune only ever removes ENTIRE gh groups.
+    #
     # GRAM_MAX_OCC: see the constant's comment — cap the confirm join's
     # per-document anchor multiplicity so degenerate repetition cannot
     # make one candidate pair quadratic (candidate generation is
     # unaffected: fingerprints are per-doc DISTINCT)
     capped = (
-        grams.withColumn(
+        grams.withColumn("_tot", F.count(F.lit(1)).over(W.partitionBy("gh")))
+        .filter(F.col("_tot") > 1)
+        .withColumn(
             "_occ", F.count(F.lit(1)).over(W.partitionBy("doc_id", "gh"))
         )
         .filter(F.col("_occ") <= GRAM_MAX_OCC)
-        .drop("_occ")
+        .select("doc_id", "pos", "gh")
     )
     g1 = capped.select(
         F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "gh"
