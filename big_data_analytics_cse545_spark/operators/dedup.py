@@ -470,7 +470,14 @@ def simhash_near_dup_pairs(
     # spread before the token fan-out: the 64-vote partial aggregation
     # pipelines into the scan stage, which is one task over a
     # single-row-group file (no-op at scale — sources.spread_scan)
-    toks = spread_scan(d, "doc_id").select(
+    #
+    # explicit isNotNull (round-13): the pair join's strict d1 < d2
+    # already drops NULL doc_ids from every output, but with the
+    # bucket-count window between scan and join Catalyst can no longer
+    # infer-and-push that IsNotNull to the scan — stating it here
+    # restores the pushdown (PushedFilters gate in PLANS.md), with the
+    # join making it a no-op on values by construction.
+    toks = spread_scan(d.filter(F.col("doc_id").isNotNull()), "doc_id").select(
         "doc_id", F.explode(_tokens_col()).alias("tok")
     )
     # ONE md5 per token, parsed into four 16-bit integer quarters with
